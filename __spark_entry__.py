@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship query on sf0.001 (single-query exact kNN).
+queries()         -> dict of name -> (spark, sf_dir) -> DataFrame.
+oracle_sql()      -> dict of name -> equivalent DuckDB SQL.
+
+Every oracle-checked query computes floating-point values with the exact
+same IEEE754 operation order on both sides (see
+anndb_spark/functions/spaces.py distance_col/distance_sql), and uses
+decimal-exact sums for aggregations, so value hashes match bitwise.
 """
 
 from __future__ import annotations
@@ -12,27 +15,230 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anndb_spark.functions.spaces import distance_sql
+from anndb_spark.operators.knn import knn_exact, knn_search
+from anndb_spark.sources.tables import lineitem_vec, lineitem_vec_components
+
+SF0001 = "/root/testdata/sf0.001"
+
+# --- fixed query workloads (literals shared between Spark and DuckDB) ------
+
+LINEITEM_QUERIES = [
+    (0, [25.0, 30.0, 5.0, 4.0, 50.0, 40.0, 15.0, 6.0]),
+    (1, [10.0, 60.0, 2.0, 6.0, 10.0, 70.0, 28.0, 11.0]),
+    (2, [40.0, 90.0, 8.0, 1.0, 90.0, 5.0, 3.0, 2.0]),
+]
+
+
+def _embedding_query(i: int, dim: int = 64) -> list[float]:
+    # deterministic rational-valued query vectors (exact double literals)
+    return [((i * 37 + j * 11) % 19 - 9) / 8.0 for j in range(dim)]
+
+
+EMBEDDING_QUERIES = [(0, _embedding_query(0)), (1, _embedding_query(1))]
+K = 10
+
+
+# --- Spark side ------------------------------------------------------------
+
+def _queries_df(spark: SparkSession, queries) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries],
+        "query_id INT, query_vector ARRAY<DOUBLE>",
+    )
+
+
+def _knn_lineitem(space: str, where: str | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        vecs = lineitem_vec(spark, sf_dir)
+        if where is not None:
+            vecs = vecs.filter(where)
+        return knn_exact(
+            vecs,
+            _queries_df(spark, LINEITEM_QUERIES),
+            K,
+            space=space,
+        )
+
+    return run
+
+
+def _knn_embeddings(space: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        )
+        return knn_exact(emb, _queries_df(spark, EMBEDDING_QUERIES), K, space=space)
+
+    return run
+
+
+def _tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderkey", "o_totalprice")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _route_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.catalog import route_by_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    routed = route_by_key(li, F.col("l_orderkey"), 8)
+    return routed.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: single-query exact kNN over lineitem_vec at sf0.001
+    (TakeOrderedAndProject partial+final top-k)."""
+    vecs = lineitem_vec(spark, SF0001)
+    return knn_search(vecs, LINEITEM_QUERIES[0][1], K, space="euclidean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_lineitem_euclidean": _knn_lineitem("euclidean"),
+        "knn_lineitem_manhattan": _knn_lineitem("manhattan"),
+        "knn_lineitem_cosine": _knn_lineitem("cosine"),
+        "knn_lineitem_prefilter": _knn_lineitem("euclidean", where="returnflag = 'R'"),
+        "knn_embeddings_euclidean": _knn_embeddings("euclidean"),
+        "knn_embeddings_cosine": _knn_embeddings("cosine"),
+        "tpch_q1ish": _tpch_q1ish,
+        "top_orders_per_nation": _top_orders_per_nation,
+        "events_hourly": _events_hourly,
+        "route_partition_counts": _route_partition_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracle ---------------------------------------------------------
+
+def _knn_lineitem_oracle(space: str, where: str | None = None) -> str:
+    id_sql, comps = lineitem_vec_components("duckdb")
+    branches = []
+    for qid, qv in LINEITEM_QUERIES:
+        score = distance_sql(None, qv, space=space, dialect="duckdb", components=comps)
+        flt = f" WHERE {where}" if where else ""
+        branches.append(
+            f"SELECT {qid} AS query_id, {id_sql} AS id, {score} AS score FROM lineitem{flt}"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"SELECT query_id, rank, id, score FROM ("
+        f"SELECT query_id, id, score, CAST(row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score ASC, id ASC) AS INT) AS rank "
+        f"FROM ({union})) WHERE rank <= {K} ORDER BY query_id, rank"
+    )
+
+
+def _knn_embeddings_oracle(space: str) -> str:
+    branches = []
+    for qid, qv in EMBEDDING_QUERIES:
+        score = distance_sql("embedding", qv, space=space, dialect="duckdb")
+        branches.append(
+            f"SELECT {qid} AS query_id, vec_id AS id, {score} AS score FROM embeddings"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"SELECT query_id, rank, id, score FROM ("
+        f"SELECT query_id, id, score, CAST(row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score ASC, id ASC) AS INT) AS rank "
+        f"FROM ({union})) WHERE rank <= {K} ORDER BY query_id, rank"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_lineitem_euclidean": _knn_lineitem_oracle("euclidean"),
+        "knn_lineitem_manhattan": _knn_lineitem_oracle("manhattan"),
+        "knn_lineitem_cosine": _knn_lineitem_oracle("cosine"),
+        "knn_lineitem_prefilter": _knn_lineitem_oracle(
+            "euclidean", where="l_returnflag = 'R'"
+        ),
+        "knn_embeddings_euclidean": _knn_embeddings_oracle("euclidean"),
+        "knn_embeddings_cosine": _knn_embeddings_oracle("cosine"),
+        "tpch_q1ish": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_nation": """
+            SELECT n_name, rnk, o_orderkey, o_totalprice FROM (
+                SELECT n_name, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            ) WHERE rnk <= 3
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "route_partition_counts": """
+            SELECT CAST(l_orderkey % 8 AS INT) AS partition_id, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1
+        """,
+    }

@@ -1,0 +1,25 @@
+"""anndb_spark — a PySpark-native vector analytics engine.
+
+Re-expresses the query and data-processing capabilities of the reference
+ANN vector database (marekgalovic/anndb, see /root/reference) as an
+idiomatic Spark DataFrame library:
+
+- datasets of vectors are parquet-backed DataFrames (catalog.py)
+- exact kNN is a cross-join + two-stage top-k (operators/knn.py)
+- HNSW index build/search are per-partition grouped-map pandas UDFs
+  over a materialized edge-list DataFrame (operators/hnsw.py)
+- CRUD is an append-only changelog compacted with merge semantics
+  (operators/crud.py)
+- plus LLM-data-pipeline operators: dedup, similarity join, text
+  analysis, multimodal columns (operators/dedup.py, text.py,
+  multimodal.py)
+
+Everything is declarative DataFrame/SQL first so Catalyst supplies
+predicate pushdown, column pruning, partial aggregation and
+TakeOrderedAndProject top-k for free; Python only runs inside
+Arrow-batched pandas UDFs on the genuinely iterative graph paths.
+"""
+
+__version__ = "0.1.0"
+
+from anndb_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,35 @@
+"""SparkSession factory with scale-minded defaults.
+
+Local testing runs on local[N]; the configs below are chosen so the same
+plans survive a 1000-executor cluster: AQE on (runtime coalescing +
+skew-join splitting), adaptive shuffle partitions, Arrow for every
+pandas-UDF exchange, and a shuffle-partition count that AQE can shrink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "anndb-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # vectors are wide rows; keep scan splits moderate so a partition's
+        # graph/vector block fits executor memory at large SF
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,91 @@
+"""Exact kNN tests — differential vs NumPy brute force, the reference's
+key test pattern (`index/hnsw_test.go:21-54`)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anndb_spark.operators.knn import knn_exact, knn_search, partial_topk
+
+
+@pytest.fixture(scope="module")
+def small_vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = [(str(i).zfill(4), rng.normal(0, 10, 16).tolist()) for i in range(500)]
+    return spark.createDataFrame(rows, "id STRING, vector ARRAY<DOUBLE>"), rows
+
+
+def _brute(rows, q, k, space="euclidean"):
+    mat = np.array([v for _, v in rows])
+    qv = np.array(q)
+    if space == "euclidean":
+        d = np.sqrt(((mat - qv) ** 2).sum(axis=1))
+    elif space == "manhattan":
+        d = np.abs(mat - qv).sum(axis=1)
+    else:
+        d = np.abs(1 - (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv)))
+    order = sorted(range(len(rows)), key=lambda i: (d[i], rows[i][0]))
+    return [(rows[i][0], d[i]) for i in order[:k]]
+
+
+@pytest.mark.parametrize("space", ["euclidean", "manhattan", "cosine"])
+def test_knn_exact_vs_numpy(spark, small_vectors, space):
+    df, rows = small_vectors
+    q = [1.0] * 16
+    queries = spark.createDataFrame([(0, q)], "query_id INT, query_vector ARRAY<DOUBLE>")
+    got = knn_exact(df, queries, 10, space=space).orderBy("rank").collect()
+    want = _brute(rows, q, 10, space)
+    assert [r["id"] for r in got] == [i for i, _ in want]
+    assert [r["score"] for r in got] == pytest.approx([s for _, s in want], rel=1e-9)
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_knn_multi_query(spark, small_vectors):
+    df, rows = small_vectors
+    qs = [(i, [float(i)] * 16) for i in range(5)]
+    queries = spark.createDataFrame(qs, "query_id INT, query_vector ARRAY<DOUBLE>")
+    got = knn_exact(df, queries, 3).collect()
+    assert len(got) == 15
+    for qid, qv in qs:
+        ids = [r["id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert ids == [i for i, _ in _brute(rows, qv, 3)]
+
+
+def test_knn_k_exceeds_n(spark):
+    # k > N returns min(k, N) rows (storage/dataset.go:387)
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [1.0, 1.0])], "id STRING, vector ARRAY<DOUBLE>"
+    )
+    queries = spark.createDataFrame([(0, [0.0, 0.0])], "query_id INT, query_vector ARRAY<DOUBLE>")
+    assert knn_exact(df, queries, 10).count() == 2
+
+
+def test_knn_search_single_query(spark, small_vectors):
+    df, rows = small_vectors
+    got = knn_search(df, [1.0] * 16, 5).collect()
+    want = _brute(rows, [1.0] * 16, 5)
+    assert [r["id"] for r in got] == [i for i, _ in want]
+
+
+def test_partial_topk_is_superset_filter(spark, small_vectors):
+    df, rows = small_vectors
+    scored = df.select(F.lit(0).alias("query_id"), "id", F.element_at("vector", 1).alias("score"))
+    survivors = partial_topk(scored, ["query_id"], ["score", "id"], 5)
+    rows_out = survivors.collect()
+    # global top-5 must be contained in the survivors
+    want = sorted(((r["score"], r["id"]) for r in scored.collect()))[:5]
+    got = {(r["score"], r["id"]) for r in rows_out}
+    assert all(w in got for w in want)
+
+
+def test_two_stage_equals_single_stage(spark, small_vectors):
+    df, _ = small_vectors
+    queries = spark.createDataFrame(
+        [(0, [2.0] * 16), (1, [-3.0] * 16)], "query_id INT, query_vector ARRAY<DOUBLE>"
+    )
+    a = knn_exact(df, queries, 7, two_stage=True).collect()
+    b = knn_exact(df, queries, 7, two_stage=False).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(r["query_id"], r["rank"], r["id"], r["score"]) for r in a]) == sorted(
+        [(r["query_id"], r["rank"], r["id"], r["score"]) for r in b]
+    )
