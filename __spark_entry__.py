@@ -132,6 +132,74 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crud_changelog(spark: SparkSession, sf_dir: str):
+    """Synthesized changelog over lineitem/orders: linenumber 1 = insert,
+    others = update (8k+ orders lack linenumber 1 → natural reject cases),
+    'F'-status orders append a trailing delete."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # (orderkey, linenumber) is NOT unique in the synthetic data —
+    # duplicate linenumber-1 rows become duplicate inserts (rejected by
+    # the state machine). seq must be a deterministic total order per id.
+    order_cols = [
+        F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey"),
+        F.col("l_extendedprice"), F.col("l_quantity"),
+    ]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    upserts = li.select(
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.col("l_orderkey").cast("string").alias("id"),
+        F.when(F.col("l_linenumber") == 1, "insert").otherwise("update").alias("op"),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            (F.col("l_extendedprice").cast("double") / F.lit(1000.0)),
+        ).alias("vector"),
+        F.when(
+            F.col("l_linenumber") == 1,
+            F.create_map(
+                F.lit("flag"), F.col("l_returnflag"),
+                F.lit("first_flag"), F.col("l_returnflag"),
+            ),
+        )
+        .otherwise(F.create_map(F.lit("flag"), F.col("l_returnflag")))
+        .alias("metadata"),
+    )
+    deletes = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.lit(1 << 40).cast("long").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("array<double>").alias("vector"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    return upserts.unionByName(deletes)
+
+
+def _crud_compaction_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.crud import apply_changes, split_state
+
+    applied = apply_changes(None, _crud_changelog(spark, sf_dir))
+    return split_state(applied).select(
+        "id",
+        F.element_at("vector", 1).alias("qty"),
+        F.element_at("vector", 2).alias("price_k"),
+        F.element_at("metadata", "flag").alias("flag"),
+        F.element_at("metadata", "first_flag").alias("first_flag"),
+    )
+
+
+def _crud_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.crud import apply_changes, split_rejects
+
+    applied = apply_changes(None, _crud_changelog(spark, sf_dir))
+    return (
+        split_rejects(applied)
+        .groupBy("op", "error")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def _route_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.catalog import route_by_key
 
@@ -159,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_nation": _top_orders_per_nation,
         "events_hourly": _events_hourly,
         "route_partition_counts": _route_partition_counts,
+        "crud_compaction_state": _crud_compaction_state,
+        "crud_rejects": _crud_rejects,
     }
 
 
@@ -240,5 +310,54 @@ def oracle_sql() -> dict[str, str]:
         "route_partition_counts": """
             SELECT CAST(l_orderkey % 8 AS INT) AS partition_id, COUNT(*) AS cnt
             FROM lineitem GROUP BY 1
+        """,
+        # state machine outcome for the synthesized well-formed changelog:
+        # alive = has a linenumber-1 insert and no trailing delete ('F'
+        # order); final vector/flag from the max-linenumber row; first_flag
+        # from the insert row (metadata-merge keeps non-overwritten keys)
+        # Reject-aware replay: only the FIRST linenumber-1 row per order is
+        # an applied insert (later duplicates are rejected and change no
+        # state); the final upsert is the last VALID row in seq order.
+        "crud_compaction_state": """
+            WITH ranked AS (
+                SELECT l_orderkey AS k, l_linenumber AS ln,
+                       l_quantity AS qty, l_extendedprice AS ep, l_returnflag AS rf,
+                       row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                            ORDER BY l_partkey, l_suppkey, l_extendedprice, l_quantity) AS rn1,
+                       row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity) AS seq
+                FROM lineitem),
+            valid AS (SELECT * FROM ranked WHERE ln <> 1 OR rn1 = 1),
+            ins AS (SELECT k, rf AS first_flag FROM ranked WHERE ln = 1 AND rn1 = 1),
+            final AS (SELECT v.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rdesc
+                      FROM valid v)
+            SELECT CAST(f.k AS VARCHAR) AS id,
+                   CAST(f.qty AS DOUBLE) AS qty,
+                   CAST(f.ep AS DOUBLE) / 1000.0 AS price_k,
+                   f.rf AS flag,
+                   i.first_flag AS first_flag
+            FROM final f JOIN ins i ON i.k = f.k
+            WHERE f.rdesc = 1
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = f.k AND o.o_orderstatus = 'F')
+        """,
+        # rejects: duplicate linenumber-1 inserts; updates whose order never
+        # inserted; deletes of never-inserted / lineitem-less 'F' orders
+        "crud_rejects": """
+            WITH ins AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                         WHERE l_linenumber = 1),
+            dup1 AS (
+                SELECT l_orderkey, count(*) - 1 AS extra FROM lineitem
+                WHERE l_linenumber = 1 GROUP BY l_orderkey HAVING count(*) > 1)
+            SELECT 'insert' AS op, 'ItemAlreadyExistsError' AS error,
+                   CAST(COALESCE(SUM(extra), 0) AS BIGINT) AS cnt FROM dup1
+            UNION ALL
+            SELECT 'update' AS op, 'ItemNotFoundError' AS error, COUNT(*) AS cnt
+            FROM lineitem WHERE l_linenumber <> 1
+              AND l_orderkey NOT IN (SELECT k FROM ins)
+            UNION ALL
+            SELECT 'delete' AS op, 'ItemNotFoundError' AS error, COUNT(*) AS cnt
+            FROM orders WHERE o_orderstatus = 'F'
+              AND o_orderkey NOT IN (SELECT k FROM ins)
         """,
     }
