@@ -208,6 +208,42 @@ def _route_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("partition_id"),
+    )
+
+
+def _ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 over the materialized HNSW index (no SQL oracle —
+    HNSW search is not SQL-expressible; deterministic rows-only check)."""
+    from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
+
+    emb = _partitioned_embeddings(spark, sf_dir)
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(emb, cfg)
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    return search_index(idx, emb, qs, k=K, ef=100, config=cfg)
+
+
+def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the HNSW path vs the exact oracle (O25). Single row."""
+    from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
+    from anndb_spark.operators.recall import recall_avg
+
+    emb = _partitioned_embeddings(spark, sf_dir)
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(emb, cfg)
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    ann = search_index(idx, emb, qs, k=K, ef=100, config=cfg)
+    exact = knn_exact(
+        emb.select("id", "vector"), _queries_df(spark, EMBEDDING_QUERIES), K
+    )
+    return recall_avg(ann, exact, K)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: single-query exact kNN over lineitem_vec at sf0.001
     (TakeOrderedAndProject partial+final top-k)."""
@@ -229,6 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_partition_counts": _route_partition_counts,
         "crud_compaction_state": _crud_compaction_state,
         "crud_rejects": _crud_rejects,
+        "ann_embeddings_top10": _ann_embeddings,
+        "ann_recall_at10": _ann_recall_at10,
     }
 
 

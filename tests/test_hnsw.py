@@ -1,0 +1,144 @@
+"""HNSW tests — differential vs brute force (the reference's key pattern,
+`index/hnsw_test.go:21-54`), degree-cap structure, persistence round-trip
+(`index/hnsw_persistence_test.go`), and the distributed build/search path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anndb_spark.operators.hnsw import HnswConfig, HnswGraph, _dist_many, build_index, search_index
+
+
+@pytest.fixture(scope="module")
+def kernel_graph():
+    rng = np.random.default_rng(1)
+    mat = rng.normal(0, 10, (1000, 32)).astype(np.float32)
+    cfg = HnswConfig(m=16, ef_construction=100)
+    levels = [HnswGraph(32, cfg).random_level(float(u)) for u in rng.random(1000)]
+    return HnswGraph.build(mat, levels, cfg), mat, cfg
+
+
+def test_search_vs_brute_force(kernel_graph):
+    g, mat, _ = kernel_graph
+    rng = np.random.default_rng(2)
+    hits = 0
+    for _ in range(50):
+        q = rng.normal(0, 10, 32).astype(np.float32)
+        got = {n for _, n in g.search(q, 10, ef=100)}
+        exact = set(np.argsort(_dist_many("euclidean", mat, q), kind="stable")[:10].tolist())
+        hits += len(got & exact)
+    assert hits / 500 >= 0.9
+
+
+def test_degree_caps(kernel_graph):
+    g, _, cfg = kernel_graph
+    for nbrs in g.adj:
+        for lvl, ns in nbrs.items():
+            assert len(ns) <= (cfg.m_max_0 if lvl == 0 else cfg.m_max)
+
+
+def test_edges_bidirectional(kernel_graph):
+    g, _, _ = kernel_graph
+    for i, nbrs in enumerate(g.adj):
+        for lvl, ns in nbrs.items():
+            for n in ns:
+                assert i in g.adj[n].get(lvl, set()), (i, n, lvl)
+
+
+def test_incremental_insert_matches_semantics():
+    cfg = HnswConfig(m=4, ef_construction=32)
+    g = HnswGraph(4, cfg)
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        g.insert(rng.normal(0, 1, 4))
+    assert g.entrypoint >= 0
+    assert g.levels[g.entrypoint] == max(g.levels)
+    q = rng.normal(0, 1, 4).astype(np.float32)
+    res = g.search(q, 5, ef=64)
+    assert len(res) == 5
+    assert [d for d, _ in res] == sorted(d for d, _ in res)
+
+
+def test_heuristic_selection_mode():
+    cfg = HnswConfig(m=8, ef_construction=64, heuristic=True, extend_candidates=True)
+    rng = np.random.default_rng(4)
+    mat = rng.normal(0, 1, (300, 16)).astype(np.float32)
+    g = HnswGraph.build(mat, [0] * 300, cfg)
+    q = rng.normal(0, 1, 16).astype(np.float32)
+    got = {n for _, n in g.search(q, 10, ef=80)}
+    exact = set(np.argsort(_dist_many("euclidean", mat, q), kind="stable")[:10].tolist())
+    assert len(got & exact) >= 8
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").alias("vector"),
+            F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("partition_id"),
+        )
+    )
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(emb, cfg).cache()
+    idx.count()
+    return emb, idx, cfg
+
+
+def test_build_index_structure(spark, spark_index):
+    emb, idx, cfg = spark_index
+    kinds = {r["kind"]: r["cnt"] for r in idx.groupBy("kind").agg(F.count("*").alias("cnt")).collect()}
+    n = emb.count()
+    assert kinds["vertex"] == n
+    assert kinds["entry"] == 4  # one entrypoint per partition
+    # degree caps per (src, level)
+    over = (
+        idx.filter(F.col("kind") == "edge")
+        .groupBy("partition_id", "src", "level")
+        .agg(F.count("*").alias("deg"))
+        .filter(
+            (F.col("level") == 0) & (F.col("deg") > cfg.m_max_0)
+            | (F.col("level") > 0) & (F.col("deg") > cfg.m_max)
+        )
+        .count()
+    )
+    assert over == 0
+
+
+def test_search_index_recall_vs_exact(spark, spark_index):
+    emb, idx, cfg = spark_index
+    from anndb_spark.operators.knn import knn_exact
+
+    rng = np.random.default_rng(5)
+    queries = [(str(i), rng.normal(0, 1, 64).tolist()) for i in range(10)]
+    ann = search_index(idx, emb, queries, k=10, ef=100, config=cfg).collect()
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in queries], "query_id STRING, query_vector ARRAY<DOUBLE>"
+    )
+    # exact oracle in float32 (same dtype as the ANN path)
+    exact = knn_exact(
+        emb.select("id", F.col("vector")), qdf, 10, space="euclidean"
+    ).collect()
+    exact_ids = {}
+    for r in exact:
+        exact_ids.setdefault(r["query_id"], set()).add(r["id"])
+    ann_ids = {}
+    for r in ann:
+        ann_ids.setdefault(r["query_id"], set()).add(r["id"])
+    recall = sum(len(ann_ids[q] & exact_ids[q]) for q, _ in queries) / (10 * len(queries))
+    assert recall >= 0.85, recall
+    # per-query result shape: k rows, ascending rank
+    assert all(len(ann_ids[q]) == 10 for q, _ in queries)
+
+
+def test_index_parquet_roundtrip(spark, spark_index, tmp_path):
+    emb, idx, cfg = spark_index
+    path = str(tmp_path / "index")
+    idx.write.parquet(path)
+    idx2 = spark.read.parquet(path)
+    rng = np.random.default_rng(6)
+    queries = [("q0", rng.normal(0, 1, 64).tolist())]
+    a = search_index(idx, emb, queries, k=5, ef=50, config=cfg).collect()
+    b = search_index(idx2, emb, queries, k=5, ef=50, config=cfg).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
