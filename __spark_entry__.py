@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from anndb_spark.functions.spaces import distance_sql
+from anndb_spark.functions.spaces import distance_sql, pair_distance_sql
 from anndb_spark.operators.knn import knn_exact, knn_search
 from anndb_spark.sources.tables import lineitem_vec, lineitem_vec_components
 
@@ -208,6 +208,86 @@ def _route_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+# --- LLM-pipeline extension queries ---------------------------------------
+
+def _dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return sigs.select("id", F.concat_ws("", F.col("sig")).alias("sig_cat"))
+
+
+def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+    )
+
+
+def _dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.8
+    )
+
+
+def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import simhash_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("id"), simhash_col(F.col("text")).alias("sig")
+    )
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, block_col="label", threshold=0.65)
+
+
+def _text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import text_stats
+
+    return text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import language_scores
+
+    return language_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import token_frequencies
+
+    return token_frequencies(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _size_info_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SizeInfo parity (O26): per-group count + estimated bytes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.sum(F.size("embedding") * 4 + 12).alias("bytes_size"),
+    )
+
+
 def _partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("string").alias("id"),
@@ -267,10 +347,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_rejects": _crud_rejects,
         "ann_embeddings_top10": _ann_embeddings,
         "ann_recall_at10": _ann_recall_at10,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "minhash_signatures": _minhash_signatures,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_ngram_pairs": _dedup_ngram_pairs,
+        "simhash_documents": _simhash_documents,
+        "embedding_neardup": _embedding_neardup,
+        "text_stats_documents": _text_stats_documents,
+        "language_id_documents": _language_id_documents,
+        "fingerprint_documents": _fingerprint_documents,
+        "token_frequencies": _token_frequencies,
+        "size_info_embeddings": _size_info_embeddings,
     }
 
 
 # --- DuckDB oracle ---------------------------------------------------------
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) s
+       FROM words WHERE len(w) >= 3)
+"""
+
+
+def _minhash_sig_cte(num_hashes: int = 8) -> str:
+    return (
+        f"sig AS (SELECT doc_id, s, "
+        f"[list_min([substr(md5(CAST(h AS VARCHAR) || ':' || x), 1, 12) for x in s]) "
+        f"for h in range({num_hashes})] g FROM sh)"
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(ws, x -> CASE WHEN "
+            f"substr(md5(x), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    total = " + ".join(terms)
+    return (
+        "WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) ws "
+        "FROM documents) "
+        f"SELECT doc_id AS id, CAST({total} AS BIGINT) AS sig FROM w"
+    )
+
+
+def _langid_oracle() -> str:
+    from anndb_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(ws, x -> x IN ({words}))) AS DOUBLE) / n AS score_{lang}"
+        )
+    greatest = ", ".join(f"score_{l}" for l in langs)
+    case = " ".join(f"WHEN score_{l} = g THEN '{l}'" for l in langs)
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text,' ') ws,
+                          CAST(len(string_split(text,' ')) AS DOUBLE) n FROM documents),
+        s AS (SELECT doc_id, {', '.join(score_cols)} FROM w)
+        SELECT doc_id AS id, {greatest},
+               CASE {case} END AS pred_lang
+        FROM (SELECT *, greatest({greatest}) g FROM s)
+    """
+
+
+def _embedding_neardup_oracle() -> str:
+    dist = pair_distance_sql("a.embedding", "b.embedding", 64, "cosine", "duckdb")
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {dist} AS distance
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {dist} < 0.65
+    """
 
 def _knn_lineitem_oracle(space: str, where: str | None = None) -> str:
     id_sql, comps = lineitem_vec_components("duckdb")
@@ -397,5 +551,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'delete' AS op, 'ItemNotFoundError' AS error, COUNT(*) AS cnt
             FROM orders WHERE o_orderstatus = 'F'
               AND o_orderkey NOT IN (SELECT k FROM ins)
+        """,
+        "dedup_exact_documents": """
+            SELECT doc_id AS id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLES_CTE}, {_minhash_sig_cte()}
+            SELECT doc_id AS id, array_to_string(g, '') AS sig_cat FROM sig
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH {_SHINGLES_CTE}, {_minhash_sig_cte()},
+            bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
+                      FROM sig, range(4) t(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                           / len(list_distinct(x.s || y.s)) AS jaccard
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b
+            ) WHERE jaccard >= 0.5
+        """,
+        "dedup_ngram_pairs": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(a.s || b.s)) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.8
+        """,
+        "simhash_documents": _simhash_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "text_stats_documents": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)
+            SELECT doc_id AS id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique_tokens,
+                   CAST(length(text) - len(ws) + 1 AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                       AS avg_token_len,
+                   CAST(len(list_filter(ws, x -> x IN
+                        ('the','a','of','and','to','is','in'))) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE) AS stopword_ratio
+            FROM w
+        """,
+        "language_id_documents": _langid_oracle(),
+        "fingerprint_documents": """
+            SELECT doc_id AS id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_frequencies": """
+            SELECT token, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) t
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 20
+        """,
+        "size_info_embeddings": """
+            SELECT label, COUNT(*) AS len,
+                   CAST(SUM(len(embedding) * 4 + 12) AS BIGINT) AS bytes_size
+            FROM embeddings GROUP BY label
         """,
     }

@@ -134,6 +134,29 @@ def distance_sql(
     return f"abs(CAST(1.0 AS DOUBLE) - ({dot} / ({na} * {nb})))"
 
 
+def pair_distance_sql(
+    a_expr: str,
+    b_expr: str,
+    dim: int,
+    space: str = "euclidean",
+    dialect: str = "duckdb",
+) -> str:
+    """SQL text for the distance between two array columns of known
+    dimension — unrolled with the same fold order as ``distance_col``."""
+    space = _check_space(space)
+    ea = [_elem(a_expr, i + 1, dialect) for i in range(dim)]
+    eb = [_elem(b_expr, i + 1, dialect) for i in range(dim)]
+    if space == "euclidean":
+        terms = [f"(({a} - {b}) * ({a} - {b}))" for a, b in zip(ea, eb)]
+        return f"sqrt({_fold_sql(terms)})"
+    if space == "manhattan":
+        return _fold_sql([f"abs({a} - {b})" for a, b in zip(ea, eb)])
+    dot = _fold_sql([f"({a} * {b})" for a, b in zip(ea, eb)])
+    na = f"sqrt({_fold_sql([f'({a} * {a})' for a in ea])})"
+    nb = f"sqrt({_fold_sql([f'({b} * {b})' for b in eb])})"
+    return f"abs(CAST(1.0 AS DOUBLE) - ({dot} / ({na} * {nb})))"
+
+
 # ---------------------------------------------------------------------------
 # 3. NumPy float32 kernels (perf path, reference-SIMD analogue)
 # ---------------------------------------------------------------------------

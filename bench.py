@@ -1,0 +1,120 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...rates...}}
+
+Comparable baseline numbers (BASELINE.md): single-node HNSW build
+inserts/s and search q/s at M=16; we report the analogous rates in
+"extra" alongside wall-clock seconds per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from anndb_spark.session import get_spark
+
+    spark = get_spark("anndb-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+    from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
+    from anndb_spark.operators.knn import knn_exact, knn_search
+    from anndb_spark.sources.tables import lineitem_vec
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM + parquet footers
+    lineitem_vec(spark, sf_dir).count()
+
+    vecs = lineitem_vec(spark, sf_dir).select("id", "vector").cache()
+    n_vec = vecs.count()
+
+    # q1: exact kNN, 3 broadcast queries over the full vector table
+    qdf = entry._queries_df(spark, entry.LINEITEM_QUERIES)
+    timed("knn_exact_multi", lambda: knn_exact(vecs, qdf, 10).collect())
+
+    # q2: single-query TakeOrderedAndProject path
+    timed("knn_single", lambda: knn_search(vecs, entry.LINEITEM_QUERIES[0][1], 10).collect())
+
+    # q3: HNSW build over a 100k-row routed sample (per-partition graphs)
+    sample_n = min(100_000, n_vec)
+    sample = (
+        vecs.limit(sample_n)
+        .withColumn("partition_id", F.pmod(F.xxhash64("id"), F.lit(cpus)).cast("int"))
+        .cache()
+    )
+    sample.count()
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(sample, cfg).cache()
+    n_edges = timed("hnsw_build_100k", lambda: idx.count())
+    extra["hnsw_build_inserts_per_s"] = round(sample_n / timings["hnsw_build_100k"], 1)
+
+    # q4: ANN search, 100 queries over the materialized index
+    rng = np.random.default_rng(42)
+    queries = [(str(i), rng.normal(0, 30, 8).tolist()) for i in range(100)]
+    timed("hnsw_search_100q", lambda: search_index(idx, sample, queries, 10, ef=50, config=cfg).collect())
+    extra["hnsw_search_q_per_s"] = round(100 / timings["hnsw_search_100q"], 1)
+    extra["hnsw_index_rows"] = n_edges
+
+    # q5: CRUD changelog compaction (full sf changelog)
+    from anndb_spark.operators.crud import apply_changes, split_state
+
+    timed(
+        "crud_compaction",
+        lambda: split_state(apply_changes(None, entry._crud_changelog(spark, sf_dir))).count(),
+    )
+
+    # q6-8: relational set
+    timed("tpch_q1ish", lambda: entry._tpch_q1ish(spark, sf_dir).collect())
+    timed("top_orders_per_nation", lambda: entry._top_orders_per_nation(spark, sf_dir).collect())
+    timed("events_hourly", lambda: entry._events_hourly(spark, sf_dir).collect())
+
+    # q9: embeddings exact kNN (64-d)
+    emb_q = entry._queries_df(spark, entry.EMBEDDING_QUERIES)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    timed("knn_embeddings", lambda: knn_exact(emb, emb_q, 10).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "anndb_spark_headline_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Dedup + text-analysis operator tests (extension surface). The deep
+correctness check is the DuckDB oracle gate (tools/check_driver.py);
+these cover semantics the oracles don't."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anndb_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    jaccard_col,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_col,
+)
+from anndb_spark.operators.text import quality_score, text_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id LONG, text STRING"
+    )
+    out = {r["id"]: r["keeper_id"] for r in dedup_exact(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lsh = minhash_lsh_pairs(docs, threshold=0.5)
+    brute = ngram_jaccard_pairs(docs, threshold=0.9)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    # high-similarity pairs must be recovered by LSH (P(miss) ~ (1-j^2)^4, tiny at j>=0.9)
+    assert brute_pairs, "fixture should contain planted near-dups"
+    assert brute_pairs <= lsh_pairs
+
+
+def test_minhash_lsh_no_false_positives_below_threshold(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",), ("b c d e",)], "text STRING")
+    sh = df.select(shingles_col(F.col("text")).alias("s")).collect()
+    assert sh[0]["s"] == ["a b c", "b c d"]
+    pair = spark.createDataFrame(
+        [(["a b c", "b c d"], ["b c d", "c d e"])], "x ARRAY<STRING>, y ARRAY<STRING>"
+    )
+    j = pair.select(jaccard_col(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
+    assert j == pytest.approx(1 / 3)
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", simhash_col(F.col("text"), bits=32).alias("sig")
+        ).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFF).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_embedding_neardup_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.99, 0.01], 0),
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 0.0], 1),  # other block: never paired with 1
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    pairs = embedding_neardup_pairs(df, block_col="label", threshold=0.01).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = quality_score(docs).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_text_stats_consistency(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    r = text_stats(docs).filter(F.col("n_tokens") > 0).collect()
+    for row in r[:50]:
+        assert row["n_unique_tokens"] <= row["n_tokens"]
+        assert 0 <= row["stopword_ratio"] <= 1
