@@ -177,9 +177,9 @@ def _crud_changelog(spark: SparkSession, sf_dir: str):
 
 
 def _crud_compaction_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anndb_spark.operators.crud import apply_changes, split_state
+    from anndb_spark.operators.crud import apply_changes_sql, split_state
 
-    applied = apply_changes(None, _crud_changelog(spark, sf_dir))
+    applied = apply_changes_sql(None, _crud_changelog(spark, sf_dir))
     return split_state(applied).select(
         "id",
         F.element_at("vector", 1).alias("qty"),
@@ -190,9 +190,9 @@ def _crud_compaction_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _crud_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anndb_spark.operators.crud import apply_changes, split_rejects
+    from anndb_spark.operators.crud import apply_changes_sql, split_rejects
 
-    applied = apply_changes(None, _crud_changelog(spark, sf_dir))
+    applied = apply_changes_sql(None, _crud_changelog(spark, sf_dir))
     return (
         split_rejects(applied)
         .groupBy("op", "error")

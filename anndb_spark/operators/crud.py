@@ -187,6 +187,134 @@ def _schema_cols():
     return ("kind", "id", "vector", "metadata_json", "level", "seq", "op", "error")
 
 
+def apply_changes_sql(
+    base: DataFrame | None,
+    changes: DataFrame,
+    m: int = DEFAULT_M,
+) -> DataFrame:
+    """Fully relational changelog compaction — same semantics as
+    ``apply_changes`` but zero Python in the row loop (Catalyst windows +
+    explode/regroup only), the 100 TB default.
+
+    The automaton collapses to window functions because an op's validity
+    depends only on the *last preceding structural op* (base/insert/
+    delete) for its id:
+
+      present_before = (last structural op's type is insert-like)
+      insert valid  iff not present_before     (else ItemAlreadyExists)
+      update/delete valid iff present_before   (else ItemNotFound)
+
+    and invalid ops never change state, so "last structural op type"
+    needs no validity recursion: an invalid insert only occurs when
+    state is already present (and an invalid delete when absent), which
+    is exactly what its own type would set — `last(stype)` is therefore
+    the state itself.
+
+    The final value of a live id comes from its last insert segment:
+    the last valid insert plus every later update — vector = last
+    non-null vector, level = the insert's level, metadata = per-key
+    last value (explode → window → map regroup).
+    """
+    from pyspark.sql import Window
+
+    if "level" not in changes.columns:
+        changes = changes.withColumn(
+            "level", F.when(F.col("op") == "insert", assign_level(F.col("id"), m))
+        )
+    ops = changes.select(
+        "seq", "id", "op",
+        F.col("vector").cast("array<double>").alias("vector"),
+        "metadata", F.col("level").cast("int").alias("level"),
+    )
+    if base is not None:
+        if "level" not in base.columns:
+            base = base.withColumn("level", assign_level(F.col("id"), m))
+        ops = base.select(
+            F.lit(-(1 << 62)).cast("long").alias("seq"),
+            "id", F.lit("base").alias("op"),
+            F.col("vector").cast("array<double>").alias("vector"),
+            "metadata", F.col("level").cast("int").alias("level"),
+        ).unionByName(ops)
+
+    w = Window.partitionBy("id").orderBy("seq")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    stype = F.when(F.col("op").isin("insert", "base"), F.lit("I")).when(
+        F.col("op") == "delete", F.lit("D")
+    )
+    annotated = ops.withColumn(
+        "present_before",
+        F.coalesce(F.last(stype, ignorenulls=True).over(w_prev) == "I", F.lit(False)),
+    ).withColumn(
+        "valid",
+        F.when(F.col("op").isin("insert", "base"), ~F.col("present_before") | (F.col("op") == "base"))
+        .when(F.col("op").isin("update", "delete"), F.col("present_before"))
+        .otherwise(F.lit(False)),
+    )
+
+    rejects = annotated.filter(~F.col("valid") & (F.col("op") != "base")).select(
+        F.lit("reject").alias("kind"), "seq", "id", "op",
+        F.when(F.col("op") == "insert", F.lit(ITEM_ALREADY_EXISTS))
+        .when(F.col("op").isin("update", "delete"), F.lit(ITEM_NOT_FOUND))
+        .otherwise(F.concat(F.lit("UnknownOp:"), F.col("op")))
+        .alias("error"),
+    )
+
+    # live ids: last structural op overall is insert-like
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seg = (
+        annotated.withColumn("final_type", F.last(stype, ignorenulls=True).over(w_all))
+        .withColumn(
+            "seg_start",
+            F.max(
+                F.when(F.col("valid") & F.col("op").isin("insert", "base"), F.col("seq"))
+            ).over(w_all),
+        )
+        .filter(
+            (F.col("final_type") == "I")
+            & (F.col("seq") >= F.col("seg_start"))
+            & (F.col("valid"))
+        )
+    )
+    state_core = seg.groupBy("id").agg(
+        F.max_by(
+            F.struct("seq", "vector"), F.when(F.col("vector").isNotNull(), F.col("seq"))
+        ).vector.alias("vector"),
+        F.min_by("level", "seq").alias("level"),
+    )
+    # metadata merge: per-key last value across the live segment
+    md = (
+        seg.select("id", "seq", F.explode_outer("metadata").alias("key", "value"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("id", "key")
+        .agg(F.max_by("value", "seq").alias("value"))
+        .groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("metadata"))
+    )
+    state = (
+        state_core.join(md, "id", "left")
+        .select(
+            F.lit("state").alias("kind"), "id", "vector",
+            F.coalesce(F.col("metadata"), F.from_json(F.lit("{}"), "MAP<STRING,STRING>")).alias("metadata"),
+            "level",
+        )
+    )
+    return state.select(
+        "kind", "id", "vector", "metadata", "level",
+        F.lit(None).cast("long").alias("seq"),
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("string").alias("error"),
+    ).unionByName(
+        rejects.select(
+            "kind", "id",
+            F.lit(None).cast("array<double>").alias("vector"),
+            F.lit(None).cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("int").alias("level"),
+            "seq", "op", "error",
+        )
+    )
+
+
 def split_state(applied: DataFrame) -> DataFrame:
     return applied.filter(F.col("kind") == "state").select("id", "vector", "metadata", "level")
 

@@ -81,11 +81,11 @@ def main():
     extra["hnsw_index_rows"] = n_edges
 
     # q5: CRUD changelog compaction (full sf changelog)
-    from anndb_spark.operators.crud import apply_changes, split_state
+    from anndb_spark.operators.crud import apply_changes_sql, split_state
 
     timed(
         "crud_compaction",
-        lambda: split_state(apply_changes(None, entry._crud_changelog(spark, sf_dir))).count(),
+        lambda: split_state(apply_changes_sql(None, entry._crud_changelog(spark, sf_dir))).count(),
     )
 
     # q6-8: relational set

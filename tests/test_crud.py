@@ -10,6 +10,7 @@ from anndb_spark.operators.crud import (
     ITEM_ALREADY_EXISTS,
     ITEM_NOT_FOUND,
     apply_changes,
+    apply_changes_sql,
     split_rejects,
     split_state,
 )
@@ -46,12 +47,12 @@ def model(base, ops):
     return state, rejects
 
 
-def run_spark(spark, base, ops):
+def run_spark(spark, base, ops, impl=apply_changes):
     base_df = (
         spark.createDataFrame(base, BASE_SCHEMA) if base else None
     )
     changes_df = spark.createDataFrame(ops, CHANGES_SCHEMA)
-    applied = apply_changes(base_df, changes_df).cache()
+    applied = impl(base_df, changes_df).cache()
     state = {
         r["id"]: (list(r["vector"]) if r["vector"] else None, dict(r["metadata"] or {}))
         for r in split_state(applied).collect()
@@ -135,3 +136,34 @@ def test_property_matches_model(spark, ops):
     got_state, got_rejects = run_spark(spark, [], seq_ops)
     assert got_state == {k: (v, md) for k, (v, md) in want_state.items()}
     assert sorted(got_rejects) == sorted(want_rejects)
+
+
+@settings(max_examples=12, deadline=None)
+@given(ops=op_strategy)
+def test_property_sql_impl_matches_model(spark, ops):
+    seq_ops = [
+        (i, ident, op, vec if op != "delete" else None, md if op != "delete" else None)
+        for i, (op, ident, vec, md) in enumerate(ops)
+    ]
+    want_state, want_rejects = model([], seq_ops)
+    got_state, got_rejects = run_spark(spark, [], seq_ops, impl=apply_changes_sql)
+    assert got_state == {k: (v, md) for k, (v, md) in want_state.items()}
+    assert sorted(got_rejects) == sorted(want_rejects)
+
+
+def test_sql_impl_with_base(spark):
+    base = [("a", [1.0], {"k": "v"}), ("b", [2.0], {})]
+    ops = [
+        (1, "a", "insert", [9.0], {}),
+        (2, "b", "update", [3.0], {"n": "m"}),
+        (3, "b", "delete", None, None),
+        (4, "b", "insert", [4.0], {"r": "s"}),
+        (5, "c", "delete", None, None),
+    ]
+    state, rejects = run_spark(spark, base, ops, impl=apply_changes_sql)
+    assert state["a"] == ([1.0], {"k": "v"})
+    assert state["b"] == ([4.0], {"r": "s"})  # re-insert resets metadata
+    assert sorted(rejects) == [
+        (1, "a", "insert", ITEM_ALREADY_EXISTS),
+        (5, "c", "delete", ITEM_NOT_FOUND),
+    ]
