@@ -255,6 +255,120 @@ class HnswGraph:
         res = self._search_level(q, cur, ef, 0)
         return res[:k]
 
+    # -- finalized (read-only) fast search path ------------------------
+    def finalize(self):
+        """Freeze the graph for search: per-level padded int32 neighbor
+        matrices + cached norms enable the dot-trick distance kernels
+        (one BLAS gemv per beam step instead of per-edge Python)."""
+        n = len(self.levels)
+        max_level = max(self.levels) if n else 0
+        self.adj_pad: dict[int, np.ndarray] = {}
+        for lvl in range(max_level + 1):
+            cap = max(
+                (len(a.get(lvl, ())) for a in self.adj), default=0
+            )
+            mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
+            for i, a in enumerate(self.adj):
+                ns = a.get(lvl)
+                if ns:
+                    mat[i, : len(ns)] = sorted(ns)
+            self.adj_pad[lvl] = mat
+        v = self.vectors
+        self.norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
+        self.norms = np.sqrt(self.norms2)
+        return self
+
+    def _dist_ids(self, ids: np.ndarray, q: np.ndarray, qn2: float, qn: float) -> np.ndarray:
+        space = self.cfg.space
+        sub = self.vectors[ids]
+        dot = sub @ q
+        if space == "euclidean":
+            return np.sqrt(np.maximum(self.norms2[ids] - 2.0 * dot + qn2, 0.0))
+        if space == "cosine":
+            return np.abs(np.float32(1.0) - dot / (self.norms[ids] * qn))
+        return np.abs(sub - q).sum(axis=1, dtype=np.float32)
+
+    def search_fast(self, q: np.ndarray, k: int, ef: int | None = None):
+        """search() over the finalized representation."""
+        if self.entrypoint < 0:
+            return []
+        q = np.asarray(q, dtype=np.float32)
+        qn2 = np.float32(np.dot(q, q))
+        qn = np.float32(np.sqrt(qn2))
+        ef = max(ef or self.cfg.ef, k)
+        cur = self.entrypoint
+        cur_d = float(self._dist_ids(np.array([cur], dtype=np.int32), q, qn2, qn)[0])
+        for lvl in range(self.levels[cur], 0, -1):
+            pad = self.adj_pad.get(lvl)
+            if pad is None:
+                continue
+            while True:
+                nbrs = pad[cur]
+                nbrs = nbrs[nbrs >= 0]
+                if not len(nbrs):
+                    break
+                ds = self._dist_ids(nbrs, q, qn2, qn)
+                j = int(np.argmin(ds))
+                if ds[j] < cur_d:
+                    cur, cur_d = int(nbrs[j]), float(ds[j])
+                else:
+                    break
+        # beam on level 0
+        pad = self.adj_pad[0]
+        visited = np.zeros(len(self.levels), dtype=bool)
+        visited[cur] = True
+        candidates = [(cur_d, cur)]
+        results = [(-cur_d, cur)]
+        while candidates:
+            cd, c = heapq.heappop(candidates)
+            if cd > -results[0][0] and len(results) >= ef:
+                break
+            nbrs = pad[c]
+            nbrs = nbrs[nbrs >= 0]
+            fresh = nbrs[~visited[nbrs]]
+            if not len(fresh):
+                continue
+            visited[fresh] = True
+            ds = self._dist_ids(fresh, q, qn2, qn)
+            worst = -results[0][0]
+            for n_, nd in zip(fresh.tolist(), ds.tolist()):
+                if len(results) < ef or nd < worst:
+                    heapq.heappush(candidates, (nd, n_))
+                    heapq.heappush(results, (-nd, n_))
+                    if len(results) > ef:
+                        heapq.heappop(results)
+                    worst = -results[0][0]
+        return sorted((-nd, n_) for nd, n_ in results)[:k]
+
+    def search_brute(self, queries: np.ndarray, k: int):
+        """Exact per-partition scoring: one blocked GEMM for all queries
+        (the right physical plan when n·q·d is small — coarse partition
+        pruning plus fine brute scan, IVF-style)."""
+        v = self.vectors
+        n = v.shape[0]
+        k = min(k, n)
+        space = self.cfg.space
+        if space == "manhattan":
+            d = np.abs(v[None, :, :] - queries[:, None, :]).sum(axis=2, dtype=np.float32)
+        else:
+            if not hasattr(self, "norms2"):
+                self.finalize()
+            dot = queries @ v.T  # (q, n)
+            if space == "euclidean":
+                qn2 = np.einsum("ij,ij->i", queries, queries, dtype=np.float32)
+                d = np.sqrt(np.maximum(self.norms2[None, :] - 2.0 * dot + qn2[:, None], 0.0))
+            else:
+                qn = np.sqrt(np.einsum("ij,ij->i", queries, queries, dtype=np.float32))
+                d = np.abs(np.float32(1.0) - dot / (self.norms[None, :] * qn[:, None]))
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        out = []
+        for qi in range(queries.shape[0]):
+            ids = part[qi]
+            ds = d[qi, ids]
+            order = np.argsort(ds, kind="stable")
+            out.append(list(zip(ds[order].tolist(), ids[order].tolist())))
+        return out
+
     # -- growth from a batch -------------------------------------------
     @classmethod
     def build(cls, mat: np.ndarray, levels: list[int], config: HnswConfig) -> "HnswGraph":
@@ -295,11 +409,15 @@ class HnswGraph:
 # Spark operators
 # ---------------------------------------------------------------------------
 
-INDEX_SCHEMA = (
-    "partition_id INT, kind STRING, src STRING, level INT, dst STRING, distance FLOAT"
-)
-# kind: 'edge' (src,level,dst,distance), 'vertex' (src,level=max level),
-#       'entry' (src=entrypoint id, level=its level)
+INDEX_SCHEMA = "partition_id INT, kind STRING, src STRING, level INT, dsts ARRAY<STRING>"
+# kind: 'adj'   — src's neighbor list at `level` (compact adjacency row;
+#                 one row per vertex per populated level, not per edge —
+#                 ~m× fewer rows to shuffle/scan than an edge list)
+#       'vertex'— src's top level
+#       'entry' — the partition's entrypoint id + its level
+# Unlike the reference snapshot (index/hnsw_persistence.go:96-117) edge
+# distances are not persisted: search recomputes them from the vectors,
+# trading a little compute for m× less index I/O at scale.
 
 
 def build_index(
@@ -308,14 +426,20 @@ def build_index(
     partition_col: str = "partition_id",
     id_col: str = "id",
     vec_col: str = "vector",
+    num_tasks: int | None = None,
 ) -> DataFrame:
     """Build per-partition HNSW graphs; returns the index as a DataFrame.
 
     One grouped-map task per partition builds that partition's graph
     (the reference's per-partition index, `storage/partition.go:62-81`)
-    and emits edge/vertex/entry rows.  Levels are assigned
+    and emits adjacency/vertex/entry rows.  Levels are assigned
     deterministically from the id hash (see crud.assign_level) so
     rebuilds are reproducible.
+
+    The explicit ``repartition(num_tasks, partition_id)`` pins shuffle
+    parallelism: without it AQE coalesces the (byte-wise tiny, but
+    compute-heavy) build shuffle into a handful of tasks and the build
+    runs nearly serially.  Bytes are a bad proxy for graph-build cost.
     """
     cfg = config or HnswConfig()
     from anndb_spark.operators.crud import assign_level
@@ -326,31 +450,42 @@ def build_index(
         F.col(vec_col).cast("array<float>").alias("vector"),
         assign_level(F.col(id_col).cast("string"), cfg.m).alias("level"),
     )
+    spark = vectors.sparkSession
+    n_tasks = num_tasks or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src = src.repartition(n_tasks, "partition_id")
 
-    def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["partition_id"].iloc[0])
-        # deterministic build order: sort by id (the batch analogue of the
-        # reference's deterministic Raft replay order)
-        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-        ids = pdf["id"].tolist()
-        mat = np.array(pdf["vector"].tolist(), dtype=np.float32)
-        levels = pdf["level"].astype(int).tolist()
-        g = HnswGraph.build(mat, levels, cfg)
-        rows = []
-        for i, nbrs in enumerate(g.adj):
-            rows.append((pid, "vertex", ids[i], g.levels[i], None, None))
-            for lvl, ns in nbrs.items():
-                if ns:
-                    ds = g._d_batch(list(ns), g.vectors[i])
-                    for n, d in zip(ns, ds):
-                        rows.append((pid, "edge", ids[i], lvl, ids[n], float(d)))
-        if g.entrypoint >= 0:
-            rows.append((pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None, None))
-        return pd.DataFrame(
-            rows, columns=["partition_id", "kind", "src", "level", "dst", "distance"]
-        )
+    def run(batches):
+        # one task may hold several graph partitions (hash collisions);
+        # build each independently
+        acc: list[pd.DataFrame] = []
+        for b in batches:
+            acc.append(b)
+        if not acc:
+            return
+        pdf_all = pd.concat(acc, ignore_index=True)
+        for pid, pdf in pdf_all.groupby("partition_id", sort=False):
+            yield _build_one_graph(int(pid), pdf, cfg)
 
-    return src.groupBy("partition_id").applyInPandas(build_one, schema=INDEX_SCHEMA)
+    return src.mapInPandas(run, schema=INDEX_SCHEMA)
+
+
+def _build_one_graph(pid: int, pdf: pd.DataFrame, cfg: HnswConfig) -> pd.DataFrame:
+    # deterministic build order: sort by id (the batch analogue of the
+    # reference's deterministic Raft replay order)
+    pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+    ids = pdf["id"].tolist()
+    mat = np.array(pdf["vector"].tolist(), dtype=np.float32)
+    levels = pdf["level"].astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg)
+    rows = []
+    for i, nbrs in enumerate(g.adj):
+        rows.append((pid, "vertex", ids[i], g.levels[i], None))
+        for lvl, ns in nbrs.items():
+            if ns:
+                rows.append((pid, "adj", ids[i], lvl, [ids[n] for n in sorted(ns)]))
+    if g.entrypoint >= 0:
+        rows.append((pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None))
+    return pd.DataFrame(rows, columns=["partition_id", "kind", "src", "level", "dsts"])
 
 
 def search_index(
@@ -363,13 +498,24 @@ def search_index(
     partition_col: str = "partition_id",
     id_col: str = "id",
     vec_col: str = "vector",
+    strategy: str = "auto",
+    brute_flops_threshold: float = 5e8,
 ) -> DataFrame:
     """ANN top-k over the materialized index.
 
     Cogroups (vectors, index) by partition, reconstructs each graph in
-    its task, runs greedy-descent + beam search per query, emits a
-    per-partition top-k, then merges globally — scatter/gather as
-    partial + final top-k (`storage/dataset.go:374-431`).
+    its task, searches, emits a per-partition top-k, then merges
+    globally — scatter/gather as partial + final top-k
+    (`storage/dataset.go:374-431`).
+
+    ``strategy``:
+      'beam'  — HNSW greedy descent + beam over the finalized graph.
+      'brute' — exact blocked-GEMM scoring of the whole partition.
+      'auto'  — brute when n·|Q|·d flops fall under
+                ``brute_flops_threshold`` (small fine-partitions after
+                coarse pruning — the IVF shape), else beam.  At 100 TB
+                per-partition n is millions and beam always wins; on
+                small partitions brute is both faster and exact.
 
     ``queries``: [(query_id, vector)] — broadcast in the task closure.
     """
@@ -387,22 +533,49 @@ def search_index(
         if not len(vec_pdf) or not len(idx_pdf):
             return pd.DataFrame(columns=["query_id", "id", "score"])
         ids = vec_pdf["id"].tolist()
-        pos = {v: i for i, v in enumerate(ids)}
-        g = HnswGraph(len(vec_pdf["vector"].iloc[0]), cfg)
+        dim = len(vec_pdf["vector"].iloc[0])
+        g = HnswGraph(dim, cfg)
         g.vectors = np.array(vec_pdf["vector"].tolist(), dtype=np.float32)
-        g.levels = [0] * len(ids)
-        g.adj = [dict() for _ in ids]
-        for t in idx_pdf.itertuples(index=False):
-            if t.kind == "vertex":
-                g.levels[pos[t.src]] = int(t.level)
-            elif t.kind == "edge":
-                g.adj[pos[t.src]].setdefault(int(t.level), set()).add(pos[t.dst])
-            elif t.kind == "entry":
-                g.entrypoint = pos[t.src]
+        n = len(ids)
+        use_brute = strategy == "brute" or (
+            strategy == "auto" and n * len(qitems) * dim <= brute_flops_threshold
+        )
         out = []
-        for qid, qv in qitems:
-            for d, n in g.search(qv, k, ef):
-                out.append((qid, ids[n], float(d)))
+        if use_brute:
+            # brute scoring needs no graph at all — skip reconstruction
+            g.levels = [0] * n
+            qmat = np.stack([qv for _, qv in qitems])
+            res = g.search_brute(qmat, k)
+            for (qid, _), hits in zip(qitems, res):
+                for d, nid in hits:
+                    out.append((qid, ids[nid], float(d)))
+        else:
+            # reconstruction from compact adjacency rows (ids must be
+            # unique within a partition, like the reference's UUID keys)
+            pos = {v: i for i, v in enumerate(ids)}
+            levels = np.zeros(n, dtype=np.int32)
+            vrows = idx_pdf[idx_pdf["kind"] == "vertex"]
+            levels[[pos[s] for s in vrows["src"]]] = vrows["level"].to_numpy()
+            g.levels = levels.tolist()
+            adj_rows = idx_pdf[idx_pdf["kind"] == "adj"]
+            g.adj_pad = {}
+            for lvl, grp in adj_rows.groupby("level", sort=False):
+                srcs = [pos[s] for s in grp["src"]]
+                dlists = [[pos[x] for x in d] for d in grp["dsts"]]
+                cap = max((len(d) for d in dlists), default=1)
+                mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
+                for s, d in zip(srcs, dlists):
+                    mat[s, : len(d)] = d
+                g.adj_pad[int(lvl)] = mat
+            for lvl in range(int(levels.max()) + 1):
+                g.adj_pad.setdefault(lvl, np.full((n, 1), -1, dtype=np.int32))
+            erow = idx_pdf[idx_pdf["kind"] == "entry"]
+            g.entrypoint = pos[erow["src"].iloc[0]]
+            g.norms2 = np.einsum("ij,ij->i", g.vectors, g.vectors, dtype=np.float32)
+            g.norms = np.sqrt(g.norms2)
+            for qid, qv in qitems:
+                for d, nid in g.search_fast(qv, k, ef):
+                    out.append((qid, ids[nid], float(d)))
         return pd.DataFrame(out, columns=["query_id", "id", "score"])
 
     cogrouped = vsrc.groupBy("partition_id").cogroup(

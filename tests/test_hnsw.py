@@ -94,9 +94,8 @@ def test_build_index_structure(spark, spark_index):
     assert kinds["entry"] == 4  # one entrypoint per partition
     # degree caps per (src, level)
     over = (
-        idx.filter(F.col("kind") == "edge")
-        .groupBy("partition_id", "src", "level")
-        .agg(F.count("*").alias("deg"))
+        idx.filter(F.col("kind") == "adj")
+        .select(F.col("level"), F.size("dsts").alias("deg"))
         .filter(
             (F.col("level") == 0) & (F.col("deg") > cfg.m_max_0)
             | (F.col("level") > 0) & (F.col("deg") > cfg.m_max)
