@@ -308,6 +308,47 @@ def _ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index(idx, emb, qs, k=K, ef=100, config=cfg)
 
 
+def _ivf_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized search with nprobe == n_clusters: every
+    cluster probed → provably exact, so the plain exact-kNN SQL is its
+    oracle.  Scores are float64-GEMM inside the cluster UDF (summation
+    order differs from the SQL fold), so the checked output is the
+    discrete (query_id, rank, id) — rank ties are broken by id on both
+    sides."""
+    from anndb_spark.operators.ivf import search_ivf, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    cent = train_centroids(emb, 8, sample_n=50_000)
+    res = search_ivf(
+        emb, _queries_df(spark, EMBEDDING_QUERIES), K, cent, nprobe=8
+    )
+    return res.select("query_id", "rank", "id")
+
+
+def _ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the partial-probe IVF path (nprobe=2 of 8) vs the
+    exact oracle — the scale path's accuracy metric (rows-only check)."""
+    from anndb_spark.operators.ivf import search_ivf, train_centroids
+    from anndb_spark.operators.recall import recall_avg
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    cent = train_centroids(emb, 8, sample_n=50_000)
+    qdf = _queries_df(spark, EMBEDDING_QUERIES)
+    approx = search_ivf(emb, qdf, K, cent, nprobe=2)
+    exact = knn_exact(emb, qdf, K)
+    return recall_avg(approx, exact, K)
+
+
+def _quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the HNSW path vs the exact oracle (O25). Single row."""
     from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
@@ -347,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_rejects": _crud_rejects,
         "ann_embeddings_top10": _ann_embeddings,
         "ann_recall_at10": _ann_recall_at10,
+        "ivf_embeddings_top10": _ivf_embeddings_top10,
+        "ivf_recall_at10": _ivf_recall_at10,
+        "quality_score_documents": _quality_score_documents,
         "dedup_exact_documents": _dedup_exact_documents,
         "minhash_signatures": _minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
@@ -470,6 +514,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_embeddings_euclidean": _knn_embeddings_oracle("euclidean"),
         "knn_embeddings_cosine": _knn_embeddings_oracle("cosine"),
+        # full-probe IVF == exact kNN; ranks/ids only (float path differs)
+        "ivf_embeddings_top10": (
+            f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"
+        ),
+        "quality_score_documents": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)
+            SELECT doc_id AS id,
+                   (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                    + CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                    + least(CAST(len(list_filter(ws, x -> x IN
+                          ('the','a','of','and','to','is','in'))) AS DOUBLE)
+                        / CAST(len(ws) AS DOUBLE) * 5.0, 1.0)) / 3.0 AS quality
+            FROM w
+        """,
         "tpch_q1ish": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

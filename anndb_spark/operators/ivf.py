@@ -1,0 +1,247 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The scale path for similarity search: a coarse k-means quantizer splits
+the vector table into ``n_clusters`` buckets; each query is routed to its
+``nprobe`` nearest centroids and scored exactly (blocked GEMM) against
+only those buckets.  With nprobe == n_clusters this degrades gracefully
+to exact brute-force kNN — which is how the oracle checks it.
+
+This is the IVF counterpart of the reference's HNSW accelerator: the
+reference bounds search work per query via the graph
+(`/root/reference/index/hnsw.go:216-247`); IVF bounds it via coarse
+partition pruning.  Both sit on the same exact-kNN semantic core
+(`operators/knn.py`) and are validated by recall against it, mirroring
+`index/hnsw_test.go:21-54`.
+
+100 TB shape:
+- ``train_centroids`` samples a *bounded* number of rows to the driver
+  (sample size is independent of table size) — k-means on 100k × d
+  doubles is driver-trivial; the table itself is never collected.
+- ``assign_clusters`` is one mapInPandas pass (GEMM argmin against the
+  broadcast centroid matrix, closure-captured: ~K·d floats).
+- Persisting the assigned table partitioned by ``cluster_id`` turns the
+  probe-filter into parquet partition pruning: a query batch with
+  nprobe=8 of 1024 clusters reads <1% of the data.
+- ``search_ivf`` shuffles only (routed queries ⋈ probed clusters); the
+  per-cluster score is a float64 GEMM, partial top-k per cluster, then a
+  global window top-k over ≤ |Q|·nprobe·k survivor rows — the same
+  partial/final shape as the reference's scatter/gather
+  (`storage/dataset.go:374-431`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+__all__ = [
+    "train_centroids",
+    "assign_clusters",
+    "route_queries",
+    "search_ivf",
+]
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _pairwise(queries: np.ndarray, vectors: np.ndarray, space: str) -> np.ndarray:
+    """(|Q|, n) float64 distance matrix; one GEMM for euclidean/cosine."""
+    if space == "manhattan":
+        # blocked to bound memory: |Q| blocks of (n, d)
+        out = np.empty((queries.shape[0], vectors.shape[0]), dtype=np.float64)
+        for i, q in enumerate(queries):
+            out[i] = np.abs(vectors - q).sum(axis=1)
+        return out
+    dot = queries @ vectors.T
+    if space == "euclidean":
+        qn2 = np.einsum("ij,ij->i", queries, queries)
+        vn2 = np.einsum("ij,ij->i", vectors, vectors)
+        return np.sqrt(np.maximum(vn2[None, :] - 2.0 * dot + qn2[:, None], 0.0))
+    if space == "cosine":
+        qn = np.sqrt(np.einsum("ij,ij->i", queries, queries))
+        vn = np.sqrt(np.einsum("ij,ij->i", vectors, vectors))
+        return np.abs(1.0 - dot / (qn[:, None] * vn[None, :]))
+    raise ValueError(f"unknown space {space!r}")
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_clusters: int,
+    space: str = "euclidean",
+    vec_col: str = "vector",
+    sample_n: int = 100_000,
+    seed: int = 42,
+    iters: int = 20,
+) -> np.ndarray:
+    """k-means coarse quantizer trained on a bounded driver-side sample.
+
+    Deterministic (seeded k-means++ init, fixed iteration count).  For
+    cosine space the centroids are L2-normalized each round (spherical
+    k-means), so centroid distance ranks match cosine ranks.
+    """
+    total = vectors.count()
+    frac = min(1.0, (sample_n * 1.2) / max(total, 1))
+    sample = vectors.select(vec_col).sample(frac, seed=seed).limit(sample_n)
+    mat = _as_matrix(sample.toPandas()[vec_col])
+    if mat.shape[0] < n_clusters:
+        raise ValueError(f"sample ({mat.shape[0]}) smaller than n_clusters ({n_clusters})")
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding
+    cents = [mat[rng.integers(mat.shape[0])]]
+    for _ in range(n_clusters - 1):
+        d2 = np.min(
+            [np.einsum("ij,ij->i", mat - c, mat - c) for c in cents], axis=0
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(mat[rng.choice(mat.shape[0], p=p)])
+    cent = np.stack(cents)
+    for _ in range(iters):
+        if space == "cosine":
+            cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmin(_pairwise(mat, cent, space), axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    if space == "cosine":
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    space: str = "euclidean",
+    vec_col: str = "vector",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Add ``cluster_id`` = argmin centroid distance (one Arrow pass).
+
+    Write the result partitioned by ``cluster_id`` to get scan-time
+    partition pruning for every later probe.
+    """
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    # new StructType — StructType.add would mutate the DataFrame's cached schema
+    out_schema = StructType(list(vectors.schema.fields) + [StructField(out_col, IntegerType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            pdf[out_col] = np.argmin(_pairwise(mat, cent, space), axis=1).astype(np.int32)
+            yield pdf
+
+    return vectors.mapInPandas(run, schema=out_schema)
+
+
+def route_queries(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    space: str = "euclidean",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Explode each query into its ``nprobe`` nearest clusters.
+
+    Output: queries' columns + ``cluster_id`` (one row per probe).  The
+    query side is usually tiny relative to the vector table, so the
+    downstream cogroup broadcasts/shuffles |Q|·nprobe rows only.
+    """
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, cent.shape[0])
+    out_schema = StructType(
+        list(queries.schema.fields) + [StructField("cluster_id", IntegerType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d = _pairwise(_as_matrix(pdf[query_vec_col]), cent, space)
+            probes = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+            rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            rep["cluster_id"] = probes.reshape(-1).astype(np.int32)
+            yield rep
+
+    return queries.mapInPandas(run, schema=out_schema)
+
+
+def search_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 8,
+    space: str = "euclidean",
+    vec_col: str = "vector",
+    id_col: str = "id",
+    query_vec_col: str = "query_vector",
+    query_id_col: str = "query_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """IVF top-k: probe-route queries, score probed clusters exactly.
+
+    Returns (query_id, rank, id, score) ascending by (score, id), the
+    same contract as `knn.knn_exact`.  Distances are computed in float64
+    so that with nprobe == n_clusters the result is the exact kNN answer.
+
+    If ``vectors`` lacks ``cluster_col`` it is assigned on the fly; for
+    repeated querying assign once and persist partitioned by cluster.
+    """
+    if cluster_col not in vectors.columns:
+        vectors = assign_clusters(vectors, centroids, space, vec_col, cluster_col)
+    routed = route_queries(queries, centroids, nprobe, space, query_vec_col)
+    probed = routed.select(cluster_col).distinct()
+    # partition-pruning filter: with cluster-partitioned storage this is
+    # a metadata-only prune; in-memory it still skips unprobed groups.
+    vsrc = vectors.join(F.broadcast(probed), on=cluster_col, how="left_semi").select(
+        F.col(cluster_col), F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    )
+    qsrc = routed.select(
+        F.col(cluster_col),
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vector"),
+    )
+
+    def score_cluster(vec_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(vec_pdf) or not len(q_pdf):
+            return pd.DataFrame(columns=["query_id", "id", "score"])
+        vmat = _as_matrix(vec_pdf["vector"])
+        qmat = _as_matrix(q_pdf["query_vector"])
+        d = _pairwise(qmat, vmat, space)
+        kk = min(k, vmat.shape[0])
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_id, rows_s = [], [], []
+        ids = vec_pdf["id"].to_numpy()
+        qids = q_pdf["query_id"].to_numpy()
+        for i in range(qmat.shape[0]):
+            sel = part[i]
+            rows_q.extend([qids[i]] * kk)
+            rows_id.extend(ids[sel])
+            rows_s.extend(d[i, sel])
+        return pd.DataFrame({"query_id": rows_q, "id": rows_id, "score": rows_s})
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    partial = (
+        vsrc.groupBy(cluster_col)
+        .cogroup(qsrc.groupBy(cluster_col))
+        .applyInPandas(
+            score_cluster,
+            schema=f"query_id {qid_type}, id {id_type}, score double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
+    )

@@ -1,0 +1,85 @@
+"""IVF coarse-quantized ANN: exactness at full probe, recall at partial."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anndb_spark.operators.ivf import (
+    assign_clusters,
+    route_queries,
+    search_ivf,
+    train_centroids,
+)
+from anndb_spark.operators.knn import knn_exact
+
+N, DIM, K = 2000, 16, 10
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    # 8 well-separated gaussian blobs
+    centers = rng.normal(0, 20, (8, DIM))
+    rows = []
+    for i in range(N):
+        c = i % 8
+        rows.append((str(i), (centers[c] + rng.normal(0, 1, DIM)).tolist()))
+    return spark.createDataFrame(rows, "id STRING, vector ARRAY<DOUBLE>").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, vectors):
+    rng = np.random.default_rng(11)
+    rows = [(q, rng.normal(0, 20, DIM).tolist()) for q in range(20)]
+    return spark.createDataFrame(rows, "query_id INT, query_vector ARRAY<DOUBLE>").cache()
+
+
+@pytest.fixture(scope="module", params=["euclidean", "cosine"])
+def space(request):
+    return request.param
+
+
+def test_assign_covers_all_clusters(spark, vectors):
+    cent = train_centroids(vectors, 8, sample_n=N)
+    assigned = assign_clusters(vectors, cent)
+    stats = assigned.groupBy("cluster_id").count().collect()
+    assert len(stats) == 8  # blob structure recovered
+    assert assigned.count() == N
+
+
+def test_route_queries_shape(spark, queries):
+    cent = np.eye(4, DIM) * 10
+    routed = route_queries(queries, cent, nprobe=2)
+    assert routed.count() == 20 * 2
+    counts = routed.groupBy("query_id").count().select("count").distinct().collect()
+    assert [r[0] for r in counts] == [2]
+
+
+def test_full_probe_is_exact(spark, vectors, queries, space):
+    cent = train_centroids(vectors, 8, space=space, sample_n=N)
+    got = search_ivf(vectors, queries, K, cent, nprobe=8, space=space)
+    want = knn_exact(vectors, queries, K, space=space)
+    g = {(r.query_id, r.rank): r.id for r in got.collect()}
+    w = {(r.query_id, r.rank): r.id for r in want.collect()}
+    assert g == w
+
+
+def test_partial_probe_recall(spark, vectors, queries):
+    cent = train_centroids(vectors, 8, sample_n=N)
+    got = search_ivf(vectors, queries, K, cent, nprobe=2)
+    want = knn_exact(vectors, queries, K)
+    g = got.groupBy("query_id").agg(F.collect_set("id").alias("ids"))
+    w = want.groupBy("query_id").agg(F.collect_set("id").alias("ids"))
+    j = g.join(w.withColumnRenamed("ids", "truth"), "query_id")
+    rec = j.select(
+        (F.size(F.array_intersect("ids", "truth")) / F.lit(K)).alias("r")
+    ).agg(F.avg("r")).collect()[0][0]
+    # blob data: 2 probes of 8 blobs should capture most true neighbors
+    assert rec >= 0.8
+
+
+def test_search_reports_k_rows_per_query(spark, vectors, queries):
+    cent = train_centroids(vectors, 8, sample_n=N)
+    got = search_ivf(vectors, queries, K, cent, nprobe=3)
+    per_q = got.groupBy("query_id").count().select(F.min("count"), F.max("count")).collect()[0]
+    assert per_q[0] == K and per_q[1] == K
