@@ -349,6 +349,30 @@ def _quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import token_counts
+
+    return token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media pipeline: synthesize media rows from documents,
+    run the (stubbed, deterministic) decode + feature extraction, and
+    reduce each feature vector to a stable digest.  No SQL oracle — the
+    pseudo-decode is not SQL-expressible; deterministic rows-only check."""
+    from anndb_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.md5(F.concat_ws(",", F.transform("feature", lambda x: x.cast("string")))).alias(
+            "feature_digest"
+        ),
+    )
+
+
 def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the HNSW path vs the exact oracle (O25). Single row."""
     from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
@@ -391,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_embeddings_top10": _ivf_embeddings_top10,
         "ivf_recall_at10": _ivf_recall_at10,
         "quality_score_documents": _quality_score_documents,
+        "token_counts_documents": _token_counts_documents,
+        "multimodal_features": _multimodal_features,
         "dedup_exact_documents": _dedup_exact_documents,
         "minhash_signatures": _minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
@@ -646,6 +672,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.8
         """,
         "simhash_documents": _simhash_oracle(),
+        "token_counts_documents": """
+            SELECT doc_id AS id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens,
+                   CAST(length(text) AS DOUBLE) / 4.0 AS est_tokens_chars4
+            FROM documents
+        """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "text_stats_documents": """
             WITH w AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)

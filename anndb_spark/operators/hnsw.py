@@ -593,3 +593,29 @@ def search_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index persistence (the reference's binary snapshot, columnar)
+# ---------------------------------------------------------------------------
+
+def save_index(index: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the index DataFrame as parquet partitioned by
+    ``partition_id`` — the columnar replacement for the reference's
+    hand-rolled binary snapshot (`index/hnsw_persistence.go:45-125`).
+
+    Partitioning by partition_id means a later search of partitions
+    {3, 7} reads only those directories (partition pruning), which the
+    byte-stream snapshot format cannot do.
+    """
+    index.write.mode(mode).partitionBy("partition_id").parquet(path)
+
+
+def load_index(spark, path: str) -> DataFrame:
+    """Reload a saved index (`index/hnsw_persistence.go:127-241`).
+
+    Column order is normalized back to INDEX_SCHEMA order (partitionBy
+    moves the partition column to the end on disk)."""
+    return spark.read.parquet(path).select(
+        "partition_id", "kind", "src", "level", "dsts"
+    )

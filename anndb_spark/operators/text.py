@@ -106,3 +106,21 @@ def token_count_col(text: Column) -> Column:
     """Whitespace token count; the cheap len/4-style estimator for BPE
     budgeting is n_chars/4 — expose both."""
     return F.size(_tokens(text))
+
+
+# GPT-2-style pre-tokenizer shape, simplified to the portable subset
+# (letter runs | 1-3 digit runs | punctuation runs): same semantics in
+# Java regex (Spark) and RE2 (DuckDB), so it is oracle-checkable.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token budgeting: whitespace count, BPE-ish regex
+    count, and the chars/4 estimator commonly used for budget planning."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens(t)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("bpe_tokens"),
+        (F.length(t).cast("double") / F.lit(4.0)).alias("est_tokens_chars4"),
+    )

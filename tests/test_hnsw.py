@@ -132,10 +132,13 @@ def test_search_index_recall_vs_exact(spark, spark_index):
 
 
 def test_index_parquet_roundtrip(spark, spark_index, tmp_path):
+    from anndb_spark.operators.hnsw import load_index, save_index
+
     emb, idx, cfg = spark_index
     path = str(tmp_path / "index")
-    idx.write.parquet(path)
-    idx2 = spark.read.parquet(path)
+    save_index(idx, path)
+    idx2 = load_index(spark, path)
+    assert idx2.columns == ["partition_id", "kind", "src", "level", "dsts"]
     rng = np.random.default_rng(6)
     queries = [("q0", rng.normal(0, 1, 64).tolist())]
     a = search_index(idx, emb, queries, k=5, ef=50, config=cfg).collect()
