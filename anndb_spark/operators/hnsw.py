@@ -340,6 +340,138 @@ class HnswGraph:
                     worst = -results[0][0]
         return sorted((-nd, n_) for nd, n_ in results)[:k]
 
+    def _dist_gather(
+        self, nb: np.ndarray, mask: np.ndarray, Q: np.ndarray, qn2: np.ndarray
+    ) -> np.ndarray:
+        """Distances from each query row to ITS OWN neighbor row.
+
+        nb: (a, cap) node ids (may contain -1 / stale entries — masked),
+        Q: (a, d) queries, qn2: (a,) squared query norms.
+        Returns (a, cap) with +inf where ``mask`` is False.  One fused
+        einsum for the whole frontier instead of a Python loop per query.
+        """
+        space = self.cfg.space
+        safe = np.where(mask, nb, 0)
+        sub = self.vectors[safe]  # (a, cap, d)
+        if space == "manhattan":
+            d = np.abs(sub - Q[:, None, :]).sum(axis=2, dtype=np.float32)
+        else:
+            dot = np.einsum("acd,ad->ac", sub, Q, dtype=np.float32)
+            if space == "euclidean":
+                d = np.sqrt(
+                    np.maximum(self.norms2[safe] - 2.0 * dot + qn2[:, None], 0.0)
+                )
+            else:
+                qn = np.sqrt(qn2)
+                d = np.abs(
+                    np.float32(1.0) - dot / (self.norms[safe] * qn[:, None])
+                )
+        return np.where(mask, d, np.float32(np.inf))
+
+    def search_fast_batch(
+        self, Q: np.ndarray, k: int, ef: int | None = None, chunk: int | None = None
+    ):
+        """Batched search_fast: all queries walk the graph in lock-step.
+
+        Per step every live query pops its best candidate and expands it;
+        the whole frontier's distances are one gathered einsum and beam
+        maintenance is one argpartition — numpy work scales with
+        Σ pops · cap instead of Python-interpreter steps.  Queries are
+        chunked so the (chunk × n) visited bitmap stays bounded
+        (~200 MB) for large partitions.
+        """
+        if self.entrypoint < 0:
+            return [[] for _ in range(Q.shape[0])]
+        n = len(self.levels)
+        if chunk is None:
+            chunk = int(max(16, min(1024, 2e8 / max(n, 1))))
+        out = []
+        for s in range(0, Q.shape[0], chunk):
+            out.extend(self._search_batch_chunk(Q[s : s + chunk], k, ef))
+        return out
+
+    def _search_batch_chunk(self, Q: np.ndarray, k: int, ef: int | None):
+        Qf = np.ascontiguousarray(Q, dtype=np.float32)
+        q = Qf.shape[0]
+        n = len(self.levels)
+        ef = max(ef or self.cfg.ef, k)
+        qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
+        INF = np.float32(np.inf)
+        cur = np.full(q, self.entrypoint, dtype=np.int64)
+        ones = np.ones((q, 1), dtype=bool)
+        cur_d = self._dist_gather(cur[:, None], ones, Qf, qn2)[:, 0]
+        # greedy descent, levels L..1 (hill-climb in lock-step)
+        for lvl in range(int(self.levels[self.entrypoint]), 0, -1):
+            pad = self.adj_pad.get(lvl)
+            if pad is None:
+                continue
+            active = np.ones(q, dtype=bool)
+            while active.any():
+                a = np.where(active)[0]
+                nb = pad[cur[a]]
+                d = self._dist_gather(nb, nb >= 0, Qf[a], qn2[a])
+                j = d.argmin(axis=1)
+                dmin = d[np.arange(len(a)), j]
+                better = dmin < cur_d[a]
+                upd = a[better]
+                cur[upd] = nb[better, j[better]]
+                cur_d[upd] = dmin[better]
+                active[a[~better]] = False
+        # beam on level 0: fixed-width array beams (results + candidates)
+        pad0 = self.adj_pad[0]
+        visited = np.zeros((q, n), dtype=bool)
+        visited[np.arange(q), cur] = True
+        res_d = np.full((q, ef), INF, dtype=np.float32)
+        res_i = np.full((q, ef), -1, dtype=np.int64)
+        res_d[:, 0] = cur_d
+        res_i[:, 0] = cur
+        cand_d = np.full((q, ef), INF, dtype=np.float32)
+        cand_i = np.full((q, ef), -1, dtype=np.int64)
+        cand_d[:, 0] = cur_d
+        cand_i[:, 0] = cur
+        alive = np.ones(q, dtype=bool)
+        while alive.any():
+            a = np.where(alive)[0]
+            jmin = cand_d[a].argmin(axis=1)
+            bd = cand_d[a, jmin]
+            worst = res_d[a].max(axis=1)
+            # done when the best candidate can't improve the beam, or the
+            # candidate beam is exhausted (bd == inf; inf > inf is False)
+            done = (bd > worst) | ~np.isfinite(bd)
+            alive[a[done]] = False
+            keep = ~done
+            a = a[keep]
+            if not len(a):
+                break
+            jmin = jmin[keep]
+            bi = cand_i[a, jmin]
+            cand_d[a, jmin] = INF  # pop
+            nb = pad0[bi]
+            valid = nb >= 0
+            safe = np.where(valid, nb, 0)
+            fresh = valid & ~visited[a[:, None], safe]
+            visited[a[:, None], safe] |= fresh
+            d = self._dist_gather(nb, fresh, Qf[a], qn2[a])
+            # merge the frontier into both beams with one argpartition each
+            for bdst_d, bdst_i in ((res_d, res_i), (cand_d, cand_i)):
+                md = np.concatenate([bdst_d[a], d], axis=1)
+                mi = np.concatenate([bdst_i[a], nb], axis=1)
+                sel = np.argpartition(md, ef - 1, axis=1)[:, :ef]
+                bdst_d[a] = np.take_along_axis(md, sel, axis=1)
+                bdst_i[a] = np.take_along_axis(mi, sel, axis=1)
+        out = []
+        order = np.argsort(res_d, axis=1, kind="stable")
+        rd = np.take_along_axis(res_d, order, axis=1)
+        ri = np.take_along_axis(res_i, order, axis=1)
+        for qi in range(q):
+            row = [
+                (float(rd[qi, j]), int(ri[qi, j]))
+                for j in range(min(k, ef))
+                if np.isfinite(rd[qi, j])
+            ]
+            out.append(row)
+        return out
+
     def search_brute(self, queries: np.ndarray, k: int):
         """Exact per-partition scoring: one blocked GEMM for all queries
         (the right physical plan when n·q·d is small — coarse partition
@@ -573,8 +705,10 @@ def search_index(
             g.entrypoint = pos[erow["src"].iloc[0]]
             g.norms2 = np.einsum("ij,ij->i", g.vectors, g.vectors, dtype=np.float32)
             g.norms = np.sqrt(g.norms2)
-            for qid, qv in qitems:
-                for d, nid in g.search_fast(qv, k, ef):
+            qmat = np.stack([qv for _, qv in qitems]).astype(np.float32)
+            res = g.search_fast_batch(qmat, k, ef)
+            for (qid, _), hits in zip(qitems, res):
+                for d, nid in hits:
                     out.append((qid, ids[nid], float(d)))
         return pd.DataFrame(out, columns=["query_id", "id", "score"])
 

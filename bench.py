@@ -64,7 +64,7 @@ def main():
     sample = (
         vecs.limit(100_000)
         .dropDuplicates(["id"])  # index ids must be unique (UUID analogue)
-        .withColumn("partition_id", F.pmod(F.xxhash64("id"), F.lit(cpus * 4)).cast("int"))
+        .withColumn("partition_id", F.pmod(F.xxhash64("id"), F.lit(cpus)).cast("int"))
         .cache()
     )
     sample_n = sample.count()
@@ -97,7 +97,7 @@ def main():
     # partition per query, so per-partition-search rate is the
     # apples-to-apples number
     extra["hnsw_partition_searches_per_s_beam"] = round(
-        1000 * (cpus * 4) / timings["hnsw_search_1kq_beam"], 1
+        1000 * cpus / timings["hnsw_search_1kq_beam"], 1
     )
     extra["baseline_build_inserts_per_s_m16"] = 3382.0
     extra["baseline_search_q_per_s_m16"] = 26112.0
@@ -119,8 +119,33 @@ def main():
     emb_q = entry._queries_df(spark, entry.EMBEDDING_QUERIES)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
-    )
+    ).cache()
+    n_emb = emb.count()
     timed("knn_embeddings", lambda: knn_exact(emb, emb_q, 10).collect())
+
+    # q10: IVF scale path over embeddings — train coarse quantizer,
+    # assign clusters, then a 200-query batch probing 4 of 32 clusters
+    # (scans ~1/8 of the table per query vs exact kNN's full scan)
+    from anndb_spark.operators.ivf import assign_clusters, search_ivf, train_centroids
+
+    def ivf_setup():
+        cent = train_centroids(emb, 32, sample_n=50_000)
+        assigned = assign_clusters(emb, cent).cache()
+        assigned.count()
+        return cent, assigned
+
+    cent, assigned = timed("ivf_train_assign", ivf_setup)
+    rng2 = np.random.default_rng(7)
+    ivf_q = spark.createDataFrame(
+        [(i, rng2.normal(0, 1, 64).tolist()) for i in range(200)],
+        "query_id INT, query_vector ARRAY<DOUBLE>",
+    )
+    timed(
+        "ivf_search_200q",
+        lambda: search_ivf(assigned, ivf_q, 10, cent, nprobe=4).collect(),
+    )
+    extra["ivf_search_q_per_s"] = round(200 / timings["ivf_search_200q"], 1)
+    extra["ivf_rows_indexed"] = n_emb
 
     total = round(sum(timings.values()), 3)
     print(
