@@ -631,7 +631,7 @@ def search_index(
     id_col: str = "id",
     vec_col: str = "vector",
     strategy: str = "auto",
-    brute_flops_threshold: float = 5e8,
+    brute_flops_threshold: float = 1e8,
 ) -> DataFrame:
     """ANN top-k over the materialized index.
 
