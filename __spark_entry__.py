@@ -239,6 +239,18 @@ def _dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs →
+    (id, cluster_id=min id of component); the keeper assignment step of
+    corpus dedup.  Oracle: recursive-CTE transitive closure."""
+    from anndb_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+    )
+    return dedup_clusters(pairs)
+
+
 def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.dedup import simhash_col
 
@@ -420,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _dedup_exact_documents,
         "minhash_signatures": _minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_clusters_minhash": _dedup_clusters_minhash,
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "simhash_documents": _simhash_documents,
         "embedding_neardup": _embedding_neardup,
@@ -661,6 +674,30 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sh x ON x.doc_id = c.id_a
                 JOIN sh y ON y.doc_id = c.id_b
             ) WHERE jaccard >= 0.5
+        """,
+        "dedup_clusters_minhash": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_cte()},
+            bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
+                      FROM sig, range(4) t(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id),
+            p AS (SELECT id_a, id_b FROM (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                           / len(list_distinct(x.s || y.s)) AS jaccard
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b
+            ) WHERE jaccard >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach AS (
+                SELECT a AS src, a AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
         """,
         "dedup_ngram_pairs": f"""
             WITH {_SHINGLES_CTE}

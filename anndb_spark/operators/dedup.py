@@ -250,3 +250,60 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("distance") < threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate pairs → canonical keeper.
+
+    Input: a pair DataFrame (id_a, id_b) from any of the pair generators
+    (MinHash-LSH, SimHash, n-gram, embedding near-dup).  Output:
+    (id, cluster_id) for every id appearing in a pair, where cluster_id
+    is the lexicographic min id of the component — the keeper every
+    member dedups to.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in O(component diameter) rounds.
+    Near-dup components are shallow (cliques/near-cliques from banding),
+    so a handful of join+groupBy rounds suffices; lineage is cut with
+    localCheckpoint each round so plans don't grow.  For adversarial
+    chain-shaped graphs swap in alternating large-star/small-star — the
+    loop shape is identical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.a, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

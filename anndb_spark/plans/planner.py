@@ -1,0 +1,92 @@
+"""Physical-path router for kNN — the engine's one "planner rule".
+
+The reference has no optimizer; its only plan choice is ours too: exact
+scan vs approximate index (`SURVEY.md §4`).  Catalyst owns everything
+relational (pushdown, pruning, join strategy); this module owns the one
+decision Catalyst can't see — which physical kNN kernel to run:
+
+- ``exact``  — broadcast cross join + partial/final top-k (`knn.knn_exact`);
+  the semantic ground truth, right answer for small tables and for oracle
+  checks.
+- ``ann``    — HNSW graph walk over a materialized index DataFrame
+  (`hnsw.search_index`); right when an index exists and the table is
+  large: per-query work is ~ef·m distance evals instead of n.
+- ``ivf``    — coarse-quantized probe (`ivf.search_ivf`); right at
+  extreme scale where even holding a graph per partition is too much:
+  queries touch nprobe/n_clusters of the data and cluster-partitioned
+  parquet prunes the scan.
+
+``knn(...)`` picks by what's materialized (index/centroids given) and by
+table size, and returns (plan_name, DataFrame).  The contract of all
+three paths is identical: (query_id, rank, id, score) ascending.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+EXACT_MAX_ROWS_DEFAULT = 10_000_000
+
+
+def knn(
+    vectors: DataFrame,
+    queries: Sequence[tuple],
+    k: int,
+    space: str = "euclidean",
+    mode: str = "auto",
+    index: DataFrame | None = None,
+    centroids=None,
+    nprobe: int = 8,
+    ef: int | None = None,
+    exact_max_rows: int = EXACT_MAX_ROWS_DEFAULT,
+    approx_row_count: int | None = None,
+) -> tuple[str, DataFrame]:
+    """Route a kNN request to its physical path; returns (plan, result).
+
+    ``queries``: [(query_id, vector)].  ``mode='auto'`` prefers the
+    cheapest prepared accelerator: an HNSW ``index`` if given, else IVF
+    ``centroids`` if given, else exact — but small tables always go
+    exact (the accelerator can't beat a broadcast cross join there).
+    ``approx_row_count`` lets the caller pass a known size and skip the
+    count job.
+    """
+    from anndb_spark.operators.hnsw import search_index
+    from anndb_spark.operators.ivf import search_ivf
+    from anndb_spark.operators.knn import knn_exact
+
+    if mode not in ("auto", "exact", "ann", "ivf"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "ann" and index is None:
+        raise ValueError("mode='ann' requires a materialized index DataFrame")
+    if mode == "ivf" and centroids is None:
+        raise ValueError("mode='ivf' requires trained centroids")
+
+    if mode == "auto":
+        n = approx_row_count
+        if n is None and (index is not None or centroids is not None):
+            n = vectors.count()
+        if index is not None and (n or 0) > exact_max_rows:
+            mode = "ann"
+        elif centroids is not None and (n or 0) > exact_max_rows:
+            mode = "ivf"
+        else:
+            mode = "exact"
+
+    spark = vectors.sparkSession
+    qitems = [(str(qid), [float(x) for x in vec]) for qid, vec in queries]
+    if mode == "ann":
+        from anndb_spark.operators.hnsw import HnswConfig
+
+        return "ann", search_index(
+            index, vectors, qitems, k, ef=ef, config=HnswConfig(space=space)
+        )
+    qdf = spark.createDataFrame(
+        qitems, "query_id STRING, query_vector ARRAY<DOUBLE>"
+    )
+    if mode == "exact":
+        return "exact", knn_exact(vectors, qdf, k, space=space)
+    return "ivf", search_ivf(
+        vectors, qdf, k, centroids, nprobe=nprobe, space=space
+    )
