@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "anndb-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

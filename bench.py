@@ -47,10 +47,16 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # warm the JVM + parquet footers
-    lineitem_vec(spark, sf_dir).count()
+    # warm the JVM, parquet footers, codegen, and the Arrow/pandas-UDF
+    # worker pool so the first timed query measures the kernel
+    warm = lineitem_vec(spark, sf_dir).limit(1000).select("id", "vector")
+    knn_exact(warm, entry._queries_df(spark, entry.LINEITEM_QUERIES[:1]), 5).collect()
 
-    vecs = lineitem_vec(spark, sf_dir).select("id", "vector").cache()
+    # repartition to core count: locally the small parquet yields ~3 scan
+    # splits, but at target scale the scan itself provides this
+    # parallelism — the bench should measure the kernels, not the
+    # single-file artifact.
+    vecs = lineitem_vec(spark, sf_dir).select("id", "vector").repartition(cpus).cache()
     n_vec = vecs.count()
 
     # q1: exact kNN, 3 broadcast queries over the full vector table
