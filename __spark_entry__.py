@@ -340,19 +340,27 @@ def _ivf_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the partial-probe IVF path (nprobe=2 of 8) vs the
-    exact oracle — the scale path's accuracy metric (rows-only check)."""
-    from anndb_spark.operators.ivf import search_ivf, train_centroids
+    """Recall@10 of the IVF path vs the exact oracle across the nprobe
+    knob (2/4/8 of 8 clusters) — the scale path's accuracy-vs-cost curve;
+    nprobe=8 probes everything and must hit 1.0 (rows-only check)."""
+    from anndb_spark.operators.ivf import assign_clusters, search_ivf, train_centroids
     from anndb_spark.operators.recall import recall_avg
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
     cent = train_centroids(emb, 8, sample_n=50_000)
+    assigned = assign_clusters(emb, cent).cache()
     qdf = _queries_df(spark, EMBEDDING_QUERIES)
-    approx = search_ivf(emb, qdf, K, cent, nprobe=2)
     exact = knn_exact(emb, qdf, K)
-    return recall_avg(approx, exact, K)
+    curves = None
+    for nprobe in (2, 4, 8):
+        approx = search_ivf(assigned, qdf, K, cent, nprobe=nprobe)
+        r = recall_avg(approx, exact, K).select(
+            F.lit(nprobe).alias("nprobe"), F.col("avg_recall")
+        )
+        curves = r if curves is None else curves.unionByName(r)
+    return curves.orderBy("nprobe")
 
 
 def _quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
