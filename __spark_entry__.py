@@ -260,6 +260,12 @@ def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.dedup import embedding_neardup_pairs
 
@@ -443,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_minhash": _dedup_clusters_minhash,
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "simhash_documents": _simhash_documents,
+        "simhash_pairs_documents": _simhash_pairs_documents,
         "embedding_neardup": _embedding_neardup,
         "text_stats_documents": _text_stats_documents,
         "language_id_documents": _language_id_documents,
@@ -717,6 +724,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.8
         """,
         "simhash_documents": _simhash_oracle(),
+        "simhash_pairs_documents": f"""
+            WITH s AS ({_simhash_oracle()}),
+            b AS (SELECT id, sig, sig >> 8 AS blk FROM s)
+            SELECT a.id AS id_a, b2.id AS id_b,
+                   CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+            FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
+            WHERE bit_count(xor(a.sig, b2.sig)) <= 2
+        """,
         "token_counts_documents": """
             SELECT doc_id AS id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

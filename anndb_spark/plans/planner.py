@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 EXACT_MAX_ROWS_DEFAULT = 10_000_000
 
@@ -90,3 +91,44 @@ def knn(
     return "ivf", search_ivf(
         vectors, qdf, k, centroids, nprobe=nprobe, space=space
     )
+
+
+def knn_filtered(
+    vectors: DataFrame,
+    queries,
+    k: int,
+    predicate,
+    space: str = "euclidean",
+    mode: str = "auto",
+    oversample: int = 4,
+    **kw,
+):
+    """Metadata-filtered kNN — a query the reference cannot express
+    (its search has no predicate surface at all; `SURVEY.md §4`).
+
+    ``predicate``: a Column over ``vectors``' columns.
+
+    - exact: filter FIRST — Catalyst pushes the predicate into the scan
+      (`PLANS.md`), so non-matching vectors are never scored.
+    - ann/ivf: the graph/probe must run on the unfiltered structure, so
+      search k·oversample, post-filter by joining survivors back to the
+      filtered id set, re-rank, truncate to k.  Oversampling bounds the
+      selectivity loss; callers with highly selective predicates should
+      use exact mode (scored set is small after pushdown anyway).
+
+    Returns (plan, DataFrame(query_id, rank, id, score)).
+    """
+    from pyspark.sql import Window
+
+    if mode == "exact" or (mode == "auto" and kw.get("index") is None and kw.get("centroids") is None):
+        return knn(vectors.filter(predicate), queries, k, space=space, mode="exact")
+    plan, wide = knn(vectors, queries, k * oversample, space=space, mode=mode, **kw)
+    keep = vectors.filter(predicate).select(F.col("id"))
+    filtered = wide.join(F.broadcast(keep), "id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
+    out = (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
+    )
+    return plan, out

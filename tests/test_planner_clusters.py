@@ -76,3 +76,37 @@ def test_dedup_clusters_long_chain(spark):
     got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert set(got.values()) == {"n0"}
     assert len(got) == 9
+
+
+def test_knn_filtered_exact_pushdown(spark, small_vectors):
+    from anndb_spark.plans.planner import knn_filtered
+
+    vecs = small_vectors.withColumn(
+        "tag", F.when(F.col("id").cast("int") % 2 == 0, "even").otherwise("odd")
+    )
+    plan, res = knn_filtered(vecs, QUERIES, 5, F.col("tag") == "even")
+    assert plan == "exact"
+    ids = [r.id for r in res.collect()]
+    assert all(int(i) % 2 == 0 for i in ids)
+
+
+def test_knn_filtered_ivf_postfilter(spark, small_vectors):
+    from anndb_spark.operators.ivf import train_centroids
+    from anndb_spark.plans.planner import knn_filtered
+
+    vecs = small_vectors.withColumn(
+        "tag", F.when(F.col("id").cast("int") % 2 == 0, "even").otherwise("odd")
+    )
+    cent = train_centroids(small_vectors, 4, sample_n=500)
+    plan, res = knn_filtered(
+        vecs, QUERIES, 5, F.col("tag") == "even",
+        mode="ivf", centroids=cent, nprobe=4, oversample=8,
+    )
+    assert plan == "ivf"
+    rows = res.collect()
+    assert all(int(r.id) % 2 == 0 for r in rows)
+    # full probe + wide oversample: must equal exact-on-filtered
+    _, exact = knn_filtered(vecs, QUERIES, 5, F.col("tag") == "even", mode="exact")
+    g = {(r.query_id, r.rank): r.id for r in rows}
+    w = {(r.query_id, r.rank): r.id for r in exact.collect()}
+    assert g == w
