@@ -503,12 +503,114 @@ class HnswGraph:
 
     # -- growth from a batch -------------------------------------------
     @classmethod
-    def build(cls, mat: np.ndarray, levels: list[int], config: HnswConfig) -> "HnswGraph":
+    def build(
+        cls,
+        mat: np.ndarray,
+        levels: list[int],
+        config: HnswConfig,
+        wave: int = 256,
+    ) -> "HnswGraph":
+        """Deterministic wave-batched build.
+
+        Sequential semantics are the reference's insert loop
+        (`index/hnsw.go:80-140`); the batch analogue keeps its fixed
+        order but processes level-0 items (1 - 1/m of all inserts) in
+        waves: each wave's beam searches run against the pre-wave graph
+        via the vectorized batch kernel, then commits apply in ascending
+        id order (edges + prunes).  Intra-wave items don't see each
+        other as beam candidates — backlink pruning re-knits those
+        edges, and recall vs brute force is unchanged (tests).  Wave
+        boundaries are fixed, so rebuilds are bit-reproducible.
+
+        Rare upper-level items (P = 1/m per level) insert sequentially —
+        they need per-level beams and may move the entrypoint.
+        """
         g = cls(mat.shape[1], config)
         g.vectors = np.ascontiguousarray(mat, dtype=np.float32)
-        for i, lv in enumerate(levels):
-            g._insert_prebuilt(i, lv)
+        n = len(levels)
+        # bootstrap sequentially: tiny graphs change too fast for stale
+        # pre-wave candidates to give good edges
+        boot = min(n, wave)
+        for i in range(boot):
+            g._insert_prebuilt(i, levels[i])
+        if boot >= n:
+            return g
+        g.finalize()
+        v = g.vectors
+        g.norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
+        g.norms = np.sqrt(g.norms2)
+        dirty: set[int] = set()
+        i = boot
+        while i < n:
+            # waves grow with the graph (≤10% stale candidates per wave)
+            j = min(n, i + max(wave, i // 10))
+            ids = list(range(i, j))
+            g._refresh_pads(dirty, len(g.levels))
+            dirty.clear()
+            batch_ids = [x for x in ids if levels[x] == 0]
+            res_map = {}
+            if batch_ids:
+                res = g.search_fast_batch(
+                    g.vectors[batch_ids],
+                    k=g.cfg.ef_construction,
+                    ef=g.cfg.ef_construction,
+                )
+                res_map = dict(zip(batch_ids, res))
+            for x in ids:
+                if x in res_map:
+                    g._commit_level0(x, res_map[x], dirty)
+                else:
+                    g._insert_prebuilt(x, levels[x])
+                    dirty.add(x)
+                    dirty.update(nb for lv in g.adj[x] for nb in g.adj[x][lv])
+            i = j
         return g
+
+    def _commit_level0(self, idx: int, cand: list, dirty: set[int]):
+        """Apply a pre-searched level-0 insert (edges + backlink prunes)."""
+        assert idx == len(self.levels)
+        self.levels.append(0)
+        self.adj.append({0: set()})
+        q = self.vectors[idx]
+        if not cand:
+            return
+        nbrs = self._select_neighbors(cand, self.cfg.m, 0, q)
+        for _, nb in nbrs:
+            self.adj[idx][0].add(nb)
+            self.adj[nb].setdefault(0, set()).add(idx)
+            dirty.add(nb)
+            if len(self.adj[nb][0]) > self._cap(0):
+                before = set(self.adj[nb][0])
+                self._prune(nb, 0)
+                dirty.update(before - self.adj[nb][0])
+        dirty.add(idx)
+
+    def _refresh_pads(self, dirty: set[int], new_n: int):
+        """Grow the padded adjacency matrices to new_n rows and rewrite
+        rows whose adjacency changed — O(|dirty|·cap), not O(n)."""
+        max_level = max(self.levels) if self.levels else 0
+        for lvl in range(max_level + 1):
+            pad = self.adj_pad.get(lvl)
+            cap = pad.shape[1] if pad is not None else 1
+            # required capacity for dirty rows
+            need = max(
+                (len(self.adj[i].get(lvl, ())) for i in dirty), default=0
+            )
+            cap_new = max(cap, need, 1)
+            rows = pad.shape[0] if pad is not None else 0
+            if pad is None or cap_new > cap or new_n > rows:
+                grown = np.full((new_n, cap_new), -1, dtype=np.int32)
+                if pad is not None:
+                    grown[:rows, :cap] = pad
+                pad = grown
+                self.adj_pad[lvl] = pad
+            for i in dirty:
+                if i >= new_n:
+                    continue
+                ns = self.adj[i].get(lvl)
+                pad[i, :] = -1
+                if ns:
+                    pad[i, : len(ns)] = sorted(ns)
 
     def _insert_prebuilt(self, idx: int, level: int):
         """insert() for pre-loaded vector matrix (no copy per row)."""
