@@ -23,3 +23,19 @@ Arrow-batched pandas UDFs on the genuinely iterative graph paths.
 __version__ = "0.1.0"
 
 from anndb_spark.session import get_spark  # noqa: F401
+from anndb_spark.catalog import Catalog  # noqa: F401
+from anndb_spark.operators.knn import knn_exact, knn_search  # noqa: F401
+from anndb_spark.operators.hnsw import (  # noqa: F401
+    HnswConfig,
+    build_index,
+    load_index,
+    save_index,
+    search_index,
+)
+from anndb_spark.operators.ivf import (  # noqa: F401
+    assign_clusters,
+    search_ivf,
+    train_centroids,
+)
+from anndb_spark.plans.planner import knn, knn_filtered  # noqa: F401
+from anndb_spark.functions.spaces import SPACES, distance_col  # noqa: F401
