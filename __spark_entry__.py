@@ -273,6 +273,33 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, block_col="label", threshold=0.65)
 
 
+def _knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self similarity join: each embedding's 5 nearest *other* embeddings."""
+    from anndb_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    return knn_join(emb, emb, 5, space="cosine", exclude_self=True).orderBy(
+        "left_id", "rank"
+    )
+
+
+def _random_vectors_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key random vectors (uniform + normal components),
+    the O36 generator surface — itself oracle-checked bit-wise."""
+    from anndb_spark.functions.generators import normal_sql, random_vector_cols
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    comps = random_vector_cols("o_orderkey", 4, dist="uniform", seed=5, dialect="spark")
+    z = normal_sql("o_orderkey", "g", mu=10.0, sigma=2.5, dialect="spark")
+    return orders.select(
+        F.col("o_orderkey").alias("id"),
+        *[F.expr(c).alias(f"u{i}") for i, c in enumerate(comps)],
+        F.expr(z).alias("z"),
+    )
+
+
 def _text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.text import text_stats
 
@@ -451,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _simhash_documents,
         "simhash_pairs_documents": _simhash_pairs_documents,
         "embedding_neardup": _embedding_neardup,
+        "knn_join_embeddings": _knn_join_embeddings,
+        "random_vectors_orders": _random_vectors_orders,
         "text_stats_documents": _text_stats_documents,
         "language_id_documents": _language_id_documents,
         "fingerprint_documents": _fingerprint_documents,
@@ -524,6 +553,28 @@ def _embedding_neardup_oracle() -> str:
         WHERE {dist} < 0.65
     """
 
+def _knn_join_embeddings_oracle(k: int = 5) -> str:
+    dist = pair_distance_sql("a.embedding", "b.embedding", 64, "cosine", "duckdb")
+    return f"""
+        SELECT left_id, rank, right_id, score FROM (
+            SELECT left_id, right_id, score,
+                   CAST(row_number() OVER (PARTITION BY left_id
+                        ORDER BY score ASC, right_id ASC) AS INT) AS rank
+            FROM (SELECT a.vec_id AS left_id, b.vec_id AS right_id, {dist} AS score
+                  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+        ) WHERE rank <= {k} ORDER BY left_id, rank
+    """
+
+
+def _random_vectors_orders_oracle() -> str:
+    from anndb_spark.functions.generators import normal_sql, random_vector_cols
+
+    comps = random_vector_cols("o_orderkey", 4, dist="uniform", seed=5, dialect="duckdb")
+    z = normal_sql("o_orderkey", "g", mu=10.0, sigma=2.5, dialect="duckdb")
+    sel = ", ".join(f"{c} AS u{i}" for i, c in enumerate(comps))
+    return f"SELECT o_orderkey AS id, {sel}, {z} AS z FROM orders"
+
+
 def _knn_lineitem_oracle(space: str, where: str | None = None) -> str:
     id_sql, comps = lineitem_vec_components("duckdb")
     branches = []
@@ -568,6 +619,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_embeddings_euclidean": _knn_embeddings_oracle("euclidean"),
         "knn_embeddings_cosine": _knn_embeddings_oracle("cosine"),
+        "knn_join_embeddings": _knn_join_embeddings_oracle(),
+        "random_vectors_orders": _random_vectors_orders_oracle(),
         # full-probe IVF == exact kNN; ranks/ids only (float path differs)
         "ivf_embeddings_top10": (
             f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"

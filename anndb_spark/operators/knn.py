@@ -115,6 +115,110 @@ def knn_exact(
     )
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    space: str = "euclidean",
+    left_id_col: str = "id",
+    left_vec_col: str = "vector",
+    right_id_col: str = "id",
+    right_vec_col: str = "vector",
+    exclude_self: bool = False,
+    mode: str = "exact",
+    centroids=None,
+    nprobe: int = 8,
+    broadcast_left: bool = True,
+    two_stage: bool = True,
+) -> DataFrame:
+    """Top-k similarity join: for every row of ``left``, its k nearest
+    rows of ``right``.
+
+    Returns (left_id, rank, right_id, score), rank 1..k ascending by
+    (score, right_id).  ``exclude_self`` drops pairs with equal ids (for
+    self-joins: "each item's k nearest *other* items").
+
+    The symmetric generalization of the reference's search path — every
+    left row plays the role of a query in
+    `storage/dataset.go:349-387`'s scatter/gather, batched into one plan.
+
+    Modes (the physical strategies):
+
+    - ``'exact'`` — cross join + partial/final top-k, the same shape as
+      `knn_exact`.  With ``broadcast_left`` (default) the left side rides
+      the broadcast and the big right side never shuffles; set it False
+      when *both* sides are large and let AQE pick the join (the honest
+      cost of an exact big✕big join is O(|L|·|R|) scores — at that scale
+      use ``mode='ivf'``).
+    - ``'ivf'`` — route left rows to their nprobe nearest coarse
+      centroids and score only those clusters of right (see
+      `operators/ivf.py`): O(|L|·nprobe·cluster_size) scores, the 100 TB
+      path.  Requires ``centroids`` (train via `ivf.train_centroids`).
+
+    Exact mode is bit-identical to the SQL cross-join formulation
+    (`pair_distance_sql`), so it is oracle-checkable; ivf mode is
+    validated by recall against it.
+    """
+    if mode == "ivf":
+        if centroids is None:
+            raise ValueError("mode='ivf' requires centroids")
+        from anndb_spark.operators.ivf import search_ivf
+
+        inner_k = k + 1 if exclude_self else k
+        res = search_ivf(
+            right.select(
+                F.col(right_id_col).alias("id"), F.col(right_vec_col).alias("vector")
+            ),
+            left.select(
+                F.col(left_id_col).alias("query_id"),
+                F.col(left_vec_col).alias("query_vector"),
+            ),
+            inner_k,
+            centroids,
+            nprobe=nprobe,
+            space=space,
+        ).select(
+            F.col("query_id").alias("left_id"),
+            F.col("id").alias("right_id"),
+            F.col("score"),
+        )
+        if exclude_self:
+            res = res.filter(F.col("left_id") != F.col("right_id"))
+        w = Window.partitionBy("left_id").orderBy(
+            F.col("score").asc(), F.col("right_id").asc()
+        )
+        return (
+            res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("left_id", "rank", "right_id", "score")
+        )
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    qdf = left.select(
+        F.col(left_id_col).alias("left_id"), F.col(left_vec_col).alias("__qvec")
+    )
+    vdf = right.select(
+        F.col(right_id_col).alias("right_id"), F.col(right_vec_col).alias("__vvec")
+    )
+    joined = vdf.crossJoin(F.broadcast(qdf) if broadcast_left else qdf)
+    if exclude_self:
+        joined = joined.filter(F.col("left_id") != F.col("right_id"))
+    scored = joined.select(
+        "left_id",
+        "right_id",
+        distance_col(F.col("__vvec"), F.col("__qvec"), space).alias("score"),
+    )
+    if two_stage:
+        scored = partial_topk(scored, ["left_id"], ["score", "right_id"], k)
+    w = Window.partitionBy("left_id").orderBy(F.col("score").asc(), F.col("right_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "rank", "right_id", "score")
+    )
+
+
 def knn_search(
     vectors: DataFrame,
     query: Sequence[float],

@@ -89,3 +89,76 @@ def test_two_stage_equals_single_stage(spark, small_vectors):
     assert sorted([(r["query_id"], r["rank"], r["id"], r["score"]) for r in a]) == sorted(
         [(r["query_id"], r["rank"], r["id"], r["score"]) for r in b]
     )
+
+
+# --- knn_join --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def join_sides(spark):
+    rng = np.random.default_rng(11)
+    lrows = [(f"L{i:03d}", rng.normal(0, 5, 8).tolist()) for i in range(40)]
+    rrows = [(f"R{i:03d}", rng.normal(0, 5, 8).tolist()) for i in range(200)]
+    mk = lambda rows: spark.createDataFrame(rows, "id STRING, vector ARRAY<DOUBLE>")  # noqa: E731
+    return mk(lrows), lrows, mk(rrows), rrows
+
+
+def _brute_join(lrows, rrows, k, space="euclidean", exclude_self=False):
+    want = {}
+    for lid, lv in lrows:
+        cands = [(rid, rv) for rid, rv in rrows if not (exclude_self and rid == lid)]
+        want[lid] = [i for i, _ in _brute(cands, lv, k, space)]
+    return want
+
+
+@pytest.mark.parametrize("space", ["euclidean", "cosine"])
+def test_knn_join_exact_vs_numpy(spark, join_sides, space):
+    from anndb_spark.operators.knn import knn_join
+
+    ldf, lrows, rdf, rrows = join_sides
+    got = knn_join(ldf, rdf, 5, space=space).collect()
+    want = _brute_join(lrows, rrows, 5, space)
+    assert len(got) == len(lrows) * 5
+    for lid in want:
+        ids = [r["right_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["left_id"] == lid]
+        assert ids == want[lid], lid
+
+
+def test_knn_join_self_excludes_identity(spark, join_sides):
+    from anndb_spark.operators.knn import knn_join
+
+    _, _, rdf, rrows = join_sides
+    got = knn_join(rdf, rdf, 3, exclude_self=True).collect()
+    want = _brute_join(rrows, rrows, 3, exclude_self=True)
+    assert all(r["left_id"] != r["right_id"] for r in got)
+    for lid in want:
+        ids = [r["right_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["left_id"] == lid]
+        assert ids == want[lid]
+
+
+def test_knn_join_ivf_full_probe_is_exact(spark, join_sides):
+    from anndb_spark.operators.ivf import train_centroids
+    from anndb_spark.operators.knn import knn_join
+
+    ldf, lrows, rdf, rrows = join_sides
+    cents = train_centroids(rdf, 4, sample_n=200, seed=3)
+    got = knn_join(ldf, rdf, 5, mode="ivf", centroids=cents, nprobe=4).collect()
+    want = _brute_join(lrows, rrows, 5)
+    for lid in want:
+        ids = [r["right_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["left_id"] == lid]
+        assert ids == want[lid]
+
+
+def test_knn_join_ivf_partial_probe_recall(spark, join_sides):
+    from anndb_spark.operators.ivf import train_centroids
+    from anndb_spark.operators.knn import knn_join
+
+    ldf, lrows, rdf, rrows = join_sides
+    cents = train_centroids(rdf, 8, sample_n=200, seed=3)
+    got = knn_join(ldf, rdf, 5, mode="ivf", centroids=cents, nprobe=3).collect()
+    want = _brute_join(lrows, rrows, 5)
+    hits = total = 0
+    for lid in want:
+        ids = {r["right_id"] for r in got if r["left_id"] == lid}
+        hits += len(ids & set(want[lid]))
+        total += 5
+    assert hits / total >= 0.6
