@@ -24,7 +24,8 @@ __version__ = "0.1.0"
 
 from anndb_spark.session import get_spark  # noqa: F401
 from anndb_spark.catalog import Catalog  # noqa: F401
-from anndb_spark.operators.knn import knn_exact, knn_search  # noqa: F401
+from anndb_spark.dataset import AnnDB, Dataset  # noqa: F401
+from anndb_spark.operators.knn import knn_exact, knn_join, knn_search  # noqa: F401
 from anndb_spark.operators.hnsw import (  # noqa: F401
     HnswConfig,
     build_index,

@@ -69,8 +69,17 @@ def route_by_key(df: DataFrame, key: Column, partition_count: int) -> DataFrame:
 
 
 def with_partition_id(df: DataFrame, partition_count: int, id_col: str = "id") -> DataFrame:
-    """UUID-key routing per the reference partitioner."""
-    return df.withColumn("partition_id", uuid_mod(F.col(id_col), partition_count))
+    """UUID-key routing per the reference partitioner, with a hash
+    fallback for non-UUID string ids (the reference only admits UUIDs,
+    `storage/dataset_manager.go:110`; we accept any string key and keep
+    the routing total)."""
+    return df.withColumn(
+        "partition_id",
+        F.coalesce(
+            uuid_mod(F.col(id_col), partition_count),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(partition_count)).cast("int"),
+        ),
+    )
 
 
 def validate_dimension(df: DataFrame, dimension: int, vec_col: str = "vector"):

@@ -1,0 +1,266 @@
+"""Dataset façade — the reference's client surface on the Spark engine.
+
+One class per reference service, mapped onto the batch engine:
+
+- `AnnDB`  ≙ DatasetManager service (create/get/list/delete —
+  `services/dataset_manager.go:21-76`, `storage/dataset_manager.go:74-184`)
+- `Dataset` ≙ DataManager + Search services (Insert/Update/Remove/
+  BatchInsert/... — `services/data_manager.go:23-139`; Search —
+  `services/search.go:20-46`; Len/BytesSize — `storage/dataset.go:103-157`)
+
+Write path: every mutation appends rows to an ordered parquet changelog
+(the Raft-log analogue, `storage/partition.go:435-474` — durability is
+the storage layer's job per the north star), `compact()` folds it into
+the base snapshot with the same state machine the reference applies
+entry-by-entry, and per-item errors come back as a rejects DataFrame
+instead of the reference's `map[id]error` (`storage/dataset.go:243-252`).
+
+Read path: `search()` routes through the physical-path planner
+(`plans/planner.py`) — exact cross-join for small data, HNSW graph walk
+or IVF probe when an index is materialized, identical result contract.
+
+Scale notes: sequence numbers are assigned per *batch* (driver reads
+one max(seq) aggregate; the row_number window sorts only the incoming
+batch, never the table). The base/index tables are partitioned by the
+reference's UuidMod routing, so partition-targeted reads prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from anndb_spark.catalog import Catalog, DatasetMeta, with_partition_id
+from anndb_spark.operators.crud import (
+    apply_changes_sql,
+    split_rejects,
+    split_state,
+)
+
+CHANGES_SCHEMA = (
+    "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, "
+    "metadata MAP<STRING,STRING>"
+)
+
+STATE_SCHEMA = (
+    "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>, "
+    "level INT, partition_id INT"
+)
+
+
+class AnnDB:
+    """Entry point: a catalog root plus dataset handles."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.catalog = Catalog(spark, root)
+
+    def create_dataset(
+        self,
+        name: str,
+        dimension: int,
+        space: str = "euclidean",
+        partition_count: int = 4,
+        replication_factor: int = 1,
+    ) -> "Dataset":
+        meta = self.catalog.create(
+            name, dimension, space, partition_count, replication_factor
+        )
+        return Dataset(self, meta)
+
+    def get_dataset(self, name: str) -> "Dataset":
+        meta = self.catalog.get(name)
+        if meta is None:
+            raise ValueError(f"dataset {name!r} not found")
+        return Dataset(self, meta)
+
+    def list_datasets(self) -> DataFrame:
+        return self.catalog.list()
+
+    def delete_dataset(self, name: str) -> None:
+        self.catalog.delete(name)
+
+
+class Dataset:
+    def __init__(self, db: AnnDB, meta: DatasetMeta):
+        self.db = db
+        self.spark = db.spark
+        self.meta = meta
+        base = os.path.join(db.root, "datasets", meta.name)
+        self.changes_path = os.path.join(base, "_changes")
+        self.base_path = os.path.join(base, "_base")
+        self.index_path = os.path.join(base, "_index")
+
+    # --- write path (changelog appends) --------------------------------
+
+    def _changes(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema(CHANGES_SCHEMA).parquet(self.changes_path)
+        except Exception:
+            return None
+
+    def _next_seq(self) -> int:
+        ch = self._changes()
+        if ch is None:
+            return 0
+        row = ch.agg(F.max("seq").alias("m")).collect()[0]
+        return (row["m"] + 1) if row["m"] is not None else 0
+
+    def _append(self, df: DataFrame, op: str) -> None:
+        offset = self._next_seq()
+        w = Window.orderBy("id")  # sorts the incoming batch only
+        out = df.select(
+            (F.row_number().over(w) + F.lit(offset - 1)).cast("long").alias("seq"),
+            F.col("id").cast("string"),
+            F.lit(op).alias("op"),
+            (F.col("vector").cast("array<double>") if "vector" in df.columns
+             else F.lit(None).cast("array<double>")).alias("vector"),
+            (F.col("metadata") if "metadata" in df.columns
+             else F.lit(None).cast("map<string,string>")).alias("metadata"),
+        )
+        out.write.mode("append").parquet(self.changes_path)
+
+    def insert(self, df: DataFrame) -> None:
+        """Append insert ops for (id, vector[, metadata]) rows.  Dimension
+        errors surface as rejects at compaction (batch semantics)."""
+        self._append(df, "insert")
+
+    def update(self, df: DataFrame) -> None:
+        """Update = re-insert with merged metadata at the same level
+        (`storage/partition.go:349-367`); the compactor owns the merge."""
+        self._append(df, "update")
+
+    def remove(self, ids: DataFrame | list) -> None:
+        if isinstance(ids, list):
+            ids = self.spark.createDataFrame([(str(i),) for i in ids], "id STRING")
+        self._append(ids.select("id"), "delete")
+
+    # --- compaction / state --------------------------------------------
+
+    def compact(self) -> DataFrame:
+        """Fold the changelog into the base snapshot; returns the per-item
+        rejects DataFrame (dimension mismatches, unknown-id updates...).
+
+        The relational compactor (`apply_changes_sql`) also enforces the
+        dimension check (`storage/dataset.go:451-456`) via the catalog's
+        declared dimension.
+        """
+        ch = self._changes()
+        if ch is None:
+            return self.spark.createDataFrame([], "id STRING, error STRING")
+        ch = ch.withColumn(
+            "op",
+            F.when(
+                (F.col("op") == "insert")
+                & (F.size("vector") != self.meta.dimension),
+                F.lit("insert_baddim"),
+            ).otherwise(F.col("op")),
+        )
+        bad = ch.filter(F.col("op") == "insert_baddim").select(
+            "id", F.lit("DIMENSION_MISMATCH").alias("error")
+        )
+        applied = apply_changes_sql(self._base(), ch.filter(F.col("op") != "insert_baddim"))
+        state = split_state(applied)
+        rejects = split_rejects(applied).select("id", "error").unionByName(bad)
+        routed = with_partition_id(state, self.meta.partition_count)
+        # materialize to scratch dirs first: both `routed` and `rejects`
+        # read lazily from the *old* base + changelog, which the final
+        # writes below overwrite (and the path overwrite invalidates any
+        # cache entries referencing it — .cache() would NOT survive)
+        tmp = self.base_path + "_tmp"
+        rejects_path = os.path.join(os.path.dirname(self.base_path), "_rejects")
+        routed.write.mode("overwrite").partitionBy("partition_id").parquet(tmp)
+        rejects.write.mode("overwrite").parquet(rejects_path)
+        final = self.spark.read.schema(STATE_SCHEMA).parquet(tmp)
+        final.write.mode("overwrite").partitionBy("partition_id").parquet(self.base_path)
+        # changelog folded in; truncate it (Raft log compaction analogue,
+        # storage/raft/group.go:275-300)
+        empty = self.spark.createDataFrame([], CHANGES_SCHEMA)
+        empty.write.mode("overwrite").parquet(self.changes_path)
+        return self.spark.read.schema("id STRING, error STRING").parquet(rejects_path)
+
+    def _base(self) -> DataFrame | None:
+        try:
+            df = self.spark.read.parquet(self.base_path)
+            return df.select("id", "vector", "metadata", "level")
+        except Exception:
+            return None
+
+    def state(self) -> DataFrame:
+        """Current compacted snapshot (id, vector, metadata, level,
+        partition_id).  Call compact() first to fold pending changes."""
+        try:
+            return self.spark.read.schema(STATE_SCHEMA).parquet(self.base_path)
+        except Exception:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+
+    def get(self, item_id: str):
+        """Point lookup (`index/hnsw.go:142-151`); partition-pruned scan."""
+        rows = self.state().filter(F.col("id") == str(item_id)).collect()
+        return rows[0] if rows else None
+
+    # --- index / search -------------------------------------------------
+
+    def build_index(self, config=None) -> DataFrame:
+        from anndb_spark.operators.hnsw import HnswConfig, build_index, save_index
+
+        cfg = config or HnswConfig(space=self.meta.space)
+        idx = build_index(self.state(), cfg)
+        save_index(idx, self.index_path)
+        return self.index()
+
+    def index(self) -> DataFrame | None:
+        from anndb_spark.operators.hnsw import load_index
+
+        try:
+            return load_index(self.spark, self.index_path)
+        except Exception:
+            return None
+
+    def search(self, query, k: int, mode: str = "auto", **kw):
+        """Top-k search; single vector or [(query_id, vector)].  Returns
+        (query_id, rank, id, score) ascending — `services/search.go:20-46`
+        semantics with the planner picking the physical path."""
+        from anndb_spark.plans.planner import knn
+
+        queries = [("0", list(query))] if not isinstance(query, list) or (
+            query and isinstance(query[0], (int, float))
+        ) else query
+        plan, res = knn(
+            self.state(),
+            queries,
+            k,
+            space=self.meta.space,
+            mode=mode,
+            index=kw.pop("index", self.index() if mode in ("auto", "ann") else None),
+            **kw,
+        )
+        return res
+
+    # --- SizeInfo (O26) -------------------------------------------------
+
+    def len(self) -> int:
+        return self.state().count()
+
+    def bytes_size(self) -> int:
+        """Estimated in-memory bytes, mirroring the reference's model:
+        vector floats + metadata byte lengths + fixed per-item overhead
+        (`index/hnsw.go:64-78`, `index/hnsw_vertex.go:109-111`)."""
+        st = self.state()
+        if not st.take(1):
+            return 0
+        md_bytes = F.coalesce(
+            F.aggregate(
+                F.map_entries("metadata"),
+                F.lit(0),
+                lambda acc, e: acc + F.length(e.key) + F.length(e.value),
+            ),
+            F.lit(0),
+        )
+        row = st.agg(
+            F.sum(F.size("vector") * 4 + md_bytes + F.lit(64)).alias("b")
+        ).collect()[0]
+        return int(row["b"] or 0)
