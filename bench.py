@@ -153,6 +153,26 @@ def main():
     extra["ivf_search_q_per_s"] = round(200 / timings["ivf_search_200q"], 1)
     extra["ivf_rows_indexed"] = n_emb
 
+    # q11: top-k similarity join — every embedding finds its 5 nearest
+    # others via IVF routing (the scale path; exact would be |N|² scores)
+    from anndb_spark.operators.knn import knn_join
+
+    join_left = emb.limit(2000)
+    timed(
+        "knn_join_ivf_2k",
+        lambda: knn_join(
+            join_left, assigned, 5, mode="ivf", centroids=cent, nprobe=4,
+            exclude_self=True,
+        ).collect(),
+    )
+    extra["knn_join_rows_per_s"] = round(2000 / timings["knn_join_ivf_2k"], 1)
+
+    # q12: MinHash-LSH near-dup candidate pairs over documents
+    timed(
+        "dedup_minhash_pairs",
+        lambda: entry._dedup_minhash_pairs(spark, sf_dir).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

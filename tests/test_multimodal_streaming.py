@@ -103,3 +103,78 @@ def test_windowed_event_counts_batch(spark):
     out = windowed_event_counts(ev)
     rows = out.collect()
     assert rows and sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_stream_maintain_index_dirty_partitions_only(spark, tmp_path):
+    import numpy as np
+
+    from anndb_spark.operators.hnsw import HnswConfig, load_index, search_index
+    from anndb_spark.streaming.changelog import stream_maintain_index
+
+    changelog = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(9)
+    dim, n = 8, 120
+
+    rows = [
+        (i, f"{i:032x}", "insert", rng.normal(0, 1, dim).tolist(), {})
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows,
+        "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>",
+    ).write.mode("append").parquet(changelog)
+
+    cfg = HnswConfig(space="euclidean")
+    q = stream_maintain_index(
+        spark, changelog, base, index, ckpt, partition_count=4, config=cfg
+    )
+    q.awaitTermination(180)
+
+    st = spark.read.parquet(base)
+    assert st.count() == n
+    idx1 = load_index(spark, index)
+    parts1 = {r["partition_id"] for r in idx1.select("partition_id").distinct().collect()}
+    assert parts1 == {0, 1, 2, 3}
+
+    # search over the streamed index finds the anchor itself
+    anchor = rows[5]
+    res = search_index(idx1, st, [("q", anchor[3])], 5, config=cfg, strategy="beam")
+    got = [r["id"] for r in res.orderBy("rank").collect()]
+    assert anchor[1] in got and got[0] == anchor[1]
+
+    # second batch touches one id → only its partition's index rewritten
+    import os
+    import time
+
+    mtimes = {}
+    for pid_dir in os.listdir(index):
+        if pid_dir.startswith("partition_id="):
+            p = os.path.join(index, pid_dir)
+            mtimes[pid_dir] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+    time.sleep(1.1)
+
+    upd = [(n + 1, rows[5][1], "update", rng.normal(0, 1, dim).tolist(), {"u": "1"})]
+    spark.createDataFrame(
+        upd,
+        "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>",
+    ).write.mode("append").parquet(changelog)
+    q2 = stream_maintain_index(
+        spark, changelog, base, index, ckpt, partition_count=4, config=cfg
+    )
+    q2.awaitTermination(180)
+
+    touched = []
+    for pid_dir in mtimes:
+        p = os.path.join(index, pid_dir)
+        mt = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+        if mt > mtimes[pid_dir] + 0.5:
+            touched.append(pid_dir)
+    assert len(touched) == 1  # dynamic overwrite rewrote only the dirty partition
+
+    # updated vector is searchable in the refreshed index
+    st2 = spark.read.parquet(base)
+    res2 = search_index(load_index(spark, index), st2, [("q", upd[0][3])], 3, config=cfg, strategy="beam")
+    assert res2.orderBy("rank").collect()[0]["id"] == rows[5][1]
