@@ -32,6 +32,7 @@ from anndb_spark.operators.hnsw import (  # noqa: F401
     load_index,
     save_index,
     search_index,
+    search_index_broadcast,
 )
 from anndb_spark.operators.ivf import (  # noqa: F401
     assign_clusters,

@@ -36,6 +36,7 @@ from __future__ import annotations
 import heapq
 import math
 from dataclasses import dataclass, field
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -643,15 +644,21 @@ class HnswGraph:
 # Spark operators
 # ---------------------------------------------------------------------------
 
-INDEX_SCHEMA = "partition_id INT, kind STRING, src STRING, level INT, dsts ARRAY<STRING>"
+INDEX_SCHEMA = (
+    "partition_id INT, kind STRING, src STRING, level INT, "
+    "dsts ARRAY<STRING>, vec ARRAY<FLOAT>"
+)
 # kind: 'adj'   — src's neighbor list at `level` (compact adjacency row;
 #                 one row per vertex per populated level, not per edge —
 #                 ~m× fewer rows to shuffle/scan than an edge list)
-#       'vertex'— src's top level
+#       'vertex'— src's top level + its vector (`vec`)
 #       'entry' — the partition's entrypoint id + its level
-# Unlike the reference snapshot (index/hnsw_persistence.go:96-117) edge
-# distances are not persisted: search recomputes them from the vectors,
-# trading a little compute for m× less index I/O at scale.
+# Vertex rows carry the vector, exactly like the reference snapshot's
+# vertex blocks (index/hnsw_persistence.go:71-95) — the index is
+# SELF-CONTAINED: search scans/shuffles one table instead of cogrouping
+# (vectors ⋈ index), halving search-time data motion.  Edge distances
+# are still not persisted (recomputed; m× less index I/O than the
+# reference's edge blocks at :96-117).
 
 
 def build_index(
@@ -713,18 +720,71 @@ def _build_one_graph(pid: int, pdf: pd.DataFrame, cfg: HnswConfig) -> pd.DataFra
     g = HnswGraph.build(mat, levels, cfg)
     rows = []
     for i, nbrs in enumerate(g.adj):
-        rows.append((pid, "vertex", ids[i], g.levels[i], None))
+        rows.append((pid, "vertex", ids[i], g.levels[i], None, mat[i].tolist()))
         for lvl, ns in nbrs.items():
             if ns:
-                rows.append((pid, "adj", ids[i], lvl, [ids[n] for n in sorted(ns)]))
+                rows.append((pid, "adj", ids[i], lvl, [ids[n] for n in sorted(ns)], None))
     if g.entrypoint >= 0:
-        rows.append((pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None))
-    return pd.DataFrame(rows, columns=["partition_id", "kind", "src", "level", "dsts"])
+        rows.append((pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None, None))
+    return pd.DataFrame(
+        rows, columns=["partition_id", "kind", "src", "level", "dsts", "vec"]
+    )
+
+
+# Reused-python-worker graph cache: reconstructed graphs survive across
+# jobs in the same worker process (spark.python.worker.reuse), so a
+# *serving* workload — many search batches over one index — pays
+# reconstruction once per (worker, partition), not once per batch.  The
+# analogue of the reference keeping its graphs resident in memory
+# between requests.  Keyed by caller-supplied token: the caller owns
+# versioning (pass a new token after rebuilding the index).
+_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_CAP = 16
+
+
+def _graph_from_index(
+    idx_pdf: pd.DataFrame, cfg: "HnswConfig", vec_pdf: pd.DataFrame | None = None
+):
+    """Reconstruct (ids, HnswGraph) from index rows; vectors come from the
+    index's own vertex rows (self-contained) unless ``vec_pdf`` given."""
+    vrows = idx_pdf[idx_pdf["kind"] == "vertex"]
+    if vec_pdf is not None:
+        ids = vec_pdf["id"].tolist()
+        vecs = np.array(vec_pdf["vector"].tolist(), dtype=np.float32)
+        pos = {v: i for i, v in enumerate(ids)}
+        levels = np.zeros(len(ids), dtype=np.int32)
+        levels[[pos[s] for s in vrows["src"]]] = vrows["level"].to_numpy()
+    else:
+        ids = vrows["src"].tolist()
+        vecs = np.array(vrows["vec"].tolist(), dtype=np.float32)
+        pos = {v: i for i, v in enumerate(ids)}
+        levels = vrows["level"].to_numpy(dtype=np.int32)
+    n = len(ids)
+    g = HnswGraph(vecs.shape[1], cfg)
+    g.vectors = vecs
+    g.levels = levels.tolist()
+    adj_rows = idx_pdf[idx_pdf["kind"] == "adj"]
+    g.adj_pad = {}
+    for lvl, grp in adj_rows.groupby("level", sort=False):
+        srcs = [pos[s] for s in grp["src"]]
+        dlists = [[pos[x] for x in d] for d in grp["dsts"]]
+        cap = max((len(d) for d in dlists), default=1)
+        mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
+        for s, d in zip(srcs, dlists):
+            mat[s, : len(d)] = d
+        g.adj_pad[int(lvl)] = mat
+    for lvl in range(int(levels.max(initial=0)) + 1):
+        g.adj_pad.setdefault(lvl, np.full((n, 1), -1, dtype=np.int32))
+    erow = idx_pdf[idx_pdf["kind"] == "entry"]
+    g.entrypoint = pos[erow["src"].iloc[0]]
+    g.norms2 = np.einsum("ij,ij->i", g.vectors, g.vectors, dtype=np.float32)
+    g.norms = np.sqrt(g.norms2)
+    return ids, g
 
 
 def search_index(
     index: DataFrame,
-    vectors: DataFrame,
+    vectors: DataFrame | None,
     queries: list[tuple[object, list[float]]],
     k: int,
     ef: int | None = None,
@@ -734,13 +794,17 @@ def search_index(
     vec_col: str = "vector",
     strategy: str = "auto",
     brute_flops_threshold: float = 1e8,
+    cache_token: str | None = None,
 ) -> DataFrame:
     """ANN top-k over the materialized index.
 
-    Cogroups (vectors, index) by partition, reconstructs each graph in
-    its task, searches, emits a per-partition top-k, then merges
-    globally — scatter/gather as partial + final top-k
-    (`storage/dataset.go:374-431`).
+    With a self-contained index (vertex rows carry vectors — the default
+    since the index embeds them like the reference snapshot's vertex
+    blocks), search is ONE grouped scan of the index: no cogroup, no
+    second table, half the shuffle.  ``vectors`` may be None then; a
+    legacy vector-less index falls back to cogrouping (vectors ⋈ index).
+    Either way: per-partition search → partial top-k → global window
+    top-k, the reference's scatter/gather (`storage/dataset.go:374-431`).
 
     ``strategy``:
       'beam'  — HNSW greedy descent + beam over the finalized graph.
@@ -752,74 +816,73 @@ def search_index(
                 small partitions brute is both faster and exact.
 
     ``queries``: [(query_id, vector)] — broadcast in the task closure.
+    ``cache_token``: stable string enabling the reused-worker graph
+    cache for serving workloads; pass a NEW token whenever the index is
+    rebuilt (stale tokens would serve the old graph).
     """
     cfg = config or HnswConfig()
     ef = max(ef or cfg.ef, k)
     qitems = [(qid, np.asarray(v, dtype=np.float32)) for qid, v in queries]
+    self_contained = "vec" in index.columns
 
-    vsrc = vectors.select(
-        F.col(partition_col).alias("partition_id"),
-        F.col(id_col).cast("string").alias("id"),
-        F.col(vec_col).cast("array<float>").alias("vector"),
-    )
-
-    def search_one(vec_pdf: pd.DataFrame, idx_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(vec_pdf) or not len(idx_pdf):
-            return pd.DataFrame(columns=["query_id", "id", "score"])
-        ids = vec_pdf["id"].tolist()
-        dim = len(vec_pdf["vector"].iloc[0])
-        g = HnswGraph(dim, cfg)
-        g.vectors = np.array(vec_pdf["vector"].tolist(), dtype=np.float32)
+    def run_graph(pid, ids, g):
         n = len(ids)
         use_brute = strategy == "brute" or (
-            strategy == "auto" and n * len(qitems) * dim <= brute_flops_threshold
+            strategy == "auto" and n * len(qitems) * g.dim <= brute_flops_threshold
         )
+        qmat = np.stack([qv for _, qv in qitems]).astype(np.float32)
+        res = g.search_brute(qmat, k) if use_brute else g.search_fast_batch(qmat, k, ef)
         out = []
-        if use_brute:
-            # brute scoring needs no graph at all — skip reconstruction
-            g.levels = [0] * n
-            qmat = np.stack([qv for _, qv in qitems])
-            res = g.search_brute(qmat, k)
-            for (qid, _), hits in zip(qitems, res):
-                for d, nid in hits:
-                    out.append((qid, ids[nid], float(d)))
-        else:
-            # reconstruction from compact adjacency rows (ids must be
-            # unique within a partition, like the reference's UUID keys)
-            pos = {v: i for i, v in enumerate(ids)}
-            levels = np.zeros(n, dtype=np.int32)
-            vrows = idx_pdf[idx_pdf["kind"] == "vertex"]
-            levels[[pos[s] for s in vrows["src"]]] = vrows["level"].to_numpy()
-            g.levels = levels.tolist()
-            adj_rows = idx_pdf[idx_pdf["kind"] == "adj"]
-            g.adj_pad = {}
-            for lvl, grp in adj_rows.groupby("level", sort=False):
-                srcs = [pos[s] for s in grp["src"]]
-                dlists = [[pos[x] for x in d] for d in grp["dsts"]]
-                cap = max((len(d) for d in dlists), default=1)
-                mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
-                for s, d in zip(srcs, dlists):
-                    mat[s, : len(d)] = d
-                g.adj_pad[int(lvl)] = mat
-            for lvl in range(int(levels.max()) + 1):
-                g.adj_pad.setdefault(lvl, np.full((n, 1), -1, dtype=np.int32))
-            erow = idx_pdf[idx_pdf["kind"] == "entry"]
-            g.entrypoint = pos[erow["src"].iloc[0]]
-            g.norms2 = np.einsum("ij,ij->i", g.vectors, g.vectors, dtype=np.float32)
-            g.norms = np.sqrt(g.norms2)
-            qmat = np.stack([qv for _, qv in qitems]).astype(np.float32)
-            res = g.search_fast_batch(qmat, k, ef)
-            for (qid, _), hits in zip(qitems, res):
-                for d, nid in hits:
-                    out.append((qid, ids[nid], float(d)))
+        for (qid, _), hits in zip(qitems, res):
+            for d, nid in hits:
+                out.append((qid, ids[nid], float(d)))
         return pd.DataFrame(out, columns=["query_id", "id", "score"])
 
-    cogrouped = vsrc.groupBy("partition_id").cogroup(
-        index.groupBy("partition_id")
-    )
-    partials = cogrouped.applyInPandas(
-        search_one, schema="query_id STRING, id STRING, score FLOAT"
-    )
+    def get_graph(pid, idx_pdf, vec_pdf=None):
+        key = (cache_token, int(pid)) if cache_token is not None else None
+        if key is not None and key in _GRAPH_CACHE:
+            return _GRAPH_CACHE[key]
+        ids_g = _graph_from_index(idx_pdf, cfg, vec_pdf)
+        if key is not None:
+            if len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
+                _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+            _GRAPH_CACHE[key] = ids_g
+        return ids_g
+
+    if self_contained:
+
+        def search_self(key, idx_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(idx_pdf):
+                return pd.DataFrame(columns=["query_id", "id", "score"])
+            pid = key[0]
+            ids, g = get_graph(pid, idx_pdf)
+            return run_graph(pid, ids, g)
+
+        partials = index.groupBy("partition_id").applyInPandas(
+            search_self, schema="query_id STRING, id STRING, score FLOAT"
+        )
+    else:
+        if vectors is None:
+            raise ValueError("legacy vector-less index requires the vectors DataFrame")
+        vsrc = vectors.select(
+            F.col(partition_col).alias("partition_id"),
+            F.col(id_col).cast("string").alias("id"),
+            F.col(vec_col).cast("array<float>").alias("vector"),
+        )
+
+        def search_one(vec_pdf: pd.DataFrame, idx_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(vec_pdf) or not len(idx_pdf):
+                return pd.DataFrame(columns=["query_id", "id", "score"])
+            pid = int(vec_pdf["partition_id"].iloc[0])
+            ids, g = get_graph(pid, idx_pdf, vec_pdf)
+            return run_graph(pid, ids, g)
+
+        cogrouped = vsrc.groupBy("partition_id").cogroup(
+            index.groupBy("partition_id")
+        )
+        partials = cogrouped.applyInPandas(
+            search_one, schema="query_id STRING, id STRING, score FLOAT"
+        )
     # global gather: top-k per query over the partition partials
     from pyspark.sql import Window
 
@@ -829,6 +892,62 @@ def search_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "score")
     )
+
+
+def search_index_broadcast(
+    index: DataFrame,
+    queries: list[tuple[object, list[float]]],
+    k: int,
+    ef: int | None = None,
+    config: HnswConfig | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Query-parallel ANN search: broadcast the graph, partition the
+    *queries* — the serving shape for a hot index that fits one machine.
+
+    The partition-parallel `search_index` scatters every query to every
+    partition's graph (the reference's distributed read path,
+    `storage/dataset.go:390-432`); this is the reference's *benchmark*
+    shape instead (`cmd/benchmark/ann-benchmark/main.go:279-307`: NumCPU
+    workers all searching ONE resident graph).  The graph is
+    reconstructed once on the driver, broadcast, deserialized once per
+    executor, and each task beam-searches only its slice of the query
+    batch — per-query work is one graph walk, not P of them.
+
+    Use when the index is a single partition (or small enough to
+    broadcast, ≲ a few GB); at 100 TB per-dataset scale use
+    `search_index`.  Results are identical to `search_index` on a
+    single-partition index.
+    """
+    cfg = config or HnswConfig()
+    ef = max(ef or cfg.ef, k)
+    spark = index.sparkSession
+    idx_pdf = index.toPandas()
+    if not len(idx_pdf):
+        return spark.createDataFrame([], "query_id STRING, rank INT, id STRING, score FLOAT")
+    ids, g = _graph_from_index(idx_pdf, cfg)
+    bc = spark.sparkContext.broadcast((ids, g))
+
+    n_tasks = num_tasks or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    qdf = spark.createDataFrame(
+        [(str(qid), [float(x) for x in v]) for qid, v in queries],
+        "query_id STRING, query_vector ARRAY<FLOAT>",
+    ).repartition(n_tasks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_l, g_l = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.array(pdf["query_vector"].tolist(), dtype=np.float32)
+            res = g_l.search_fast_batch(qmat, k, ef)
+            out = []
+            for qid, hits in zip(pdf["query_id"], res):
+                for rank, (d, nid) in enumerate(hits, 1):
+                    out.append((qid, rank, ids_l[nid], float(d)))
+            yield pd.DataFrame(out, columns=["query_id", "rank", "id", "score"])
+
+    return qdf.mapInPandas(run, schema="query_id STRING, rank INT, id STRING, score FLOAT")
 
 
 # ---------------------------------------------------------------------------
@@ -851,7 +970,11 @@ def load_index(spark, path: str) -> DataFrame:
     """Reload a saved index (`index/hnsw_persistence.go:127-241`).
 
     Column order is normalized back to INDEX_SCHEMA order (partitionBy
-    moves the partition column to the end on disk)."""
-    return spark.read.parquet(path).select(
-        "partition_id", "kind", "src", "level", "dsts"
-    )
+    moves the partition column to the end on disk).  Indexes saved
+    before vectors were embedded load without a ``vec`` column and
+    search falls back to the cogroup path."""
+    df = spark.read.parquet(path)
+    cols = ["partition_id", "kind", "src", "level", "dsts"]
+    if "vec" in df.columns:
+        cols.append("vec")
+    return df.select(*cols)

@@ -138,7 +138,7 @@ def test_index_parquet_roundtrip(spark, spark_index, tmp_path):
     path = str(tmp_path / "index")
     save_index(idx, path)
     idx2 = load_index(spark, path)
-    assert idx2.columns == ["partition_id", "kind", "src", "level", "dsts"]
+    assert idx2.columns == ["partition_id", "kind", "src", "level", "dsts", "vec"]
     rng = np.random.default_rng(6)
     queries = [("q0", rng.normal(0, 1, 64).tolist())]
     a = search_index(idx, emb, queries, k=5, ef=50, config=cfg).collect()
@@ -164,3 +164,59 @@ def test_batch_search_matches_single(spark):
             # identical beams are not guaranteed (candidate beam is
             # width-bounded in the batch kernel) but near-total overlap is
             assert len(got & want) >= 8, (space, qi, got, want)
+
+
+def test_self_contained_search_needs_no_vectors(spark, spark_index):
+    """Vertex rows embed vectors (reference snapshot parity,
+    index/hnsw_persistence.go:71-95): search runs off the index alone and
+    matches the cogroup path bit-for-bit."""
+    emb, idx, cfg = spark_index
+    rng = np.random.default_rng(17)
+    queries = [(f"q{i}", rng.normal(0, 1, 64).tolist()) for i in range(5)]
+    a = search_index(idx, None, queries, k=7, ef=60, config=cfg).collect()
+    legacy = idx.drop("vec")
+    b = search_index(legacy, emb, queries, k=7, ef=60, config=cfg).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_legacy_index_requires_vectors(spark, spark_index):
+    _, idx, cfg = spark_index
+    with pytest.raises(ValueError, match="requires the vectors"):
+        search_index(idx.drop("vec"), None, [("q", [0.0] * 64)], 3, config=cfg)
+
+
+def test_broadcast_search_matches_partitioned(spark):
+    """Query-parallel broadcast search returns the same hits as the
+    partition-parallel path on a single-partition index."""
+    from anndb_spark.operators.hnsw import search_index_broadcast
+
+    rng = np.random.default_rng(29)
+    rows = [(str(i), rng.normal(0, 1, 32).tolist(), 0) for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "id STRING, vector ARRAY<FLOAT>, partition_id INT"
+    )
+    cfg = HnswConfig(m=8, ef_construction=80)
+    idx = build_index(emb, cfg).cache()
+    queries = [(f"q{i}", rng.normal(0, 1, 32).tolist()) for i in range(6)]
+    a = search_index(
+        idx, None, queries, k=5, ef=60, config=cfg, strategy="beam"
+    ).collect()
+    b = search_index_broadcast(idx, queries, k=5, ef=60, config=cfg).collect()
+    key = lambda rs: sorted((r["query_id"], r["id"], round(r["score"], 4)) for r in rs)
+    assert key(a) == key(b)
+
+
+def test_cache_token_serving_path(spark, spark_index):
+    """Repeated searches with a cache_token reuse worker-resident graphs
+    and stay correct (same results as the uncached path)."""
+    emb, idx, cfg = spark_index
+    rng = np.random.default_rng(23)
+    queries = [(f"q{i}", rng.normal(0, 1, 64).tolist()) for i in range(3)]
+    cold = search_index(idx, None, queries, k=5, ef=60, config=cfg).collect()
+    warm1 = search_index(
+        idx, None, queries, k=5, ef=60, config=cfg, cache_token="t1"
+    ).collect()
+    warm2 = search_index(
+        idx, None, queries, k=5, ef=60, config=cfg, cache_token="t1"
+    ).collect()
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, warm1)) == sorted(map(tuple, warm2))
