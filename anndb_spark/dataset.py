@@ -220,10 +220,16 @@ class Dataset:
         except Exception:
             return None
 
-    def search(self, query, k: int, mode: str = "auto", **kw):
+    def search(self, query, k: int, mode: str = "auto", with_metadata: bool = False, **kw):
         """Top-k search; single vector or [(query_id, vector)].  Returns
         (query_id, rank, id, score) ascending — `services/search.go:20-46`
-        semantics with the planner picking the physical path."""
+        semantics with the planner picking the physical path.
+
+        ``with_metadata=True`` adds the item's metadata map, matching the
+        reference's full ``SearchResultItem{id, metadata, score}``
+        (`protobuf/proto/search.proto:22-26`).  The result side is |Q|·k
+        rows, so Catalyst broadcasts it against the state table — the
+        big side never shuffles."""
         from anndb_spark.plans.planner import knn
 
         queries = [("0", list(query))] if not isinstance(query, list) or (
@@ -238,6 +244,18 @@ class Dataset:
             index=kw.pop("index", self.index() if mode in ("auto", "ann") else None),
             **kw,
         )
+        if with_metadata:
+            # inner join is exact here: result ids come from this same
+            # state table.  Broadcasting the tiny result side makes it
+            # the hash build side (BuildLeft) — the state scan streams.
+            meta = self.state().select(
+                F.col("id").alias("_mid"), "metadata"
+            )
+            res = (
+                F.broadcast(res)
+                .join(meta, res["id"] == meta["_mid"])
+                .select(*res.columns, "metadata")
+            )
         return res
 
     # --- SizeInfo (O26) -------------------------------------------------

@@ -112,6 +112,21 @@ def test_ann_search_after_build_index(spark, db):
     assert len(set(ids) & want) >= 9
 
 
+def test_search_with_metadata(spark, db):
+    """with_metadata returns the full SearchResultItem contract
+    (protobuf/proto/search.proto:22-26): id, metadata, score."""
+    ds = db.create_dataset("wm", dimension=4, partition_count=2)
+    rows, df = _vec_rows(spark, 40, 4, seed=9)
+    ds.insert(df)
+    ds.compact()
+    got = ds.search(rows[5][1], 3, with_metadata=True).orderBy("rank").collect()
+    assert len(got) == 3
+    assert got[0]["id"] == rows[5][0]
+    by_id = {r_id: m for r_id, _, m in rows}
+    for r in got:
+        assert r["metadata"] == by_id[r["id"]]
+
+
 def test_pending_changes_invisible_until_compact(spark, db):
     ds = db.create_dataset("pend", dimension=4)
     ds.insert(
