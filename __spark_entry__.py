@@ -442,6 +442,39 @@ def _ann_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_avg(ann, exact, K)
 
 
+def _ann_routed_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the cluster-routed IVF×HNSW hybrid vs the exact
+    oracle across nprobe (2/4/8 of 8 cells) — the 100 TB search shape:
+    per-query work is nprobe graph walks, not one per partition, and a
+    cluster-partitioned index prunes at scan time (rows-only check)."""
+    from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index_routed
+    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+    from anndb_spark.operators.recall import recall_avg
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    cent = train_centroids(emb, 8, sample_n=50_000)
+    assigned = assign_clusters(emb, cent).cache()
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(assigned, cfg, partition_col="cluster_id").cache()
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    exact = knn_exact(
+        emb.select("id", "vector"), _queries_df(spark, EMBEDDING_QUERIES), K
+    )
+    curves = None
+    for nprobe in (2, 4, 8):
+        ann = search_index_routed(
+            idx, qs, k=K, centroids=cent, nprobe=nprobe, ef=100, config=cfg
+        )
+        r = recall_avg(ann, exact, K).select(
+            F.lit(nprobe).alias("nprobe"), F.col("avg_recall")
+        )
+        curves = r if curves is None else curves.unionByName(r)
+    return curves.orderBy("nprobe")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: single-query exact kNN over lineitem_vec at sf0.001
     (TakeOrderedAndProject partial+final top-k)."""
@@ -467,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at10": _ann_recall_at10,
         "ivf_embeddings_top10": _ivf_embeddings_top10,
         "ivf_recall_at10": _ivf_recall_at10,
+        "ann_routed_recall_at10": _ann_routed_recall_at10,
         "quality_score_documents": _quality_score_documents,
         "token_counts_documents": _token_counts_documents,
         "multimodal_features": _multimodal_features,

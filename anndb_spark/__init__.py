@@ -33,6 +33,7 @@ from anndb_spark.operators.hnsw import (  # noqa: F401
     save_index,
     search_index,
     search_index_broadcast,
+    search_index_routed,
 )
 from anndb_spark.operators.ivf import (  # noqa: F401
     assign_clusters,

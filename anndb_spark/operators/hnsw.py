@@ -950,6 +950,94 @@ def search_index_broadcast(
     return qdf.mapInPandas(run, schema="query_id STRING, rank INT, id STRING, score FLOAT")
 
 
+def search_index_routed(
+    index: DataFrame,
+    queries: list[tuple[object, list[float]]],
+    k: int,
+    centroids,
+    nprobe: int = 8,
+    ef: int | None = None,
+    config: HnswConfig | None = None,
+    strategy: str = "auto",
+    brute_flops_threshold: float = 1e8,
+    cache_token: str | None = None,
+) -> DataFrame:
+    """Cluster-routed ANN search — the IVF×HNSW hybrid, the 100 TB shape.
+
+    Build the index over *cluster-assigned* vectors
+    (`ivf.assign_clusters` → `build_index(partition_col='cluster_id')`)
+    so each graph partition is a coarse k-means cell; then each query
+    beam-searches only its ``nprobe`` nearest cells' graphs instead of
+    every partition.  Per-query work drops from P graph walks (the flat
+    `search_index` scatter, `storage/dataset.go:390-432`) to nprobe —
+    and because only probed partitions are scanned, an index persisted
+    ``partitionBy(partition_id)`` turns routing into parquet partition
+    pruning: nprobe/P of the index bytes are read.
+
+    Routing runs on the driver (a |Q|×K distance matrix over the small
+    centroid array); each task receives only its partition's query
+    slice via the closure.  Recall is governed by nprobe exactly like
+    IVF (`ivf.search_ivf`), on top of the per-graph beam's ef.
+    ``nprobe >= n_clusters`` degrades to the flat scatter.
+    """
+    if "vec" not in index.columns:
+        raise ValueError("routed search requires a self-contained index (vec column)")
+    from anndb_spark.operators.ivf import _pairwise
+
+    cfg = config or HnswConfig()
+    ef = max(ef or cfg.ef, k)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, cent.shape[0])
+    qids = [qid for qid, _ in queries]
+    qmat = np.array([v for _, v in queries], dtype=np.float32)
+    d = _pairwise(qmat.astype(np.float64), cent, cfg.space)
+    probes = np.argpartition(d, min(nprobe - 1, d.shape[1] - 1), axis=1)[:, :nprobe]
+    by_pid: dict[int, list[int]] = {}
+    for qi, ps in enumerate(probes):
+        for p in ps:
+            by_pid.setdefault(int(p), []).append(qi)
+
+    # scan-time pruning: only probed partitions are read at all
+    pruned = index.filter(F.col("partition_id").isin(sorted(by_pid)))
+
+    def search_part(key, idx_pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        qsel = by_pid.get(pid)
+        if not qsel or not len(idx_pdf):
+            return pd.DataFrame(columns=["query_id", "id", "score"])
+        ckey = (cache_token, pid) if cache_token is not None else None
+        if ckey is not None and ckey in _GRAPH_CACHE:
+            ids, g = _GRAPH_CACHE[ckey]
+        else:
+            ids, g = _graph_from_index(idx_pdf, cfg)
+            if ckey is not None:
+                if len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
+                    _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+                _GRAPH_CACHE[ckey] = (ids, g)
+        sub = qmat[qsel]
+        use_brute = strategy == "brute" or (
+            strategy == "auto" and len(ids) * len(qsel) * g.dim <= brute_flops_threshold
+        )
+        res = g.search_brute(sub, k) if use_brute else g.search_fast_batch(sub, k, ef)
+        out = []
+        for qi, hits in zip(qsel, res):
+            for dist, nid in hits:
+                out.append((str(qids[qi]), ids[nid], float(dist)))
+        return pd.DataFrame(out, columns=["query_id", "id", "score"])
+
+    partials = pruned.groupBy("partition_id").applyInPandas(
+        search_part, schema="query_id STRING, id STRING, score FLOAT"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Index persistence (the reference's binary snapshot, columnar)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,33 @@ def main():
     extra["baseline_build_inserts_per_s_m16"] = 3382.0
     extra["baseline_search_q_per_s_m16"] = 26112.0
 
+    # q4b: cluster-routed IVF×HNSW — the 100 TB search shape: the index
+    # is partitioned by coarse k-means cell and each query walks only
+    # nprobe=4 of 32 graphs (plus worker-cached reconstruction),
+    # instead of the flat scatter's one-walk-per-partition
+    from anndb_spark.operators.hnsw import search_index_routed
+    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+
+    cent_r = train_centroids(sample, 32, sample_n=50_000)
+    assigned_r = assign_clusters(sample.select("id", "vector"), cent_r)
+    idx_r = build_index(assigned_r, cfg, partition_col="cluster_id").cache()
+    idx_r.count()
+    # warm pass primes the per-worker graph cache (serving shape)
+    search_index_routed(
+        idx_r, queries[:8], 10, cent_r, nprobe=4, ef=50, config=cfg,
+        cache_token="bench", strategy="beam",
+    ).collect()
+    timed(
+        "hnsw_search_1kq_routed",
+        lambda: search_index_routed(
+            idx_r, queries, 10, cent_r, nprobe=4, ef=50, config=cfg,
+            cache_token="bench", strategy="beam",
+        ).collect(),
+    )
+    extra["hnsw_search_q_per_s_routed"] = round(
+        1000 / timings["hnsw_search_1kq_routed"], 1
+    )
+
     # q5: CRUD changelog compaction (full sf changelog)
     from anndb_spark.operators.crud import apply_changes_sql, split_state
 

@@ -206,6 +206,66 @@ def test_broadcast_search_matches_partitioned(spark):
     assert key(a) == key(b)
 
 
+def test_routed_search_full_probe_matches_flat(spark):
+    """IVF×HNSW hybrid: with nprobe = n_clusters the routed search
+    degrades to the flat scatter and returns identical results."""
+    from anndb_spark.operators.hnsw import search_index_routed
+    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+
+    rng = np.random.default_rng(31)
+    rows = [(str(i), rng.normal(0, 1, 16).tolist()) for i in range(600)]
+    emb = spark.createDataFrame(rows, "id STRING, vector ARRAY<FLOAT>")
+    cent = train_centroids(emb, 8, seed=1)
+    assigned = assign_clusters(emb, cent)
+    cfg = HnswConfig(m=8, ef_construction=80)
+    idx = build_index(assigned, cfg, partition_col="cluster_id").cache()
+    queries = [(f"q{i}", rng.normal(0, 1, 16).tolist()) for i in range(5)]
+    flat = search_index(
+        idx, None, queries, k=5, ef=60, config=cfg, strategy="beam"
+    ).collect()
+    routed = search_index_routed(
+        idx, queries, k=5, centroids=cent, nprobe=8, ef=60, config=cfg,
+        strategy="beam",
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, routed))
+
+
+def test_routed_search_recall(spark):
+    """nprobe ≪ n_clusters still recovers most true neighbors (IVF
+    pruning on top of the graph beam)."""
+    from anndb_spark.operators.hnsw import search_index_routed
+    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+
+    rng = np.random.default_rng(37)
+    # blobbed data — the workload coarse quantization serves; on
+    # structureless uniform noise nprobe pruning necessarily loses
+    # recall (that's IVF semantics, not a bug)
+    blobs = rng.normal(0, 10, (16, 16)).astype(np.float32)
+    mat = (blobs[rng.integers(0, 16, 2000)] + rng.normal(0, 1, (2000, 16))).astype(
+        np.float32
+    )
+    rows = [(str(i), mat[i].tolist()) for i in range(2000)]
+    emb = spark.createDataFrame(rows, "id STRING, vector ARRAY<FLOAT>")
+    cent = train_centroids(emb, 16, seed=2)
+    assigned = assign_clusters(emb, cent)
+    cfg = HnswConfig(m=8, ef_construction=80)
+    idx = build_index(assigned, cfg, partition_col="cluster_id").cache()
+    qsrc = blobs[rng.integers(0, 16, 20)] + rng.normal(0, 1, (20, 16))
+    queries = [(f"q{i}", qsrc[i].tolist()) for i in range(20)]
+    got = search_index_routed(
+        idx, queries, k=10, centroids=cent, nprobe=4, ef=80, config=cfg
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(int(r["id"]))
+    hits = 0
+    for qid, qv in queries:
+        d = np.linalg.norm(mat - np.asarray(qv, dtype=np.float32), axis=1)
+        exact = set(np.argsort(d, kind="stable")[:10].tolist())
+        hits += len(by_q.get(qid, set()) & exact)
+    assert hits / (10 * len(queries)) >= 0.8
+
+
 def test_cache_token_serving_path(spark, spark_index):
     """Repeated searches with a cache_token reuse worker-resident graphs
     and stay correct (same results as the uncached path)."""
