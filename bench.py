@@ -194,6 +194,15 @@ def main():
     )
     extra["knn_join_rows_per_s"] = round(2000 / timings["knn_join_ivf_2k"], 1)
 
+    # q11b: the same join EXACT via the BLAS gemm kernel — all |L|·|R|
+    # scores, one GEMM per Arrow batch (the HOF expression path is
+    # interpreted; gemm measured 33× faster on this shape)
+    timed(
+        "knn_join_gemm_2k",
+        lambda: knn_join(join_left, emb, 5, mode="gemm", exclude_self=True).collect(),
+    )
+    extra["knn_join_gemm_rows_per_s"] = round(2000 / timings["knn_join_gemm_2k"], 1)
+
     # q12: MinHash-LSH near-dup candidate pairs over documents
     timed(
         "dedup_minhash_pairs",

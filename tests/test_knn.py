@@ -162,3 +162,45 @@ def test_knn_join_ivf_partial_probe_recall(spark, join_sides):
         hits += len(ids & set(want[lid]))
         total += 5
     assert hits / total >= 0.6
+
+
+def test_knn_exact_gemm_kernel_matches_expr(spark, small_vectors):
+    """GEMM kernel returns the same ids/ranks as the expression path;
+    scores agree to float tolerance (different summation order)."""
+    df, rows = small_vectors
+    rng = np.random.default_rng(13)
+    queries = spark.createDataFrame(
+        [(str(i), rng.normal(0, 10, 16).tolist()) for i in range(4)],
+        "query_id STRING, query_vector ARRAY<DOUBLE>",
+    )
+    for space in ("euclidean", "manhattan", "cosine"):
+        a = knn_exact(df, queries, 7, space=space).collect()
+        b = knn_exact(df, queries, 7, space=space, kernel="gemm").collect()
+        ka = sorted((r["query_id"], r["rank"], r["id"]) for r in a)
+        kb = sorted((r["query_id"], r["rank"], r["id"]) for r in b)
+        assert ka == kb, space
+        sa = {(r["query_id"], r["id"]): r["score"] for r in a}
+        for r in b:
+            assert sa[(r["query_id"], r["id"])] == pytest.approx(r["score"], rel=1e-9)
+
+
+def test_knn_join_gemm_matches_exact(spark, join_sides):
+    from anndb_spark.operators.knn import knn_join
+
+    ldf, lrows, rdf, rrows = join_sides
+    a = knn_join(ldf, rdf, 5).collect()
+    b = knn_join(ldf, rdf, 5, mode="gemm").collect()
+    assert sorted((r["left_id"], r["rank"], r["right_id"]) for r in a) == sorted(
+        (r["left_id"], r["rank"], r["right_id"]) for r in b
+    )
+    # self-join with identity exclusion
+    c = knn_join(rdf, rdf, 3, exclude_self=True, mode="gemm").collect()
+    want = _brute_join(rrows, rrows, 3, exclude_self=True)
+    assert all(r["left_id"] != r["right_id"] for r in c)
+    for lid in want:
+        ids = [
+            r["right_id"]
+            for r in sorted(c, key=lambda r: r["rank"])
+            if r["left_id"] == lid
+        ]
+        assert ids == want[lid]
