@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from anndb_spark.functions.spaces import distance_col
+from anndb_spark.utils import ensure_parallelism
 
 
 # --- shingling + MinHash ---------------------------------------------------
@@ -95,7 +96,8 @@ def minhash_signatures(
     """(id, shingles, sig) for docs with >= shingle_n words."""
     w = words_col(F.col(text_col))
     return (
-        df.filter(F.size(w) >= shingle_n)
+        ensure_parallelism(df)
+        .filter(F.size(w) >= shingle_n)
         .select(
             F.col(id_col).alias("id"),
             shingles_col(F.col(text_col), shingle_n).alias("shingles"),
@@ -162,6 +164,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Brute-force all-pairs shingle-jaccard similarity join (exact
     small-scale baseline for minhash_lsh_pairs; O(N²) — use LSH at scale)."""
+    df = ensure_parallelism(df)
     sh = df.filter(F.size(words_col(F.col(text_col))) >= shingle_n).select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
     )
@@ -206,6 +209,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance (candidate generation by
     exact-signature buckets plus one-bit-off buckets would scale further;
     here pairs are blocked by the signature's high byte)."""
+    df = ensure_parallelism(df)
     sigs = df.select(
         F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sig")
     ).withColumn("blk", F.shiftright("sig", 8))

@@ -108,14 +108,15 @@ def _gemm_partial_topk(
 
     from anndb_spark.operators.ivf import _pairwise
 
-    spark = vectors.sparkSession
-    src = vectors.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.col(vec_col).alias("vector"),
+    from anndb_spark.utils import ensure_parallelism
+
+    src = ensure_parallelism(
+        vectors.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(vec_col).alias("vector"),
+        ),
+        min_parallelism,
     )
-    minp = min_parallelism or spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < minp:
-        src = src.repartition(minp)
     qm = np.ascontiguousarray(qmat, dtype=np.float64)
     qid_arr = [str(q) for q in qids]
 
