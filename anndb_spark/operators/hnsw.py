@@ -34,8 +34,9 @@ distance evaluations stand in for the reference's SIMD kernels).
 from __future__ import annotations
 
 import heapq
+import json
 import math
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -653,6 +654,12 @@ INDEX_SCHEMA = (
 #                 ~m× fewer rows to shuffle/scan than an edge list)
 #       'vertex'— src's top level + its vector (`vec`)
 #       'entry' — the partition's entrypoint id + its level
+#       'config'— the build HnswConfig as JSON in `src` — the analogue of
+#                 the reference snapshot's leading config header
+#                 (index/hnsw_persistence.go:45-70, index/config.go:150-216).
+#                 Search restores it when no explicit config is given and
+#                 rejects a space-mismatched explicit config instead of
+#                 silently returning wrong neighbors.
 # Vertex rows carry the vector, exactly like the reference snapshot's
 # vertex blocks (index/hnsw_persistence.go:71-95) — the index is
 # SELF-CONTAINED: search scans/shuffles one table instead of cogrouping
@@ -726,9 +733,40 @@ def _build_one_graph(pid: int, pdf: pd.DataFrame, cfg: HnswConfig) -> pd.DataFra
                 rows.append((pid, "adj", ids[i], lvl, [ids[n] for n in sorted(ns)], None))
     if g.entrypoint >= 0:
         rows.append((pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None, None))
+    rows.append((pid, "config", config_to_json(cfg), None, None, None))
     return pd.DataFrame(
         rows, columns=["partition_id", "kind", "src", "level", "dsts", "vec"]
     )
+
+
+def config_to_json(cfg: HnswConfig) -> str:
+    return json.dumps(asdict(cfg), sort_keys=True)
+
+
+def config_from_json(s: str) -> HnswConfig:
+    return HnswConfig(**json.loads(s))
+
+
+def get_index_config(index: DataFrame) -> HnswConfig | None:
+    """Read the persisted build config from an index DataFrame (the
+    snapshot config header, index/hnsw_persistence.go:45-70).  Returns
+    None for pre-config indexes."""
+    rows = index.filter(F.col("kind") == "config").select("src").head(1)
+    return config_from_json(rows[0][0]) if rows else None
+
+
+def _check_config(idx_pdf: pd.DataFrame, cfg: HnswConfig) -> None:
+    """Raise if the search config's space disagrees with the index's
+    persisted build config (task-side: no extra driver job per search)."""
+    crows = idx_pdf[idx_pdf["kind"] == "config"]
+    if len(crows):
+        stored = json.loads(crows["src"].iloc[0])
+        if stored.get("space") != cfg.space:
+            raise ValueError(
+                f"index was built with space={stored.get('space')!r} but "
+                f"search config requests space={cfg.space!r}; pass a "
+                "matching config or omit it to use the persisted one"
+            )
 
 
 # Reused-python-worker graph cache: reconstructed graphs survive across
@@ -747,6 +785,7 @@ def _graph_from_index(
 ):
     """Reconstruct (ids, HnswGraph) from index rows; vectors come from the
     index's own vertex rows (self-contained) unless ``vec_pdf`` given."""
+    _check_config(idx_pdf, cfg)
     vrows = idx_pdf[idx_pdf["kind"] == "vertex"]
     if vec_pdf is not None:
         ids = vec_pdf["id"].tolist()
@@ -819,8 +858,12 @@ def search_index(
     ``cache_token``: stable string enabling the reused-worker graph
     cache for serving workloads; pass a NEW token whenever the index is
     rebuilt (stale tokens would serve the old graph).
+
+    ``config=None`` restores the config persisted in the index (the
+    snapshot header); an explicit config whose space disagrees with the
+    persisted one raises instead of silently mis-scoring.
     """
-    cfg = config or HnswConfig()
+    cfg = config or get_index_config(index) or HnswConfig()
     ef = max(ef or cfg.ef, k)
     qitems = [(qid, np.asarray(v, dtype=np.float32)) for qid, v in queries]
     self_contained = "vec" in index.columns
@@ -919,7 +962,7 @@ def search_index_broadcast(
     `search_index`.  Results are identical to `search_index` on a
     single-partition index.
     """
-    cfg = config or HnswConfig()
+    cfg = config or get_index_config(index) or HnswConfig()
     ef = max(ef or cfg.ef, k)
     spark = index.sparkSession
     idx_pdf = index.toPandas()
@@ -984,7 +1027,7 @@ def search_index_routed(
         raise ValueError("routed search requires a self-contained index (vec column)")
     from anndb_spark.operators.ivf import _pairwise
 
-    cfg = config or HnswConfig()
+    cfg = config or get_index_config(index) or HnswConfig()
     ef = max(ef or cfg.ef, k)
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
     nprobe = min(nprobe, cent.shape[0])

@@ -266,6 +266,46 @@ def test_routed_search_recall(spark):
     assert hits / (10 * len(queries)) >= 0.8
 
 
+def test_config_persisted_and_restored(spark, tmp_path):
+    """Snapshot config-header parity (index/hnsw_persistence.go:45-70,
+    index/config.go:150-216): build cosine → save → load → search with no
+    config restores the cosine space; an explicit mismatched config
+    errors instead of silently mis-scoring."""
+    from anndb_spark.operators.hnsw import (
+        get_index_config,
+        load_index,
+        save_index,
+    )
+    from anndb_spark.operators.knn import knn_exact
+
+    rng = np.random.default_rng(41)
+    rows = [(str(i), rng.normal(0, 1, 16).tolist(), int(i % 2)) for i in range(500)]
+    emb = spark.createDataFrame(
+        rows, "id STRING, vector ARRAY<FLOAT>, partition_id INT"
+    )
+    cfg = HnswConfig(m=8, ef_construction=80, space="cosine")
+    idx = build_index(emb, cfg)
+    path = str(tmp_path / "cosidx")
+    save_index(idx, path)
+    idx2 = load_index(spark, path)
+    stored = get_index_config(idx2)
+    assert stored is not None and stored.space == "cosine" and stored.m == 8
+    queries = [("q0", rng.normal(0, 1, 16).tolist())]
+    ann = search_index(idx2, None, queries, k=5, ef=80).collect()
+    qdf = spark.createDataFrame(
+        [(q, v) for q, v in queries], "query_id STRING, query_vector ARRAY<DOUBLE>"
+    )
+    exact = knn_exact(emb.select("id", "vector"), qdf, 5, space="cosine").collect()
+    got = {r["id"] for r in ann}
+    want = {r["id"] for r in exact}
+    assert len(got & want) >= 4, (got, want)
+    with pytest.raises(Exception, match="space"):
+        search_index(
+            idx2, None, queries, k=5,
+            config=HnswConfig(m=8, space="euclidean"),
+        ).collect()
+
+
 def test_cache_token_serving_path(spark, spark_index):
     """Repeated searches with a cache_token reuse worker-resident graphs
     and stay correct (same results as the uncached path)."""
