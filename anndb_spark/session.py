@@ -28,6 +28,10 @@ def get_spark(app_name: str = "anndb-spark", cpus: int | None = None) -> SparkSe
         # vectors are wide rows; keep scan splits moderate so a partition's
         # graph/vector block fits executor memory at large SF
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # split small file scans to at least core count: per-row compute
+        # (md5 HOFs, GEMM batches) needs parallelism even when bytes are
+        # tiny; at 100 TB the scan exceeds this anyway (no-op)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -206,6 +206,28 @@ def test_broadcast_search_matches_partitioned(spark):
     assert key(a) == key(b)
 
 
+def test_broadcast_row_cap_falls_back(spark):
+    """An index over the broadcast cap is never collected: the call
+    reroutes to the partition-parallel scatter with identical results."""
+    from anndb_spark.operators.hnsw import search_index_broadcast
+
+    rng = np.random.default_rng(43)
+    rows = [(str(i), rng.normal(0, 1, 16).tolist(), 0) for i in range(300)]
+    emb = spark.createDataFrame(rows, "id STRING, vector ARRAY<FLOAT>, partition_id INT")
+    cfg = HnswConfig(m=8, ef_construction=80)
+    idx = build_index(emb, cfg).cache()
+    queries = [(f"q{i}", rng.normal(0, 1, 16).tolist()) for i in range(4)]
+    flat = search_index(
+        idx, None, queries, k=5, ef=60, config=cfg, strategy="beam"
+    ).collect()
+    with pytest.warns(UserWarning, match="partition-parallel"):
+        guarded = search_index_broadcast(
+            idx, queries, k=5, ef=60, config=cfg, broadcast_row_cap=10
+        ).collect()
+    key = lambda rs: sorted((r["query_id"], r["id"]) for r in rs)  # noqa: E731
+    assert key(flat) == key(guarded)
+
+
 def test_routed_search_full_probe_matches_flat(spark):
     """IVF×HNSW hybrid: with nprobe = n_clusters the routed search
     degrades to the flat scatter and returns identical results."""

@@ -204,3 +204,38 @@ def test_knn_join_gemm_matches_exact(spark, join_sides):
             if r["left_id"] == lid
         ]
         assert ids == want[lid]
+
+
+def test_gemm_collect_guard_knn_exact(spark, small_vectors):
+    """Oversized query side must not be collected: gemm falls back to the
+    expr kernel (exact, no driver collect) with a warning."""
+    vecs, rows = small_vectors
+    qdf = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(3)], "query_id INT, query_vector ARRAY<DOUBLE>"
+    )
+    with pytest.warns(UserWarning, match="expr"):
+        guarded = knn_exact(vecs, qdf, 5, kernel="gemm", gemm_collect_cap=2)
+        got = sorted(map(tuple, guarded.select("query_id", "rank", "id").collect()))
+    want = sorted(
+        map(tuple, knn_exact(vecs, qdf, 5).select("query_id", "rank", "id").collect())
+    )
+    assert got == want
+
+
+def test_gemm_collect_guard_knn_join(spark, join_sides):
+    """Oversized left side reroutes gemm → bucketed ivf path instead of a
+    driver collect; results stay rank-bounded and well-formed."""
+    from anndb_spark.operators.knn import knn_join
+
+    left, lrows, right, rrows = join_sides
+    with pytest.warns(UserWarning, match="ivf"):
+        res = knn_join(
+            left, right, 3, mode="gemm", gemm_collect_cap=5
+        ).collect()
+    assert len(res) > 0
+    by_left = {}
+    for r in res:
+        by_left.setdefault(r["left_id"], []).append(r["rank"])
+    for ranks in by_left.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
