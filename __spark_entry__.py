@@ -556,6 +556,28 @@ def _simhash_oracle(bits: int = 16) -> str:
     )
 
 
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:
+    """Pigeonhole bit-banded SimHash pairs — the same (offset, width)
+    bands as `dedup.simhash_pairs`, so candidate generation is lossless
+    on both sides (a ≤max_hamming pair must agree on ≥1 band)."""
+    from anndb_spark.operators.dedup import simhash_band_bounds
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, (sig >> {off}) & {(1 << width) - 1} AS val FROM s"
+        for b, (off, width) in enumerate(simhash_band_bounds(bits, max_hamming))
+    )
+    return f"""
+        WITH s AS ({_simhash_oracle(bits)}),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.id AS id_a, a.sig AS sig_a,
+                        b2.id AS id_b, b2.sig AS sig_b
+                 FROM bands a JOIN bands b2
+                   ON a.band = b2.band AND a.val = b2.val AND a.id < b2.id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
 def _langid_oracle() -> str:
     from anndb_spark.operators.text import LANG_PROFILES
 
@@ -811,14 +833,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.8
         """,
         "simhash_documents": _simhash_oracle(),
-        "simhash_pairs_documents": f"""
-            WITH s AS ({_simhash_oracle()}),
-            b AS (SELECT id, sig, sig >> 8 AS blk FROM s)
-            SELECT a.id AS id_a, b2.id AS id_b,
-                   CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
-            FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id < b2.id
-            WHERE bit_count(xor(a.sig, b2.sig)) <= 2
-        """,
+        "simhash_pairs_documents": _simhash_pairs_oracle(),
         "token_counts_documents": """
             SELECT doc_id AS id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -100,3 +100,63 @@ def test_text_stats_consistency(spark):
     for row in r[:50]:
         assert row["n_unique_tokens"] <= row["n_tokens"]
         assert 0 <= row["stopword_ratio"] <= 1
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole bit-banding recall check: the banded equi-join must
+    find EVERY pair within max_hamming (differential vs the O(N²) brute
+    hamming over the same signatures) — including pairs whose differing
+    bits fall in the old high-byte block (bits 8-15), which the previous
+    shiftright(sig, 8) blocking silently missed."""
+    from anndb_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {
+        r["id"]: r["sig"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"), simhash_col(F.col("text")).alias("sig")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 2:
+                want.add((a, b))
+    got_rows = simhash_pairs(docs).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want
+    # at least one recovered pair differs inside the old block byte
+    old_block_missed = [
+        (a, b) for a, b in got if (sigs[a] >> 8) != (sigs[b] >> 8)
+    ]
+    assert old_block_missed, "expected pairs the high-byte blocking would miss"
+
+
+def test_minhash_fast_kernel_bit_identical(spark):
+    """The Arrow md5 kernel must reproduce the expression path's
+    signatures exactly (same md5-hex definition) — that's what makes it
+    safe as the default under oracle-checked queries."""
+    from anndb_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        minhash_signatures_fast,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    slow = {
+        r["id"]: (tuple(r["shingles"]), tuple(r["sig"]))
+        for r in minhash_signatures(docs).collect()
+    }
+    fast = {
+        r["id"]: (tuple(r["shingles"]), tuple(r["sig"]))
+        for r in minhash_signatures_fast(docs).collect()
+    }
+    assert slow == fast
+    p_slow = sorted(
+        map(tuple, minhash_lsh_pairs(docs, threshold=0.5, kernel="expr").collect())
+    )
+    p_fast = sorted(
+        map(tuple, minhash_lsh_pairs(docs, threshold=0.5, kernel="fast").collect())
+    )
+    assert p_slow == p_fast
