@@ -41,14 +41,17 @@ def to_dialect(sql: str, dialect: str) -> str:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events has a TIMESTAMP(NANOS) column, which Spark's parquet reader
-    rejects; read nanos as long and convert to a microsecond TIMESTAMP
-    (sub-microsecond precision is not used by any query)."""
+    """events.ts arrives either as a real TIMESTAMP (micros) or as
+    TIMESTAMP(NANOS), which Spark's parquet reader only accepts as a
+    long; normalize both to a microsecond TIMESTAMP (sub-microsecond
+    precision is not used by any query)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return ev
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
