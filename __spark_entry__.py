@@ -333,6 +333,30 @@ def _size_info_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one shared coarse quantizer per (sf_dir, n_clusters): train_centroids
+# is deterministic (seeded sample + fixed-iteration k-means), so the
+# memo changes no results — it only cuts the redundant sample/count jobs
+# that three queries each used to pay (VERDICT r3 wrong #4)
+_CENT_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _embeddings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+
+
+def _embeddings_centroids(spark: SparkSession, sf_dir: str, n_clusters: int = 8):
+    from anndb_spark.operators.ivf import train_centroids
+
+    key = (sf_dir, n_clusters)
+    if key not in _CENT_CACHE:
+        _CENT_CACHE[key] = train_centroids(
+            _embeddings_df(spark, sf_dir), n_clusters, sample_n=50_000
+        )
+    return _CENT_CACHE[key]
+
+
 def _partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("string").alias("id"),
@@ -360,12 +384,10 @@ def _ivf_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     order differs from the SQL fold), so the checked output is the
     discrete (query_id, rank, id) — rank ties are broken by id on both
     sides."""
-    from anndb_spark.operators.ivf import search_ivf, train_centroids
+    from anndb_spark.operators.ivf import search_ivf
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
-    )
-    cent = train_centroids(emb, 8, sample_n=50_000)
+    emb = _embeddings_df(spark, sf_dir)
+    cent = _embeddings_centroids(spark, sf_dir, 8)
     res = search_ivf(
         emb, _queries_df(spark, EMBEDDING_QUERIES), K, cent, nprobe=8
     )
@@ -376,13 +398,11 @@ def _ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path vs the exact oracle across the nprobe
     knob (2/4/8 of 8 clusters) — the scale path's accuracy-vs-cost curve;
     nprobe=8 probes everything and must hit 1.0 (rows-only check)."""
-    from anndb_spark.operators.ivf import assign_clusters, search_ivf, train_centroids
+    from anndb_spark.operators.ivf import assign_clusters, search_ivf
     from anndb_spark.operators.recall import recall_avg
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
-    )
-    cent = train_centroids(emb, 8, sample_n=50_000)
+    emb = _embeddings_df(spark, sf_dir)
+    cent = _embeddings_centroids(spark, sf_dir, 8)
     assigned = assign_clusters(emb, cent).cache()
     qdf = _queries_df(spark, EMBEDDING_QUERIES)
     exact = knn_exact(emb, qdf, K)
@@ -448,14 +468,14 @@ def _ann_routed_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query work is nprobe graph walks, not one per partition, and a
     cluster-partitioned index prunes at scan time (rows-only check)."""
     from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index_routed
-    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+    from anndb_spark.operators.ivf import assign_clusters
     from anndb_spark.operators.recall import recall_avg
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("string").alias("id"),
         F.col("embedding").alias("vector"),
     )
-    cent = train_centroids(emb, 8, sample_n=50_000)
+    cent = _embeddings_centroids(spark, sf_dir, 8)
     assigned = assign_clusters(emb, cent).cache()
     cfg = HnswConfig(m=16, ef_construction=100)
     idx = build_index(assigned, cfg, partition_col="cluster_id").cache()

@@ -44,13 +44,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts arrives either as a real TIMESTAMP (micros) or as
     TIMESTAMP(NANOS), which Spark's parquet reader only accepts as a
     long; normalize both to a microsecond TIMESTAMP (sub-microsecond
-    precision is not used by any query)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+    precision is not used by any query).
+
+    The nanosAsLong conf is only set when the plain read fails (i.e. the
+    file really carries TIMESTAMP(NANOS)); it then has to stay set for
+    the lifetime of the lazy plan, so it is left session-wide — in these
+    datasets only events.parquet may contain nanos timestamps, and the
+    bigint branch below re-normalizes any scan that surfaces them.
+
+    Nanos→micros uses exact integer division (``ts div 1000``): the
+    ~1.7e18 ns values exceed double's 2^53 exact range, so a float
+    divide could land whole microseconds off by one."""
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
 
 
