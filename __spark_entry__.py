@@ -261,6 +261,18 @@ def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 16-bit variant kept for the compact oracle; saturated at corpus
+    # scale (~40% of all pairs flagged) — the production default is 64-bit
+    from anndb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), bits=16, max_hamming=2
+    )
+
+
+def _simhash64_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production 64-bit SimHash near-dup pairs (two md5 halves,
+    pigeonhole-banded candidate join) — the operator's default config."""
     from anndb_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -531,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "simhash_documents": _simhash_documents,
         "simhash_pairs_documents": _simhash_pairs_documents,
+        "simhash64_pairs_documents": _simhash64_pairs_documents,
         "embedding_neardup": _embedding_neardup,
         "knn_join_embeddings": _knn_join_embeddings,
         "random_vectors_orders": _random_vectors_orders,
@@ -560,19 +573,25 @@ def _minhash_sig_cte(num_hashes: int = 8) -> str:
     )
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_terms(bits: int, salt: str = "") -> str:
+    """The per-bit CASE sum of a (≤32-bit) SimHash half in DuckDB SQL —
+    same md5-hex scheme as `dedup.simhash_col(bits, salt)`."""
+    hashed = f"md5('{salt}' || x)" if salt else "md5(x)"
     terms = []
     for j in range(bits):
         terms.append(
             f"CASE WHEN list_sum(list_transform(ws, x -> CASE WHEN "
-            f"substr(md5(x), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+            f"substr({hashed}, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
             f"THEN {1 << j} ELSE 0 END"
         )
-    total = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
     return (
         "WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) ws "
         "FROM documents) "
-        f"SELECT doc_id AS id, CAST({total} AS BIGINT) AS sig FROM w"
+        f"SELECT doc_id AS id, CAST({_simhash_terms(bits)} AS BIGINT) AS sig FROM w"
     )
 
 
@@ -595,6 +614,48 @@ def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:
                    ON a.band = b2.band AND a.val = b2.val AND a.id < b2.id)
         SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+def _simhash64_band_val_sql(off: int, width: int) -> str:
+    """DuckDB mirror of `dedup.simhash64_band_val` (straddle-aware)."""
+    mask = (1 << width) - 1
+    if off >= 32:
+        return f"(hi >> {off - 32}) & {mask}"
+    if off + width <= 32:
+        return f"(lo >> {off}) & {mask}"
+    low_w = 32 - off
+    return (
+        f"((lo >> {off}) & {(1 << low_w) - 1}) + "
+        f"((hi & {(1 << (width - low_w)) - 1}) * {1 << low_w})"
+    )
+
+
+def _simhash64_pairs_oracle(max_hamming: int = 3) -> str:
+    """64-bit (two 32-bit md5 halves) pigeonhole-banded SimHash pairs —
+    mirrors `dedup.simhash_pairs(bits=64)` exactly."""
+    from anndb_spark.operators.dedup import simhash_band_bounds
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, lo, hi, {b} AS band, {_simhash64_band_val_sql(off, width)} AS val FROM s"
+        for b, (off, width) in enumerate(simhash_band_bounds(64, max_hamming))
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) ws
+                   FROM documents),
+        s AS (SELECT doc_id AS id,
+                     CAST({_simhash_terms(32)} AS BIGINT) AS lo,
+                     CAST({_simhash_terms(32, salt='1:')} AS BIGINT) AS hi
+              FROM w),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.id AS id_a, a.lo AS lo_a, a.hi AS hi_a,
+                        b2.id AS id_b, b2.lo AS lo_b, b2.hi AS hi_b
+                 FROM bands a JOIN bands b2
+                   ON a.band = b2.band AND a.val = b2.val AND a.id < b2.id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {max_hamming}
     """
 
 
@@ -854,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_documents": _simhash_oracle(),
         "simhash_pairs_documents": _simhash_pairs_oracle(),
+        "simhash64_pairs_documents": _simhash64_pairs_oracle(),
         "token_counts_documents": """
             SELECT doc_id AS id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
