@@ -374,19 +374,80 @@ def _partitioned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("string").alias("id"),
         F.col("embedding").alias("vector"),
         F.pmod(F.col("vec_id"), F.lit(4)).cast("int").alias("partition_id"),
+        F.create_map(
+            F.lit("label"), F.col("label").cast("string")
+        ).alias("metadata"),
     )
 
 
 def _ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 over the materialized HNSW index (no SQL oracle —
-    HNSW search is not SQL-expressible; deterministic rows-only check)."""
+    HNSW search is not SQL-expressible; deterministic rows-only check).
+    Results carry the vertex metadata from the index itself — the full
+    SearchResultItem{id, metadata, score} contract
+    (protobuf/proto/search.proto:22-26) — flattened to a label column
+    for a stable hashable schema."""
     from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
 
     emb = _partitioned_embeddings(spark, sf_dir)
     cfg = HnswConfig(m=16, ef_construction=100)
     idx = build_index(emb, cfg)
     qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
-    return search_index(idx, emb, qs, k=K, ef=100, config=cfg)
+    res = search_index(idx, emb, qs, k=K, ef=100, config=cfg, with_metadata=True)
+    return res.select(
+        "query_id", "rank", "id", "score",
+        F.element_at("metadata", "label").alias("label"),
+    )
+
+
+def _ann_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete correctness: build the index, delete 10% of ids
+    via 'tomb' rows (NO graph rebuild — `hnsw.delete_from_index`,
+    reference `index/hnsw.go:164-214`), search.  Partitions are small at
+    this SF so the auto strategy scores exactly — the result must equal
+    exact kNN over the base table minus the deleted ids, which is the
+    SQL oracle (ranks/ids; float32 vs float64 score paths differ)."""
+    from anndb_spark.operators.hnsw import HnswConfig, build_index, delete_from_index, search_index
+
+    emb = _partitioned_embeddings(spark, sf_dir)
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(emb, cfg)
+    del_ids = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.pmod(F.col("vec_id"), F.lit(10)) == 3)
+        .select(F.col("vec_id").cast("string").alias("id"))
+    )
+    idx = delete_from_index(idx, del_ids)
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    res = search_index(idx, None, qs, k=K, ef=100, config=cfg)
+    id_type = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .schema["vec_id"].dataType.simpleString()
+    )
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        F.col("id").cast(id_type).alias("id"),
+    )
+
+
+def _metadata_limits_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata codec-limit rejects (key ≤255 B / value ≤65535 B,
+    reference `index/metadata.go:46-60`): synthesize per-doc metadata
+    whose key is the doc's first 300 chars and whose value is the text
+    ×300 — long docs trip the key check (checked first, like the
+    encoder), pathological ones the value check."""
+    from anndb_spark.catalog import validate_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        F.col("doc_id").alias("id"),
+        F.create_map(
+            F.substring(F.col("text"), 1, 300), F.repeat(F.col("text"), 300)
+        ).alias("metadata"),
+    )
+    _, rejects = validate_metadata(df)
+    return rejects.select("id", "error")
 
 
 def _ivf_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_compaction_state": _crud_compaction_state,
         "crud_rejects": _crud_rejects,
         "ann_embeddings_top10": _ann_embeddings,
+        "ann_tombstone_delete": _ann_tombstone_delete,
+        "metadata_limits_documents": _metadata_limits_documents,
         "ann_recall_at10": _ann_recall_at10,
         "ivf_embeddings_top10": _ivf_embeddings_top10,
         "ivf_recall_at10": _ivf_recall_at10,
@@ -730,12 +793,13 @@ def _knn_lineitem_oracle(space: str, where: str | None = None) -> str:
     )
 
 
-def _knn_embeddings_oracle(space: str) -> str:
+def _knn_embeddings_oracle(space: str, where: str | None = None) -> str:
     branches = []
     for qid, qv in EMBEDDING_QUERIES:
         score = distance_sql("embedding", qv, space=space, dialect="duckdb")
+        flt = f" WHERE {where}" if where else ""
         branches.append(
-            f"SELECT {qid} AS query_id, vec_id AS id, {score} AS score FROM embeddings"
+            f"SELECT {qid} AS query_id, vec_id AS id, {score} AS score FROM embeddings{flt}"
         )
     union = " UNION ALL ".join(branches)
     return (
@@ -762,6 +826,21 @@ def oracle_sql() -> dict[str, str]:
         "ivf_embeddings_top10": (
             f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"
         ),
+        # tombstoned ANN over small partitions scores exactly (auto →
+        # brute), so exact kNN minus the deleted ids is its oracle
+        "ann_tombstone_delete": (
+            f"SELECT query_id, rank, id FROM "
+            f"({_knn_embeddings_oracle('euclidean', where='vec_id % 10 <> 3')})"
+        ),
+        "metadata_limits_documents": """
+            SELECT doc_id AS id,
+                   CASE WHEN strlen(substr(text, 1, 300)) > 255
+                        THEN 'METADATA_KEY_TOO_LONG'
+                        ELSE 'METADATA_VALUE_TOO_LONG' END AS error
+            FROM documents
+            WHERE strlen(substr(text, 1, 300)) > 255
+               OR strlen(repeat(text, 300)) > 65535
+        """,
         "quality_score_documents": """
             WITH w AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)
             SELECT doc_id AS id,

@@ -82,6 +82,47 @@ def with_partition_id(df: DataFrame, partition_count: int, id_col: str = "id") -
     )
 
 
+# the reference's binary metadata codec length-prefixes keys with uint8
+# and values with uint16 (`index/metadata.go:46-60`) — oversize entries
+# are unencodable and must reject at write time
+METADATA_MAX_KEY_BYTES = 255
+METADATA_MAX_VALUE_BYTES = 65535
+
+
+def metadata_too_long(
+    meta_col: Column,
+    max_key_bytes: int = METADATA_MAX_KEY_BYTES,
+    max_value_bytes: int = METADATA_MAX_VALUE_BYTES,
+) -> tuple[Column, Column]:
+    """(bad_key, bad_value) boolean columns per the codec limits —
+    byte lengths (octet_length), matching the uint8/uint16 prefixes."""
+    ent = F.map_entries(meta_col)
+    bad_key = F.coalesce(
+        F.exists(ent, lambda e: F.octet_length(e.key) > max_key_bytes), F.lit(False)
+    )
+    bad_val = F.coalesce(
+        F.exists(ent, lambda e: F.octet_length(e.value) > max_value_bytes),
+        F.lit(False),
+    )
+    return bad_key, bad_val
+
+
+def validate_metadata(df: DataFrame, meta_col: str = "metadata"):
+    """Split df into (valid, rejects) on the metadata codec limits
+    (`index/metadata.go:46-60`): key ≤ 255 bytes, value ≤ 65535 bytes.
+    Null metadata is valid.  Rejects carry METADATA_KEY_TOO_LONG /
+    METADATA_VALUE_TOO_LONG (key check first, like the encoder)."""
+    bad_key, bad_val = metadata_too_long(F.col(meta_col))
+    valid = df.filter(~bad_key & ~bad_val)
+    rejects = df.filter(bad_key | bad_val).withColumn(
+        "error",
+        F.when(bad_key, F.lit("METADATA_KEY_TOO_LONG")).otherwise(
+            F.lit("METADATA_VALUE_TOO_LONG")
+        ),
+    )
+    return valid, rejects
+
+
 def validate_dimension(df: DataFrame, dimension: int, vec_col: str = "vector"):
     """Split df into (valid, rejects) on the dimension check
     (`storage/dataset.go:451-456` DimensionMissmatchErr).
@@ -178,6 +219,9 @@ class Catalog:
         if meta is None:
             raise ValueError(f"dataset {name!r} not found")
         valid, rejects = validate_dimension(df, meta.dimension)
+        if "metadata" in df.columns:
+            valid, meta_rejects = validate_metadata(valid)
+            rejects = rejects.unionByName(meta_rejects)
         routed = with_partition_id(valid, meta.partition_count)
         (
             routed.repartition(meta.partition_count, "partition_id")

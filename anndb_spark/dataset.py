@@ -184,18 +184,23 @@ class Dataset:
         ch = self._changes()
         if ch is None:
             return self.spark.createDataFrame([], "id STRING, error STRING")
-        ch = ch.withColumn(
-            "op",
-            F.when(
-                (F.col("op") == "insert")
-                & (F.size("vector") != self.meta.dimension),
-                F.lit("insert_baddim"),
-            ).otherwise(F.col("op")),
+        from anndb_spark.catalog import metadata_too_long
+
+        bad_key, bad_val = metadata_too_long(F.col("metadata"))
+        bad_dim = (F.col("op") == "insert") & (
+            F.size("vector") != self.meta.dimension
         )
-        bad = ch.filter(F.col("op") == "insert_baddim").select(
-            "id", F.lit("DIMENSION_MISMATCH").alias("error")
+        # codec limits (`index/metadata.go:46-60`) apply to any write that
+        # carries metadata; dimension check wins when both fail
+        bad_meta = F.col("op").isin("insert", "update") & (bad_key | bad_val)
+        bad = ch.filter(bad_dim | bad_meta).select(
+            "id",
+            F.when(bad_dim, F.lit("DIMENSION_MISMATCH"))
+            .when(bad_key, F.lit("METADATA_KEY_TOO_LONG"))
+            .otherwise(F.lit("METADATA_VALUE_TOO_LONG"))
+            .alias("error"),
         )
-        applied = apply_changes_sql(self._base(), ch.filter(F.col("op") != "insert_baddim"))
+        applied = apply_changes_sql(self._base(), ch.filter(~bad_dim & ~bad_meta))
         state = split_state(applied)
         rejects = split_rejects(applied).select("id", "error").unionByName(bad)
         routed = with_partition_id(state, self.meta.partition_count)

@@ -100,6 +100,11 @@ class HnswGraph:
         self.adj: list[dict[int, set[int]]] = []
         self.entrypoint: int = -1
         self._rng = np.random.default_rng(config.seed)
+        # tombstone mask (None = no deletes): deleted vertices remain
+        # traversable, never returned (index/hnsw.go:295-297,335-337)
+        self.deleted: np.ndarray | None = None
+        # per-vertex metadata maps aligned with the vector matrix
+        self.item_meta: list[dict | None] | None = None
 
     # -- level assignment (index/hnsw.go:249-251) ----------------------
     def random_level(self, u: float | None = None) -> int:
@@ -315,15 +320,18 @@ class HnswGraph:
                     cur, cur_d = int(nbrs[j]), float(ds[j])
                 else:
                     break
-        # beam on level 0
+        # beam on level 0 (tombstones traversable, never in results)
         pad = self.adj_pad[0]
+        deleted = self.deleted
         visited = np.zeros(len(self.levels), dtype=bool)
         visited[cur] = True
         candidates = [(cur_d, cur)]
-        results = [(-cur_d, cur)]
+        results = (
+            [] if (deleted is not None and deleted[cur]) else [(-cur_d, cur)]
+        )
         while candidates:
             cd, c = heapq.heappop(candidates)
-            if cd > -results[0][0] and len(results) >= ef:
+            if results and len(results) >= ef and cd > -results[0][0]:
                 break
             nbrs = pad[c]
             nbrs = nbrs[nbrs >= 0]
@@ -332,14 +340,14 @@ class HnswGraph:
                 continue
             visited[fresh] = True
             ds = self._dist_ids(fresh, q, qn2, qn)
-            worst = -results[0][0]
             for n_, nd in zip(fresh.tolist(), ds.tolist()):
-                if len(results) < ef or nd < worst:
+                worst = -results[0][0] if len(results) >= ef else np.inf
+                if nd < worst:
                     heapq.heappush(candidates, (nd, n_))
-                    heapq.heappush(results, (-nd, n_))
-                    if len(results) > ef:
-                        heapq.heappop(results)
-                    worst = -results[0][0]
+                    if deleted is None or not deleted[n_]:
+                        heapq.heappush(results, (-nd, n_))
+                        if len(results) > ef:
+                            heapq.heappop(results)
         return sorted((-nd, n_) for nd, n_ in results)[:k]
 
     def _dist_gather(
@@ -419,14 +427,22 @@ class HnswGraph:
                 cur[upd] = nb[better, j[better]]
                 cur_d[upd] = dmin[better]
                 active[a[~better]] = False
-        # beam on level 0: fixed-width array beams (results + candidates)
+        # beam on level 0: fixed-width array beams (results + candidates);
+        # tombstoned vertices feed the candidate beam (traversable) but
+        # never the result beam (index/hnsw.go:335-337)
         pad0 = self.adj_pad[0]
+        deleted = self.deleted
         visited = np.zeros((q, n), dtype=bool)
         visited[np.arange(q), cur] = True
         res_d = np.full((q, ef), INF, dtype=np.float32)
         res_i = np.full((q, ef), -1, dtype=np.int64)
-        res_d[:, 0] = cur_d
-        res_i[:, 0] = cur
+        if deleted is None:
+            res_d[:, 0] = cur_d
+            res_i[:, 0] = cur
+        else:
+            ok = ~deleted[cur]
+            res_d[ok, 0] = cur_d[ok]
+            res_i[ok, 0] = cur[ok]
         cand_d = np.full((q, ef), INF, dtype=np.float32)
         cand_i = np.full((q, ef), -1, dtype=np.int64)
         cand_d[:, 0] = cur_d
@@ -454,9 +470,17 @@ class HnswGraph:
             fresh = valid & ~visited[a[:, None], safe]
             visited[a[:, None], safe] |= fresh
             d = self._dist_gather(nb, fresh, Qf[a], qn2[a])
+            # result beam sees tombstones as +inf; candidate beam keeps
+            # them so the walk can pass through deleted regions
+            d_res = (
+                d if deleted is None else np.where(deleted[safe], INF, d)
+            )
             # merge the frontier into both beams with one argpartition each
-            for bdst_d, bdst_i in ((res_d, res_i), (cand_d, cand_i)):
-                md = np.concatenate([bdst_d[a], d], axis=1)
+            for bdst_d, bdst_i, dm in (
+                (res_d, res_i, d_res),
+                (cand_d, cand_i, d),
+            ):
+                md = np.concatenate([bdst_d[a], dm], axis=1)
                 mi = np.concatenate([bdst_i[a], nb], axis=1)
                 sel = np.argpartition(md, ef - 1, axis=1)[:, :ef]
                 bdst_d[a] = np.take_along_axis(md, sel, axis=1)
@@ -494,13 +518,18 @@ class HnswGraph:
             else:
                 qn = np.sqrt(np.einsum("ij,ij->i", queries, queries, dtype=np.float32))
                 d = np.abs(np.float32(1.0) - dot / (self.norms[None, :] * qn[:, None]))
+        if self.deleted is not None:
+            d[:, self.deleted] = np.inf  # tombstones never score
         part = np.argpartition(d, k - 1, axis=1)[:, :k]
         out = []
         for qi in range(queries.shape[0]):
             ids = part[qi]
             ds = d[qi, ids]
             order = np.argsort(ds, kind="stable")
-            out.append(list(zip(ds[order].tolist(), ids[order].tolist())))
+            keep = np.isfinite(ds[order])
+            out.append(
+                list(zip(ds[order][keep].tolist(), ids[order][keep].tolist()))
+            )
         return out
 
     # -- growth from a batch -------------------------------------------
@@ -647,25 +676,30 @@ class HnswGraph:
 
 INDEX_SCHEMA = (
     "partition_id INT, kind STRING, src STRING, level INT, "
-    "dsts ARRAY<STRING>, vec ARRAY<FLOAT>"
+    "dsts ARRAY<STRING>, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>"
 )
 # kind: 'adj'   — src's neighbor list at `level` (compact adjacency row;
 #                 one row per vertex per populated level, not per edge —
 #                 ~m× fewer rows to shuffle/scan than an edge list)
-#       'vertex'— src's top level + its vector (`vec`)
+#       'vertex'— src's top level + its vector (`vec`) + metadata (`meta`)
 #       'entry' — the partition's entrypoint id + its level
+#       'tomb'  — src is DELETED (tombstone; excluded from results but
+#                 still traversable — index/hnsw.go:295-297,335-337)
 #       'config'— the build HnswConfig as JSON in `src` — the analogue of
 #                 the reference snapshot's leading config header
 #                 (index/hnsw_persistence.go:45-70, index/config.go:150-216).
 #                 Search restores it when no explicit config is given and
 #                 rejects a space-mismatched explicit config instead of
 #                 silently returning wrong neighbors.
-# Vertex rows carry the vector, exactly like the reference snapshot's
-# vertex blocks (index/hnsw_persistence.go:71-95) — the index is
-# SELF-CONTAINED: search scans/shuffles one table instead of cogrouping
-# (vectors ⋈ index), halving search-time data motion.  Edge distances
-# are still not persisted (recomputed; m× less index I/O than the
-# reference's edge blocks at :96-117).
+# Vertex rows carry the vector AND metadata, exactly like the reference
+# snapshot's vertex blocks (id, level, vector, metadata —
+# index/hnsw_persistence.go:71-95) — the index is SELF-CONTAINED: search
+# scans/shuffles one table instead of cogrouping (vectors ⋈ index),
+# halving search-time data motion, and can return the full
+# SearchResultItem{id, metadata, score} contract
+# (protobuf/proto/search.proto:22-26) without a second join.  Edge
+# distances are still not persisted (recomputed; m× less index I/O than
+# the reference's edge blocks at :96-117).
 
 
 def build_index(
@@ -674,9 +708,16 @@ def build_index(
     partition_col: str = "partition_id",
     id_col: str = "id",
     vec_col: str = "vector",
+    meta_col: str | None = "metadata",
     num_tasks: int | None = None,
 ) -> DataFrame:
     """Build per-partition HNSW graphs; returns the index as a DataFrame.
+
+    If the input has a ``meta_col`` map column it rides the vertex rows
+    (the reference snapshot's vertex blocks carry metadata too,
+    index/hnsw_persistence.go:71-95), enabling
+    ``search_index(with_metadata=True)`` without joining back to the
+    base table.
 
     One grouped-map task per partition builds that partition's graph
     (the reference's per-partition index, `storage/partition.go:62-81`)
@@ -692,11 +733,17 @@ def build_index(
     cfg = config or HnswConfig()
     from anndb_spark.operators.crud import assign_level
 
+    has_meta = meta_col is not None and meta_col in vectors.columns
     src = vectors.select(
         F.col(partition_col).alias("partition_id"),
         F.col(id_col).cast("string").alias("id"),
         F.col(vec_col).cast("array<float>").alias("vector"),
         assign_level(F.col(id_col).cast("string"), cfg.m).alias("level"),
+        *(
+            [F.col(meta_col).alias("meta")]
+            if has_meta
+            else [F.lit(None).cast("map<string,string>").alias("meta")]
+        ),
     )
     spark = vectors.sparkSession
     n_tasks = num_tasks or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -724,18 +771,25 @@ def _build_one_graph(pid: int, pdf: pd.DataFrame, cfg: HnswConfig) -> pd.DataFra
     ids = pdf["id"].tolist()
     mat = np.array(pdf["vector"].tolist(), dtype=np.float32)
     levels = pdf["level"].astype(int).tolist()
+    metas = pdf["meta"].tolist() if "meta" in pdf.columns else [None] * len(ids)
     g = HnswGraph.build(mat, levels, cfg)
     rows = []
     for i, nbrs in enumerate(g.adj):
-        rows.append((pid, "vertex", ids[i], g.levels[i], None, mat[i].tolist()))
+        m = metas[i]
+        m = dict(m) if m is not None else None  # arrow maps arrive as tuples
+        rows.append((pid, "vertex", ids[i], g.levels[i], None, mat[i].tolist(), m))
         for lvl, ns in nbrs.items():
             if ns:
-                rows.append((pid, "adj", ids[i], lvl, [ids[n] for n in sorted(ns)], None))
+                rows.append(
+                    (pid, "adj", ids[i], lvl, [ids[n] for n in sorted(ns)], None, None)
+                )
     if g.entrypoint >= 0:
-        rows.append((pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None, None))
-    rows.append((pid, "config", config_to_json(cfg), None, None, None))
+        rows.append(
+            (pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None, None, None)
+        )
+    rows.append((pid, "config", config_to_json(cfg), None, None, None, None))
     return pd.DataFrame(
-        rows, columns=["partition_id", "kind", "src", "level", "dsts", "vec"]
+        rows, columns=["partition_id", "kind", "src", "level", "dsts", "vec", "meta"]
     )
 
 
@@ -784,7 +838,12 @@ def _graph_from_index(
     idx_pdf: pd.DataFrame, cfg: "HnswConfig", vec_pdf: pd.DataFrame | None = None
 ):
     """Reconstruct (ids, HnswGraph) from index rows; vectors come from the
-    index's own vertex rows (self-contained) unless ``vec_pdf`` given."""
+    index's own vertex rows (self-contained) unless ``vec_pdf`` given.
+
+    Vertex metadata (when present) is attached as ``g.item_meta`` and
+    'tomb' rows become the ``g.deleted`` mask — deleted vertices stay
+    traversable but are excluded from results (the reference's tombstone
+    semantics, index/hnsw.go:295-297,335-337)."""
     _check_config(idx_pdf, cfg)
     vrows = idx_pdf[idx_pdf["kind"] == "vertex"]
     if vec_pdf is not None:
@@ -802,6 +861,15 @@ def _graph_from_index(
     g = HnswGraph(vecs.shape[1], cfg)
     g.vectors = vecs
     g.levels = levels.tolist()
+    if vec_pdf is None and "meta" in idx_pdf.columns:
+        g.item_meta = [
+            dict(m) if m is not None else None for m in vrows["meta"]
+        ]  # arrow maps arrive as key/value tuples
+    trows = idx_pdf[idx_pdf["kind"] == "tomb"]
+    if len(trows):
+        deleted = np.zeros(n, dtype=bool)
+        deleted[[pos[s] for s in trows["src"] if s in pos]] = True
+        g.deleted = deleted
     adj_rows = idx_pdf[idx_pdf["kind"] == "adj"]
     g.adj_pad = {}
     for lvl, grp in adj_rows.groupby("level", sort=False):
@@ -821,6 +889,66 @@ def _graph_from_index(
     return ids, g
 
 
+def delete_from_index(
+    index: DataFrame, ids: DataFrame | list, id_col: str = "id"
+) -> DataFrame:
+    """Tombstone deletes — no graph rebuild.
+
+    The reference's `Remove` (index/hnsw.go:164-214) tombstones the
+    vertex and detaches edges; searches skip deleted vertices
+    (index/hnsw.go:295-297,335-337).  Here a delete appends one 'tomb'
+    row per deleted id (routed to its partition via the vertex rows —
+    a broadcast-sized join for any sane delete batch); the graph stays
+    untouched and every search kernel filters tombstones from results
+    while still walking through them.  Rebuild a partition only when its
+    tombstone fraction crosses a threshold (see `tombstone_stats` and
+    the streaming maintainer).
+    """
+    spark = index.sparkSession
+    if isinstance(ids, list):
+        ids = spark.createDataFrame([(str(i),) for i in ids], "id STRING")
+        id_col = "id"
+    keys = ids.select(F.col(id_col).cast("string").alias("src")).distinct()
+    verts = index.filter(F.col("kind") == "vertex").select("partition_id", "src")
+    tombs = verts.join(keys, "src").select(
+        "partition_id",
+        F.lit("tomb").alias("kind"),
+        "src",
+        F.lit(None).cast("int").alias("level"),
+        F.lit(None).cast("array<string>").alias("dsts"),
+        F.lit(None).cast("array<float>").alias("vec"),
+        *(
+            [F.lit(None).cast("map<string,string>").alias("meta")]
+            if "meta" in index.columns
+            else []
+        ),
+    )
+    # a re-deleted id must not duplicate its tombstone row
+    existing = index.filter(F.col("kind") == "tomb")
+    fresh = tombs.join(
+        existing.select(F.col("src").alias("_t")), tombs["src"] == F.col("_t"), "left_anti"
+    )
+    return index.unionByName(fresh.select(*index.columns))
+
+
+def tombstone_stats(index: DataFrame) -> DataFrame:
+    """(partition_id, n_vertices, n_tombstones, tombstone_fraction) —
+    the rebuild-decision input (the compaction-threshold analogue of the
+    reference's snapshotOffset, storage/raft/group.go:275-300)."""
+    counts = (
+        index.filter(F.col("kind").isin("vertex", "tomb"))
+        .groupBy("partition_id")
+        .agg(
+            F.sum(F.when(F.col("kind") == "vertex", 1).otherwise(0)).alias("n_vertices"),
+            F.sum(F.when(F.col("kind") == "tomb", 1).otherwise(0)).alias("n_tombstones"),
+        )
+    )
+    return counts.withColumn(
+        "tombstone_fraction",
+        F.col("n_tombstones") / F.greatest(F.col("n_vertices"), F.lit(1)),
+    )
+
+
 def search_index(
     index: DataFrame,
     vectors: DataFrame | None,
@@ -834,6 +962,7 @@ def search_index(
     strategy: str = "auto",
     brute_flops_threshold: float = 1e8,
     cache_token: str | None = None,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """ANN top-k over the materialized index.
 
@@ -865,21 +994,38 @@ def search_index(
     """
     cfg = config or get_index_config(index) or HnswConfig()
     ef = max(ef or cfg.ef, k)
-    qitems = [(qid, np.asarray(v, dtype=np.float32)) for qid, v in queries]
+    qmat_all = np.array([v for _, v in queries], dtype=np.float32)
+    qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
+    n_q = len(queries)
     self_contained = "vec" in index.columns
+    out_cols = ["query_id", "id", "score"] + (["metadata"] if with_metadata else [])
+    out_schema = "query_id STRING, id STRING, score FLOAT" + (
+        ", metadata MAP<STRING,STRING>" if with_metadata else ""
+    )
 
     def run_graph(pid, ids, g):
         n = len(ids)
         use_brute = strategy == "brute" or (
-            strategy == "auto" and n * len(qitems) * g.dim <= brute_flops_threshold
+            strategy == "auto" and n * n_q * g.dim <= brute_flops_threshold
         )
-        qmat = np.stack([qv for _, qv in qitems]).astype(np.float32)
-        res = g.search_brute(qmat, k) if use_brute else g.search_fast_batch(qmat, k, ef)
-        out = []
-        for (qid, _), hits in zip(qitems, res):
-            for d, nid in hits:
-                out.append((qid, ids[nid], float(d)))
-        return pd.DataFrame(out, columns=["query_id", "id", "score"])
+        res = g.search_brute(qmat_all, k) if use_brute else g.search_fast_batch(qmat_all, k, ef)
+        # columnar assembly (no per-hit Python tuples): |Q|·k rows/task
+        counts = [len(h) for h in res]
+        total = sum(counts)
+        nid = np.fromiter((i for h in res for _, i in h), dtype=np.int64, count=total)
+        dist = np.fromiter((d for h in res for d, _ in h), dtype=np.float32, count=total)
+        ids_arr = np.asarray(ids, dtype=object)
+        data = {
+            "query_id": np.repeat(qid_arr, counts),
+            "id": ids_arr[nid],
+            "score": dist,
+        }
+        if with_metadata:
+            meta = g.item_meta
+            data["metadata"] = (
+                [meta[i] for i in nid] if meta is not None else [None] * total
+            )
+        return pd.DataFrame(data, columns=out_cols)
 
     def get_graph(pid, idx_pdf, vec_pdf=None):
         key = (cache_token, int(pid)) if cache_token is not None else None
@@ -896,17 +1042,22 @@ def search_index(
 
         def search_self(key, idx_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(idx_pdf):
-                return pd.DataFrame(columns=["query_id", "id", "score"])
+                return pd.DataFrame(columns=out_cols)
             pid = key[0]
             ids, g = get_graph(pid, idx_pdf)
             return run_graph(pid, ids, g)
 
         partials = index.groupBy("partition_id").applyInPandas(
-            search_self, schema="query_id STRING, id STRING, score FLOAT"
+            search_self, schema=out_schema
         )
     else:
         if vectors is None:
             raise ValueError("legacy vector-less index requires the vectors DataFrame")
+        if with_metadata:
+            raise ValueError(
+                "with_metadata requires a self-contained index (vertex rows "
+                "carry metadata); rebuild the index or join metadata externally"
+            )
         vsrc = vectors.select(
             F.col(partition_col).alias("partition_id"),
             F.col(id_col).cast("string").alias("id"),
@@ -933,7 +1084,7 @@ def search_index(
     return (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "score")
+        .select("query_id", "rank", "id", "score", *out_cols[3:])
     )
 
 
@@ -1021,6 +1172,7 @@ def search_index_routed(
     strategy: str = "auto",
     brute_flops_threshold: float = 1e8,
     cache_token: str | None = None,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """Cluster-routed ANN search — the IVF×HNSW hybrid, the 100 TB shape.
 
@@ -1059,12 +1211,17 @@ def search_index_routed(
 
     # scan-time pruning: only probed partitions are read at all
     pruned = index.filter(F.col("partition_id").isin(sorted(by_pid)))
+    out_cols = ["query_id", "id", "score"] + (["metadata"] if with_metadata else [])
+    out_schema = "query_id STRING, id STRING, score FLOAT" + (
+        ", metadata MAP<STRING,STRING>" if with_metadata else ""
+    )
+    qid_str = np.array([str(q) for q in qids], dtype=object)
 
     def search_part(key, idx_pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
         qsel = by_pid.get(pid)
         if not qsel or not len(idx_pdf):
-            return pd.DataFrame(columns=["query_id", "id", "score"])
+            return pd.DataFrame(columns=out_cols)
         ckey = (cache_token, pid) if cache_token is not None else None
         if ckey is not None and ckey in _GRAPH_CACHE:
             ids, g = _GRAPH_CACHE[ckey]
@@ -1079,14 +1236,25 @@ def search_index_routed(
             strategy == "auto" and len(ids) * len(qsel) * g.dim <= brute_flops_threshold
         )
         res = g.search_brute(sub, k) if use_brute else g.search_fast_batch(sub, k, ef)
-        out = []
-        for qi, hits in zip(qsel, res):
-            for dist, nid in hits:
-                out.append((str(qids[qi]), ids[nid], float(dist)))
-        return pd.DataFrame(out, columns=["query_id", "id", "score"])
+        counts = [len(h) for h in res]
+        total = sum(counts)
+        nid = np.fromiter((i for h in res for _, i in h), dtype=np.int64, count=total)
+        dist = np.fromiter((d for h in res for d, _ in h), dtype=np.float32, count=total)
+        ids_arr = np.asarray(ids, dtype=object)
+        data = {
+            "query_id": np.repeat(qid_str[qsel], counts),
+            "id": ids_arr[nid],
+            "score": dist,
+        }
+        if with_metadata:
+            meta = g.item_meta
+            data["metadata"] = (
+                [meta[i] for i in nid] if meta is not None else [None] * total
+            )
+        return pd.DataFrame(data, columns=out_cols)
 
     partials = pruned.groupBy("partition_id").applyInPandas(
-        search_part, schema="query_id STRING, id STRING, score FLOAT"
+        search_part, schema=out_schema
     )
     from pyspark.sql import Window
 
@@ -1094,7 +1262,7 @@ def search_index_routed(
     return (
         partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "score")
+        .select("query_id", "rank", "id", "score", *out_cols[3:])
     )
 
 
@@ -1123,6 +1291,7 @@ def load_index(spark, path: str) -> DataFrame:
     search falls back to the cogroup path."""
     df = spark.read.parquet(path)
     cols = ["partition_id", "kind", "src", "level", "dsts"]
-    if "vec" in df.columns:
-        cols.append("vec")
+    for opt in ("vec", "meta"):
+        if opt in df.columns:
+            cols.append(opt)
     return df.select(*cols)

@@ -186,12 +186,17 @@ def search_ivf(
     query_vec_col: str = "query_vector",
     query_id_col: str = "query_id",
     cluster_col: str = "cluster_id",
+    payload_cols: tuple = (),
 ) -> DataFrame:
     """IVF top-k: probe-route queries, score probed clusters exactly.
 
-    Returns (query_id, rank, id, score) ascending by (score, id), the
-    same contract as `knn.knn_exact`.  Distances are computed in float64
-    so that with nprobe == n_clusters the result is the exact kNN answer.
+    Returns (query_id, rank, id, score [, payload...]) ascending by
+    (score, id), the same contract as `knn.knn_exact`.  Distances are
+    computed in float64 so that with nprobe == n_clusters the result is
+    the exact kNN answer.  ``payload_cols`` are carried from ``vectors``
+    through the cluster kernel into the result — the metadata leg of the
+    reference's SearchResultItem (`protobuf/proto/search.proto:22-26`)
+    without a post-hoc join.
 
     If ``vectors`` lacks ``cluster_col`` it is assigned on the fly; for
     repeated querying assign once and persist partitioned by cluster.
@@ -202,8 +207,12 @@ def search_ivf(
     probed = routed.select(cluster_col).distinct()
     # partition-pruning filter: with cluster-partitioned storage this is
     # a metadata-only prune; in-memory it still skips unprobed groups.
+    payload_cols = list(payload_cols)
     vsrc = vectors.join(F.broadcast(probed), on=cluster_col, how="left_semi").select(
-        F.col(cluster_col), F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+        F.col(cluster_col),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vector"),
+        *[F.col(c) for c in payload_cols],
     )
     qsrc = routed.select(
         F.col(cluster_col),
@@ -212,36 +221,42 @@ def search_ivf(
     )
 
     def score_cluster(vec_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["query_id", "id", "score", *payload_cols]
         if not len(vec_pdf) or not len(q_pdf):
-            return pd.DataFrame(columns=["query_id", "id", "score"])
+            return pd.DataFrame(columns=out_cols)
         vmat = _as_matrix(vec_pdf["vector"])
         qmat = _as_matrix(q_pdf["query_vector"])
         d = _pairwise(qmat, vmat, space)
         kk = min(k, vmat.shape[0])
         part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        rows_q, rows_id, rows_s = [], [], []
+        sel = part.reshape(-1)
         ids = vec_pdf["id"].to_numpy()
         qids = q_pdf["query_id"].to_numpy()
-        for i in range(qmat.shape[0]):
-            sel = part[i]
-            rows_q.extend([qids[i]] * kk)
-            rows_id.extend(ids[sel])
-            rows_s.extend(d[i, sel])
-        return pd.DataFrame({"query_id": rows_q, "id": rows_id, "score": rows_s})
+        data = {
+            "query_id": np.repeat(qids, kk),
+            "id": ids[sel],
+            "score": np.take_along_axis(d, part, axis=1).reshape(-1),
+        }
+        for c in payload_cols:
+            data[c] = vec_pdf[c].to_numpy()[sel]
+        return pd.DataFrame(data, columns=out_cols)
 
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     id_type = vectors.schema[id_col].dataType.simpleString()
+    payload_schema = "".join(
+        f", {c} {vectors.schema[c].dataType.simpleString()}" for c in payload_cols
+    )
     partial = (
         vsrc.groupBy(cluster_col)
         .cogroup(qsrc.groupBy(cluster_col))
         .applyInPandas(
             score_cluster,
-            schema=f"query_id {qid_type}, id {id_type}, score double",
+            schema=f"query_id {qid_type}, id {id_type}, score double{payload_schema}",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "score")
+        .select("query_id", "rank", "id", "score", *payload_cols)
     )

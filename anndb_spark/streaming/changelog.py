@@ -73,6 +73,7 @@ def stream_maintain_index(
     partition_count: int = 4,
     config=None,
     trigger_available_now: bool = True,
+    tombstone_rebuild_fraction: float = 0.2,
 ):
     """Incrementally maintain base snapshot AND HNSW index from a growing
     changelog — the full streaming analogue of the reference's apply loop
@@ -82,16 +83,33 @@ def stream_maintain_index(
     Batch Spark can't mutate a graph in place, so the incremental unit is
     the *partition*: each micro-batch folds new changes into the base,
     computes the set of partitions the batch touched (UuidMod routing),
-    rebuilds ONLY those partitions' graphs, and overwrites only their
-    index directories (dynamic partition overwrite).  Untouched
-    partitions' index files are never read or written.
+    and overwrites only their index directories (dynamic partition
+    overwrite).  Untouched partitions' index files are never read or
+    written.
 
-    At 100 TB the cost per micro-batch is O(dirty partitions × partition
-    size), independent of table size — the same locality the reference
-    gets from per-partition Raft groups.  Returns the StreamingQuery.
+    Deletes are CHEAP: a partition touched only by deletes gets 'tomb'
+    rows appended to its existing graph (`hnsw.delete_from_index` — the
+    reference's tombstone, `index/hnsw.go:164-214`; search already skips
+    them) instead of a full graph rebuild.  Only when the partition's
+    cumulative tombstone fraction crosses ``tombstone_rebuild_fraction``
+    is its graph rebuilt from compacted state (dropping the tombstones)
+    — the compaction-threshold analogue of the reference's
+    snapshotOffset (`storage/raft/group.go:275-300`).  Insert/update
+    batches still rebuild their partitions' graphs.
+
+    At 100 TB the cost per micro-batch is O(upsert-dirty partitions ×
+    partition size + deletes), independent of table size — the same
+    locality the reference gets from per-partition Raft groups.
+    Returns the StreamingQuery.
     """
     from anndb_spark.catalog import with_partition_id
-    from anndb_spark.operators.hnsw import HnswConfig, build_index
+    from anndb_spark.operators.hnsw import (
+        HnswConfig,
+        build_index,
+        delete_from_index,
+        load_index,
+        tombstone_stats,
+    )
 
     cfg = config or HnswConfig()
     stream = spark.readStream.schema(CHANGES_DDL).parquet(changelog_dir)
@@ -108,18 +126,65 @@ def stream_maintain_index(
         routed = with_partition_id(new_state, partition_count).localCheckpoint()
         routed.write.mode("overwrite").partitionBy("partition_id").parquet(base_dir)
 
-        dirty = [
-            r["partition_id"]
-            for r in with_partition_id(
-                batch_df.select("id").distinct(), partition_count
-            ).select("partition_id").distinct().collect()
-        ]
-        dirty_state = routed.filter(F.col("partition_id").isin(dirty))
-        idx = build_index(dirty_state, cfg, num_tasks=max(len(dirty), 1))
+        # classify touched partitions: any insert/update → graph rebuild;
+        # delete-only → tombstones (unless fraction crosses the threshold)
+        per_part = (
+            with_partition_id(batch_df.select("id", "op"), partition_count)
+            .groupBy("partition_id")
+            .agg(
+                F.max(F.when(F.col("op") != "delete", 1).otherwise(0)).alias(
+                    "has_upsert"
+                )
+            )
+            .collect()
+        )
+        upsert_pids = [r["partition_id"] for r in per_part if r["has_upsert"]]
+        delete_pids = [r["partition_id"] for r in per_part if not r["has_upsert"]]
+        try:
+            idx_cur = load_index(spark_l, index_dir)
+        except Exception:
+            idx_cur = None
+        if idx_cur is None and delete_pids:
+            # no index yet: nothing to tombstone, just (re)build
+            upsert_pids, delete_pids = upsert_pids + delete_pids, []
+
+        tombstoned = None
+        if delete_pids:
+            del_ids = batch_df.filter(F.col("op") == "delete").select("id").distinct()
+            cand = delete_from_index(
+                idx_cur.filter(F.col("partition_id").isin(delete_pids)), del_ids
+            )
+            stats = tombstone_stats(cand).collect()
+            over = [
+                r["partition_id"]
+                for r in stats
+                if r["tombstone_fraction"] > tombstone_rebuild_fraction
+            ]
+            keep = [p for p in delete_pids if p not in over]
+            upsert_pids += over
+            if keep:
+                # materialize BEFORE the dynamic overwrite below rewrites
+                # the very files this plan reads
+                tombstoned = cand.filter(
+                    F.col("partition_id").isin(keep)
+                ).localCheckpoint()
+
+        out = None
+        if upsert_pids:
+            dirty_state = routed.filter(F.col("partition_id").isin(upsert_pids))
+            out = build_index(dirty_state, cfg, num_tasks=max(len(upsert_pids), 1))
+        if tombstoned is not None:
+            out = (
+                tombstoned
+                if out is None
+                else out.unionByName(tombstoned, allowMissingColumns=True)
+            )
+        if out is None:
+            return
         prev = spark_l.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark_l.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            idx.write.mode("overwrite").partitionBy("partition_id").parquet(index_dir)
+            out.write.mode("overwrite").partitionBy("partition_id").parquet(index_dir)
         finally:
             spark_l.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

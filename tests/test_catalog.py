@@ -66,3 +66,29 @@ def test_with_partition_id(spark):
     out = with_partition_id(df, 4)
     for r in out.collect():
         assert r["partition_id"] == _uuid_mod_py(r["id"], 4)
+
+
+def test_validate_metadata_codec_limits(spark):
+    """Key ≤ 255 bytes / value ≤ 65535 bytes (uint8/uint16 length
+    prefixes of the reference codec, index/metadata.go:46-60); byte
+    semantics (multibyte chars count per byte); null metadata valid."""
+    from anndb_spark.catalog import validate_metadata
+
+    rows = [
+        ("ok", {"k": "v"}),
+        ("nullmeta", None),
+        ("badkey", {"K" * 256: "v"}),
+        ("badkey_utf8", {"é" * 128: "v"}),  # 128 chars, 256 bytes
+        ("badval", {"k": "V" * 65536}),
+        ("badboth", {"K" * 256: "V" * 65536}),
+    ]
+    df = spark.createDataFrame(rows, "id STRING, metadata MAP<STRING,STRING>")
+    valid, rejects = validate_metadata(df)
+    assert {r["id"] for r in valid.collect()} == {"ok", "nullmeta"}
+    errs = {r["id"]: r["error"] for r in rejects.collect()}
+    assert errs == {
+        "badkey": "METADATA_KEY_TOO_LONG",
+        "badkey_utf8": "METADATA_KEY_TOO_LONG",
+        "badval": "METADATA_VALUE_TOO_LONG",
+        "badboth": "METADATA_KEY_TOO_LONG",  # key check first, like the encoder
+    }

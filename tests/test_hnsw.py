@@ -138,7 +138,7 @@ def test_index_parquet_roundtrip(spark, spark_index, tmp_path):
     path = str(tmp_path / "index")
     save_index(idx, path)
     idx2 = load_index(spark, path)
-    assert idx2.columns == ["partition_id", "kind", "src", "level", "dsts", "vec"]
+    assert idx2.columns == ["partition_id", "kind", "src", "level", "dsts", "vec", "meta"]
     rng = np.random.default_rng(6)
     queries = [("q0", rng.normal(0, 1, 64).tolist())]
     a = search_index(idx, emb, queries, k=5, ef=50, config=cfg).collect()
@@ -342,3 +342,100 @@ def test_cache_token_serving_path(spark, spark_index):
         idx, None, queries, k=5, ef=60, config=cfg, cache_token="t1"
     ).collect()
     assert sorted(map(tuple, cold)) == sorted(map(tuple, warm1)) == sorted(map(tuple, warm2))
+
+
+def test_tombstone_delete_never_returned(spark, spark_index):
+    """Tombstoned ids are excluded from results by every search kernel
+    (brute AND beam), without a graph rebuild; re-deleting is idempotent;
+    the brute path equals exact float32 kNN over the survivors
+    (reference tombstone semantics, index/hnsw.go:164-214,295-297)."""
+    from anndb_spark.operators.hnsw import delete_from_index, tombstone_stats
+
+    emb, idx, cfg = spark_index
+    del_ids = [
+        r["id"]
+        for r in emb.filter(F.pmod(F.col("id").cast("long"), F.lit(10)) == 3)
+        .select("id")
+        .collect()
+    ]
+    idx2 = delete_from_index(idx, del_ids).cache()
+    # no rebuild: vertex/adj rows unchanged, one tomb row per deleted id
+    assert idx2.filter(F.col("kind") == "vertex").count() == emb.count()
+    assert idx2.filter(F.col("kind") == "tomb").count() == len(del_ids)
+    # idempotent re-delete
+    idx3 = delete_from_index(idx2, del_ids[:5])
+    assert idx3.filter(F.col("kind") == "tomb").count() == len(del_ids)
+    stats = {r["partition_id"]: r for r in tombstone_stats(idx2).collect()}
+    # ids ≡3 (mod 10) are odd → only odd partitions carry tombstones
+    assert all(s["tombstone_fraction"] < 0.25 for s in stats.values())
+    assert any(s["n_tombstones"] > 0 for s in stats.values())
+
+    rng = np.random.default_rng(17)
+    queries = [(str(i), rng.normal(0, 1, 64).tolist()) for i in range(8)]
+    deleted = set(del_ids)
+    for strategy in ("brute", "beam"):
+        res = search_index(
+            idx2, None, queries, k=10, ef=100, config=cfg, strategy=strategy
+        ).collect()
+        assert not ({r["id"] for r in res} & deleted), strategy
+        per_q = {}
+        for r in res:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert all(len(v) == 10 for v in per_q.values())
+
+    # brute == exact float32 top-k over survivors
+    surv = emb.filter(~F.col("id").isin(del_ids)).select("id", "vector").collect()
+    ids_s = [r["id"] for r in surv]
+    mat = np.array([r["vector"] for r in surv], dtype=np.float32)
+    res_b = search_index(
+        idx2, None, queries, k=10, ef=100, config=cfg, strategy="brute"
+    ).collect()
+    got = {}
+    for r in res_b:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+    for qid, qv in queries:
+        q = np.array(qv, dtype=np.float32)
+        d = np.sqrt(((mat - q) ** 2).sum(axis=1, dtype=np.float32))
+        order = np.lexsort((np.array(ids_s, dtype=object), d))[:10]
+        want = [ids_s[i] for i in order]
+        assert [i for _, i in sorted(got[qid])] == want
+
+
+def test_index_metadata_passthrough(spark):
+    """Vertex rows carry metadata; with_metadata returns it from the
+    index alone (SearchResultItem contract, search.proto:22-26) on both
+    the flat and the routed path."""
+    from anndb_spark.operators.hnsw import search_index_routed
+    from anndb_spark.operators.ivf import train_centroids
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (f"m{i:03d}", rng.normal(0, 1, 8).tolist(), {"tag": f"t{i}"}, i % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>, partition_id INT",
+    )
+    cfg = HnswConfig(m=8, ef_construction=50)
+    idx = build_index(df, cfg).cache()
+    queries = [("q0", rows[3][1]), ("q1", rows[40][1])]
+    res = search_index(
+        idx, None, queries, k=5, config=cfg, with_metadata=True
+    ).collect()
+    assert len(res) == 10
+    want = {r[0]: r[2] for r in rows}
+    for r in res:
+        assert r["metadata"] == want[r["id"]]
+    # routed path
+    cent = train_centroids(df, 2, sample_n=1000)
+    from anndb_spark.operators.ivf import assign_clusters
+
+    idx_r = build_index(
+        assign_clusters(df, cent), cfg, partition_col="cluster_id"
+    ).cache()
+    res_r = search_index_routed(
+        idx_r, queries, k=5, centroids=cent, nprobe=2, config=cfg, with_metadata=True
+    ).collect()
+    for r in res_r:
+        assert r["metadata"] == want[r["id"]]

@@ -178,3 +178,86 @@ def test_stream_maintain_index_dirty_partitions_only(spark, tmp_path):
     st2 = spark.read.parquet(base)
     res2 = search_index(load_index(spark, index), st2, [("q", upd[0][3])], 3, config=cfg, strategy="beam")
     assert res2.orderBy("rank").collect()[0]["id"] == rows[5][1]
+
+
+def test_stream_maintain_index_tombstone_deletes(spark, tmp_path):
+    """Delete-only batches append tombstones instead of rebuilding the
+    partition graph; once the cumulative tombstone fraction crosses the
+    threshold the partition is rebuilt from compacted state (tombstones
+    dropped).  Search never returns deleted ids either way."""
+    import numpy as np
+
+    from anndb_spark.operators.hnsw import HnswConfig, load_index, search_index
+    from anndb_spark.streaming.changelog import stream_maintain_index
+
+    changelog = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(31)
+    dim, n = 8, 120
+    ddl = "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>"
+
+    # ids i:032x route by uuid_mod → partition i % 4; 30 rows/partition
+    rows = [
+        (i, f"{i:032x}", "insert", rng.normal(0, 1, dim).tolist(), {})
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, ddl).write.mode("append").parquet(changelog)
+    cfg = HnswConfig(space="euclidean")
+    run = lambda: stream_maintain_index(  # noqa: E731
+        spark, changelog, base, index, ckpt, partition_count=4, config=cfg,
+        tombstone_rebuild_fraction=0.2,
+    ).awaitTermination(180)
+    run()
+
+    # batch 2: delete 3 ids of partition 0 (3/30 = 10% < 20% → tombstones)
+    del1 = [rows[i][1] for i in (0, 4, 8)]
+    spark.createDataFrame(
+        [(n + j, d, "delete", None, None) for j, d in enumerate(del1)], ddl
+    ).write.mode("append").parquet(changelog)
+    run()
+
+    idx = load_index(spark, index)
+    tombs = {r["src"] for r in idx.filter(F.col("kind") == "tomb").collect()}
+    assert tombs == set(del1)
+    # graph NOT rebuilt: deleted ids still present as vertices
+    verts_p0 = {
+        r["src"]
+        for r in idx.filter(
+            (F.col("kind") == "vertex") & (F.col("partition_id") == 0)
+        ).collect()
+    }
+    assert set(del1) <= verts_p0 and len(verts_p0) == 30
+    # base IS compacted (deletes applied)
+    assert spark.read.parquet(base).count() == n - 3
+
+    st = spark.read.parquet(base)
+    anchor = rows[12]  # partition 0, not deleted
+    res = search_index(idx, None, [("q", anchor[3])], 8, config=cfg, strategy="beam")
+    got = [r["id"] for r in res.orderBy("rank").collect()]
+    assert got[0] == anchor[1]
+    assert not (set(got) & set(del1))
+
+    # batch 3: 5 more partition-0 deletes → 8/30 = 27% > 20% → rebuild
+    del2 = [rows[i][1] for i in (16, 20, 24, 28, 32)]
+    spark.createDataFrame(
+        [(n + 10 + j, d, "delete", None, None) for j, d in enumerate(del2)], ddl
+    ).write.mode("append").parquet(changelog)
+    run()
+
+    idx2 = load_index(spark, index)
+    assert idx2.filter(
+        (F.col("kind") == "tomb") & (F.col("partition_id") == 0)
+    ).count() == 0
+    verts2_p0 = {
+        r["src"]
+        for r in idx2.filter(
+            (F.col("kind") == "vertex") & (F.col("partition_id") == 0)
+        ).collect()
+    }
+    assert verts2_p0 == verts_p0 - set(del1) - set(del2)
+    res2 = search_index(idx2, None, [("q", anchor[3])], 8, config=cfg, strategy="beam")
+    got2 = [r["id"] for r in res2.orderBy("rank").collect()]
+    assert got2[0] == anchor[1]
+    assert not (set(got2) & (set(del1) | set(del2)))
