@@ -469,7 +469,31 @@ class HnswGraph:
             safe = np.where(valid, nb, 0)
             fresh = valid & ~visited[a[:, None], safe]
             visited[a[:, None], safe] |= fresh
-            d = self._dist_gather(nb, fresh, Qf[a], qn2[a])
+            # distances for FRESH entries only (one flat ragged einsum) —
+            # the dense (alive × cap × d) gather recomputed every visited
+            # slot each step, ~10× wasted flops at high dim
+            rows, cols = np.nonzero(fresh)
+            nbs = nb[rows, cols]
+            d = np.full(nb.shape, INF, dtype=np.float32)
+            if len(rows):
+                sub = self.vectors[nbs]
+                Qa = Qf[a]
+                if self.cfg.space == "manhattan":
+                    dflat = np.abs(sub - Qa[rows]).sum(axis=1, dtype=np.float32)
+                else:
+                    dot = np.einsum("ij,ij->i", sub, Qa[rows], dtype=np.float32)
+                    if self.cfg.space == "euclidean":
+                        dflat = np.sqrt(
+                            np.maximum(
+                                self.norms2[nbs] - 2.0 * dot + qn2[a][rows], 0.0
+                            )
+                        )
+                    else:
+                        dflat = np.abs(
+                            np.float32(1.0)
+                            - dot / (self.norms[nbs] * np.sqrt(qn2[a][rows]))
+                        )
+                d[rows, cols] = dflat
             # result beam sees tombstones as +inf; candidate beam keeps
             # them so the walk can pass through deleted regions
             d_res = (
@@ -540,41 +564,140 @@ class HnswGraph:
         levels: list[int],
         config: HnswConfig,
         wave: int = 256,
+        brute_threshold: int | None = None,
     ) -> "HnswGraph":
-        """Deterministic wave-batched build.
+        """Deterministic wave-batched build with a GEMM fast path.
 
         Sequential semantics are the reference's insert loop
         (`index/hnsw.go:80-140`); the batch analogue keeps its fixed
-        order but processes level-0 items (1 - 1/m of all inserts) in
-        waves: each wave's beam searches run against the pre-wave graph
-        via the vectorized batch kernel, then commits apply in ascending
-        id order (edges + prunes).  Intra-wave items don't see each
-        other as beam candidates — backlink pruning re-knits those
-        edges, and recall vs brute force is unchanged (tests).  Wave
-        boundaries are fixed, so rebuilds are bit-reproducible.
+        order but processes items in waves whose candidate searches run
+        against the pre-wave graph, then commits apply in ascending id
+        order (edges + prunes).  Intra-wave items don't see each other
+        as candidates — backlink pruning re-knits those edges, and
+        recall vs brute force is unchanged (tests).  Wave boundaries are
+        fixed, so rebuilds are reproducible.
 
-        Rare upper-level items (P = 1/m per level) insert sequentially —
-        they need per-level beams and may move the entrypoint.
+        Candidate generation has two kernels:
+
+        - **exact GEMM** while the built prefix is ≤ ``brute_threshold``
+          (default 4·efConstruction): with a beam of efC over a graph
+          that small, the beam visits ~everything anyway — so the
+          candidate list IS the exact top-efC, computable as one BLAS
+          GEMM per wave instead of thousands of gather-einsum beam
+          steps.  Upper-level candidates come from the same distance
+          row restricted to that level's nodes.  Same-or-better edge
+          quality, order-of-magnitude faster on partition sizes near
+          the construction beam width (the reference-protocol efC=500
+          case).
+        - **batched beam** beyond the threshold — the asymptotic path
+          for large partitions, where the beam's sub-linear visit count
+          wins.
         """
         g = cls(mat.shape[1], config)
         g.vectors = np.ascontiguousarray(mat, dtype=np.float32)
-        n = len(levels)
-        # bootstrap sequentially: tiny graphs change too fast for stale
-        # pre-wave candidates to give good edges
-        boot = min(n, wave)
-        for i in range(boot):
-            g._insert_prebuilt(i, levels[i])
-        if boot >= n:
-            return g
-        g.finalize()
         v = g.vectors
+        n = len(levels)
+        if n == 0:
+            return g
+        if brute_threshold is None:
+            brute_threshold = 4 * config.ef_construction
         g.norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
         g.norms = np.sqrt(g.norms2)
+        space = config.space
+        efc = config.ef_construction
+        by_level: dict[int, list[int]] = {}
+
+        def dist_rows(X: np.ndarray, upto: int) -> np.ndarray:
+            """(|X|, upto) float32 distances to the built prefix."""
+            sub = v[:upto]
+            if space == "manhattan":
+                return np.abs(sub[None, :, :] - X[:, None, :]).sum(
+                    axis=2, dtype=np.float32
+                )
+            dot = X @ sub.T
+            if space == "euclidean":
+                qn2 = np.einsum("ij,ij->i", X, X, dtype=np.float32)
+                return np.sqrt(
+                    np.maximum(
+                        g.norms2[:upto][None, :] - 2.0 * dot + qn2[:, None], 0.0
+                    )
+                )
+            qn = np.sqrt(np.einsum("ij,ij->i", X, X, dtype=np.float32))
+            return np.abs(
+                np.float32(1.0) - dot / (g.norms[:upto][None, :] * qn[:, None])
+            )
+
+        def commit_exact(x: int, drow: np.ndarray, upto: int) -> None:
+            """Insert x with exact top-efC candidates from built[:upto]
+            per level (ties broken by index — deterministic)."""
+            L = levels[x]
+            g.levels.append(L)
+            g.adj.append({l: set() for l in range(L + 1)})
+            if g.entrypoint < 0:
+                g.entrypoint = x
+            else:
+                max_level = g.levels[g.entrypoint]
+                for l in range(min(L, max_level), -1, -1):
+                    if l == 0:
+                        pd_ = drow[:upto]
+                        pool = None
+                    else:
+                        nodes = by_level.get(l)
+                        if not nodes:
+                            continue
+                        pool = np.asarray(nodes, dtype=np.int64)
+                        # intra-wave items are invisible (no distance row)
+                        pool = pool[pool < upto]
+                        if not pool.size:
+                            continue
+                        pd_ = drow[pool]
+                    k_eff = min(efc, pd_.shape[0])
+                    if k_eff == 0:
+                        continue
+                    if pd_.shape[0] > k_eff:
+                        sel = np.argpartition(pd_, k_eff - 1)[:k_eff]
+                    else:
+                        sel = np.arange(pd_.shape[0])
+                    nodes_sel = sel if pool is None else pool[sel]
+                    cand = sorted(zip(pd_[sel].tolist(), nodes_sel.tolist()))
+                    nbrs = g._select_neighbors(cand, g.cfg.m, l, v[x])
+                    for _, nb in nbrs:
+                        g.adj[x][l].add(nb)
+                        g.adj[nb].setdefault(l, set()).add(x)
+                        if len(g.adj[nb][l]) > g._cap(l):
+                            g._prune(nb, l)
+                if L > max_level:
+                    g.entrypoint = x
+            for l in range(1, L + 1):
+                by_level.setdefault(l, []).append(x)
+
+        # bootstrap sequentially (exact candidates, one gemv per item):
+        # tiny graphs change too fast for stale pre-wave candidates
+        boot = min(n, wave)
+        for x in range(boot):
+            drow = (
+                dist_rows(v[x : x + 1], x)[0]
+                if x
+                else np.empty(0, dtype=np.float32)
+            )
+            commit_exact(x, drow, x)
+
         dirty: set[int] = set()
+        finalized = False
         i = boot
         while i < n:
             # waves grow with the graph (≤10% stale candidates per wave)
             j = min(n, i + max(wave, i // 10))
+            if i <= brute_threshold:
+                D = dist_rows(v[i:j], i)
+                for x in range(i, j):
+                    commit_exact(x, D[x - i], i)
+                i = j
+                continue
+            if not finalized:
+                g.finalize()  # build pads once at the kernel transition
+                finalized = True
+                dirty.clear()
             ids = list(range(i, j))
             g._refresh_pads(dirty, len(g.levels))
             dirty.clear()
@@ -830,12 +953,52 @@ def _check_config(idx_pdf: pd.DataFrame, cfg: HnswConfig) -> None:
 # analogue of the reference keeping its graphs resident in memory
 # between requests.  Keyed by caller-supplied token: the caller owns
 # versioning (pass a new token after rebuilding the index).
+#
+# Byte-capped LRU (not a row-count FIFO): pid→worker assignment is
+# effectively random per job, so over a serving session each worker
+# accumulates the graphs it has served — the cap bounds worker memory,
+# sized via ANNDB_GRAPH_CACHE_BYTES (default 1 GiB).
+import os as _os_mod
+
 _GRAPH_CACHE: dict = {}
-_GRAPH_CACHE_CAP = 16
+_GRAPH_CACHE_MAX_BYTES = int(
+    _os_mod.environ.get("ANNDB_GRAPH_CACHE_BYTES", str(1 << 30))
+)
+
+
+def _graph_bytes(g: "HnswGraph") -> int:
+    b = g.vectors.nbytes + 16 * len(g.levels)
+    for pad in getattr(g, "adj_pad", {}).values():
+        b += pad.nbytes
+    return b
+
+
+def _cache_get(key):
+    if key is None or key not in _GRAPH_CACHE:
+        return None
+    val = _GRAPH_CACHE.pop(key)  # re-insert → LRU order
+    _GRAPH_CACHE[key] = val
+    return val[:2]
+
+
+def _cache_put(key, ids, g):
+    if key is None:
+        return
+    nb = _graph_bytes(g)
+    if nb > _GRAPH_CACHE_MAX_BYTES:
+        return
+    total = nb + sum(v[2] for v in _GRAPH_CACHE.values())
+    while total > _GRAPH_CACHE_MAX_BYTES and _GRAPH_CACHE:
+        _, _, old_nb = _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        total -= old_nb
+    _GRAPH_CACHE[key] = (ids, g, nb)
 
 
 def _graph_from_index(
-    idx_pdf: pd.DataFrame, cfg: "HnswConfig", vec_pdf: pd.DataFrame | None = None
+    idx_pdf: pd.DataFrame,
+    cfg: "HnswConfig",
+    vec_pdf: pd.DataFrame | None = None,
+    need_adj: bool = True,
 ):
     """Reconstruct (ids, HnswGraph) from index rows; vectors come from the
     index's own vertex rows (self-contained) unless ``vec_pdf`` given.
@@ -843,19 +1006,25 @@ def _graph_from_index(
     Vertex metadata (when present) is attached as ``g.item_meta`` and
     'tomb' rows become the ``g.deleted`` mask — deleted vertices stay
     traversable but are excluded from results (the reference's tombstone
-    semantics, index/hnsw.go:295-297,335-337)."""
+    semantics, index/hnsw.go:295-297,335-337).
+
+    Adjacency parsing is fully vectorized (pandas get_indexer + one
+    scatter per level — no per-row Python); ``need_adj=False`` skips it
+    entirely for brute-strategy searches, which only need the vector
+    matrix — that makes cache-miss reconstruction ~free for the
+    partition-pruned IVF shape."""
     _check_config(idx_pdf, cfg)
     vrows = idx_pdf[idx_pdf["kind"] == "vertex"]
     if vec_pdf is not None:
         ids = vec_pdf["id"].tolist()
         vecs = np.array(vec_pdf["vector"].tolist(), dtype=np.float32)
-        pos = {v: i for i, v in enumerate(ids)}
+        pos_index = pd.Index(ids)
         levels = np.zeros(len(ids), dtype=np.int32)
-        levels[[pos[s] for s in vrows["src"]]] = vrows["level"].to_numpy()
+        levels[pos_index.get_indexer(vrows["src"])] = vrows["level"].to_numpy()
     else:
         ids = vrows["src"].tolist()
         vecs = np.array(vrows["vec"].tolist(), dtype=np.float32)
-        pos = {v: i for i, v in enumerate(ids)}
+        pos_index = pd.Index(ids)
         levels = vrows["level"].to_numpy(dtype=np.int32)
     n = len(ids)
     g = HnswGraph(vecs.shape[1], cfg)
@@ -868,22 +1037,32 @@ def _graph_from_index(
     trows = idx_pdf[idx_pdf["kind"] == "tomb"]
     if len(trows):
         deleted = np.zeros(n, dtype=bool)
-        deleted[[pos[s] for s in trows["src"] if s in pos]] = True
+        tsel = pos_index.get_indexer(trows["src"])
+        deleted[tsel[tsel >= 0]] = True
         g.deleted = deleted
-    adj_rows = idx_pdf[idx_pdf["kind"] == "adj"]
     g.adj_pad = {}
-    for lvl, grp in adj_rows.groupby("level", sort=False):
-        srcs = [pos[s] for s in grp["src"]]
-        dlists = [[pos[x] for x in d] for d in grp["dsts"]]
-        cap = max((len(d) for d in dlists), default=1)
-        mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
-        for s, d in zip(srcs, dlists):
-            mat[s, : len(d)] = d
-        g.adj_pad[int(lvl)] = mat
-    for lvl in range(int(levels.max(initial=0)) + 1):
-        g.adj_pad.setdefault(lvl, np.full((n, 1), -1, dtype=np.int32))
+    if need_adj:
+        from itertools import chain
+
+        adj_rows = idx_pdf[idx_pdf["kind"] == "adj"]
+        for lvl, grp in adj_rows.groupby("level", sort=False):
+            srcs = pos_index.get_indexer(grp["src"])
+            dl = grp["dsts"].tolist()
+            lens = np.fromiter((len(d) for d in dl), dtype=np.int64, count=len(dl))
+            flat = list(chain.from_iterable(dl))
+            dst_idx = pos_index.get_indexer(flat).astype(np.int32)
+            cap = int(lens.max()) if len(lens) else 1
+            mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
+            if len(lens):
+                rows = np.repeat(srcs, lens)
+                ends = np.cumsum(lens)
+                cols = np.arange(int(ends[-1])) - np.repeat(ends - lens, lens)
+                mat[rows, cols] = dst_idx
+            g.adj_pad[int(lvl)] = mat
+        for lvl in range(int(levels.max(initial=0)) + 1):
+            g.adj_pad.setdefault(lvl, np.full((n, 1), -1, dtype=np.int32))
     erow = idx_pdf[idx_pdf["kind"] == "entry"]
-    g.entrypoint = pos[erow["src"].iloc[0]]
+    g.entrypoint = int(pos_index.get_indexer(erow["src"].iloc[:1])[0])
     g.norms2 = np.einsum("ij,ij->i", g.vectors, g.vectors, dtype=np.float32)
     g.norms = np.sqrt(g.norms2)
     return ids, g
@@ -1029,14 +1208,12 @@ def search_index(
 
     def get_graph(pid, idx_pdf, vec_pdf=None):
         key = (cache_token, int(pid)) if cache_token is not None else None
-        if key is not None and key in _GRAPH_CACHE:
-            return _GRAPH_CACHE[key]
-        ids_g = _graph_from_index(idx_pdf, cfg, vec_pdf)
-        if key is not None:
-            if len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
-                _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
-            _GRAPH_CACHE[key] = ids_g
-        return ids_g
+        hit = _cache_get(key)
+        if hit is not None:
+            return hit
+        ids, g = _graph_from_index(idx_pdf, cfg, vec_pdf)
+        _cache_put(key, ids, g)
+        return ids, g
 
     if self_contained:
 
@@ -1078,6 +1255,167 @@ def search_index(
             search_one, schema="query_id STRING, id STRING, score FLOAT"
         )
     # global gather: top-k per query over the partition partials
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score", *out_cols[3:])
+    )
+
+
+def search_index_path(
+    spark,
+    path: str,
+    queries: list[tuple[object, list[float]]],
+    k: int,
+    ef: int | None = None,
+    config: HnswConfig | None = None,
+    strategy: str = "auto",
+    brute_flops_threshold: float = 1e8,
+    cache_token: str | None = None,
+    with_metadata: bool = False,
+    centroids=None,
+    nprobe: int = 0,
+) -> DataFrame:
+    """Serving-shape ANN search over a SAVED index (`save_index` path).
+
+    `search_index` ships the index DataFrame through a shuffle + Arrow
+    conversion on EVERY call — at 784-d that transfer dwarfs the actual
+    graph walk (~10× the kernel time).  Here the plan parallelizes over
+    *partition ids* (one row per graph partition, round-robin → one task
+    each); every task column-reads its own partition's parquet directly
+    and caches the reconstructed graph in the reused python worker, so a
+    warm serving workload pays ZERO index bytes per query batch — the
+    same resident-graph contract the reference's nodes have
+    (`storage/partition.go`: graphs live in memory, storage is only read
+    on start/restore).  Queries ride the task closure.
+
+    With ``centroids`` + ``nprobe`` the query set is routed first (the
+    IVF×HNSW hybrid): only probed partitions appear in the plan at all
+    (the parquet directories of unprobed partitions are never listed to
+    tasks), and each task searches only its queries — per-query work is
+    nprobe graph walks.
+
+    Results are identical to `search_index` / `search_index_routed` on
+    the same saved index (pytest-verified).
+    """
+    import os as _os
+
+    cfg = config or get_index_config(load_index(spark, path)) or HnswConfig()
+    ef = max(ef or cfg.ef, k)
+    all_pids = sorted(
+        int(d.split("=")[1])
+        for d in _os.listdir(path)
+        if d.startswith("partition_id=")
+    )
+    qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
+    qmat = np.array([v for _, v in queries], dtype=np.float32)
+    by_pid: dict[int, list[int]] | None = None
+    if centroids is not None and nprobe > 0:
+        from anndb_spark.operators.ivf import _pairwise
+
+        cent = np.ascontiguousarray(centroids, dtype=np.float64)
+        npb = min(nprobe, cent.shape[0])
+        dmat = _pairwise(qmat.astype(np.float64), cent, cfg.space)
+        probes = np.argpartition(dmat, min(npb - 1, dmat.shape[1] - 1), axis=1)[:, :npb]
+        by_pid = {}
+        for qi, ps in enumerate(probes):
+            for p in ps:
+                by_pid.setdefault(int(p), []).append(qi)
+        pids = [p for p in all_pids if p in by_pid]
+    else:
+        pids = all_pids
+
+    out_cols = ["query_id", "id", "score"] + (["metadata"] if with_metadata else [])
+    out_schema = "query_id STRING, id STRING, score FLOAT" + (
+        ", metadata MAP<STRING,STRING>" if with_metadata else ""
+    )
+    # one row per graph partition, round-robin → exactly one pid per task
+    plan = spark.createDataFrame([(p,) for p in pids], "pid INT").repartition(
+        max(len(pids), 1)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for pid in b["pid"].tolist():
+                if by_pid is None:
+                    sub, sub_qids = qmat, qid_arr
+                else:
+                    qsel = by_pid.get(int(pid), [])
+                    if not qsel:
+                        continue
+                    sub, sub_qids = qmat[qsel], qid_arr[qsel]
+                # a full-graph cache entry serves both strategies; a
+                # brute-only (adjacency-free) one is keyed separately
+                full_key = (cache_token, pid) if cache_token is not None else None
+                hit = _cache_get(full_key)
+                use_brute = strategy == "brute"
+                if hit is not None:
+                    ids, g = hit
+                    use_brute = use_brute or (
+                        strategy == "auto"
+                        and len(ids) * sub.shape[0] * g.dim <= brute_flops_threshold
+                    )
+                else:
+                    idx_pdf = pq.read_table(
+                        _os.path.join(path, f"partition_id={pid}")
+                    ).to_pandas()
+                    n_vert = int((idx_pdf["kind"] == "vertex").sum())
+                    dim = (
+                        len(idx_pdf.loc[idx_pdf["kind"] == "vertex", "vec"].iloc[0])
+                        if n_vert
+                        else 0
+                    )
+                    use_brute = use_brute or (
+                        strategy == "auto"
+                        and n_vert * sub.shape[0] * dim <= brute_flops_threshold
+                    )
+                    if use_brute:
+                        bkey = (
+                            (cache_token, pid, "brute")
+                            if cache_token is not None
+                            else None
+                        )
+                        hit = _cache_get(bkey)
+                        if hit is not None:
+                            ids, g = hit
+                        else:
+                            ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
+                            _cache_put(bkey, ids, g)
+                    else:
+                        ids, g = _graph_from_index(idx_pdf, cfg)
+                        _cache_put(full_key, ids, g)
+                res = (
+                    g.search_brute(sub, k)
+                    if use_brute
+                    else g.search_fast_batch(sub, k, ef)
+                )
+                counts = [len(h) for h in res]
+                total = sum(counts)
+                nid = np.fromiter(
+                    (i for h in res for _, i in h), dtype=np.int64, count=total
+                )
+                dist = np.fromiter(
+                    (d for h in res for d, _ in h), dtype=np.float32, count=total
+                )
+                ids_arr = np.asarray(ids, dtype=object)
+                data = {
+                    "query_id": np.repeat(sub_qids, counts),
+                    "id": ids_arr[nid],
+                    "score": dist,
+                }
+                if with_metadata:
+                    meta = g.item_meta
+                    data["metadata"] = (
+                        [meta[i] for i in nid] if meta is not None else [None] * total
+                    )
+                yield pd.DataFrame(data, columns=out_cols)
+
+    partials = plan.mapInPandas(run, schema=out_schema)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
@@ -1223,14 +1561,12 @@ def search_index_routed(
         if not qsel or not len(idx_pdf):
             return pd.DataFrame(columns=out_cols)
         ckey = (cache_token, pid) if cache_token is not None else None
-        if ckey is not None and ckey in _GRAPH_CACHE:
-            ids, g = _GRAPH_CACHE[ckey]
+        hit = _cache_get(ckey)
+        if hit is not None:
+            ids, g = hit
         else:
             ids, g = _graph_from_index(idx_pdf, cfg)
-            if ckey is not None:
-                if len(_GRAPH_CACHE) >= _GRAPH_CACHE_CAP:
-                    _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
-                _GRAPH_CACHE[ckey] = (ids, g)
+            _cache_put(ckey, ids, g)
         sub = qmat[qsel]
         use_brute = strategy == "brute" or (
             strategy == "auto" and len(ids) * len(qsel) * g.dim <= brute_flops_threshold

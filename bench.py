@@ -3,11 +3,25 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "extra": {...rates...}}
+   "queries": {name: median_sec, ...}, "queries_min": {...},
+   "sf": ..., "extra": {...rates, recall...}}
 
-Comparable baseline numbers (BASELINE.md): single-node HNSW build
-inserts/s and search q/s at M=16; we report the analogous rates in
-"extra" alongside wall-clock seconds per query.
+Harness discipline (VERDICT r3 wrong #5): every timed query runs
+``SPARK_GRAFT_BENCH_REPEATS`` (default 3) in-process repeats after the
+global warm-up; "queries" reports the MEDIAN and "queries_min" the min,
+so one GC pause or JIT hiccup no longer reads as a regression.  The two
+expensive build legs run fewer repeats (declared per leg).
+
+Baseline comparables (BASELINE.md, reference = 16 vCPU Go in-process):
+- `fm_*` legs reproduce the reference's ann-benchmark protocol at
+  fashion-mnist scale — 60k×784 euclidean, build M=16/efConstruction=500,
+  search ef=20/k=10, recall@10 vs exact ground truth
+  (`cmd/benchmark/ann-benchmark/main.go:21,201`, `results.txt:22-28`:
+  3,382 inserts/s build, 26,112 q/s search, 0.9453 recall@10).
+  The corpus is deterministic synthetic with fashion-mnist-like
+  structure: 64 class centers, ~32-dim intrinsic subspace + full-dim
+  noise (ann workloads are never isotropic-gaussian; neither is mnist).
+- other legs report wall seconds + derived rates in "extra".
 """
 
 from __future__ import annotations
@@ -15,12 +29,74 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# reference ann-benchmark protocol (fashion-mnist row of results.txt)
+FM_N, FM_DIM, FM_QUERIES = 60_000, 784, 1_000
+FM_CENTERS, FM_INTRINSIC = 64, 32
+FM_SEED = 1234
+
+
+def fm_table(spark, cpus: int):
+    """Deterministic 60k×784 corpus with fashion-mnist-like structure:
+    x = center[id % 64] + B·w (32-dim intrinsic) + 0.1·ε.  Generated
+    distributed (one bounded rng per id — stable under repartitioning);
+    only the tiny center/basis matrices ride the closure."""
+    rng = np.random.default_rng(FM_SEED)
+    centers = rng.normal(0, 1.0, (FM_CENTERS, FM_DIM)).astype(np.float32)
+    basis = (rng.normal(0, 1.0, (FM_DIM, FM_INTRINSIC)) / np.sqrt(FM_INTRINSIC)).astype(
+        np.float32
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                r = np.random.default_rng((FM_SEED, int(i)))
+                w = r.normal(0, 1.0, FM_INTRINSIC).astype(np.float32)
+                eps = r.normal(0, 0.1, FM_DIM).astype(np.float32)
+                vecs.append(centers[int(i) % FM_CENTERS] + basis @ w + eps)
+            yield pd.DataFrame(
+                {
+                    "id": [str(i) for i in ids],
+                    "partition_id": (ids % cpus).astype("int32"),
+                    "vector": vecs,
+                }
+            )
+
+    return (
+        spark.range(FM_N)
+        .repartition(cpus)
+        .mapInPandas(gen, schema="id STRING, partition_id INT, vector ARRAY<FLOAT>")
+    )
+
+
+def fm_queries():
+    # same center/basis seed stream as fm_table; query-side rng disjoint
+    r0 = np.random.default_rng(FM_SEED)
+    centers = r0.normal(0, 1.0, (FM_CENTERS, FM_DIM)).astype(np.float32)
+    basis = (r0.normal(0, 1.0, (FM_DIM, FM_INTRINSIC)) / np.sqrt(FM_INTRINSIC)).astype(
+        np.float32
+    )
+    pick = np.random.default_rng(FM_SEED + 1)
+    qs = []
+    for qi in range(FM_QUERIES):
+        r = np.random.default_rng((FM_SEED + 1, qi))
+        w = r.normal(0, 1.0, FM_INTRINSIC).astype(np.float32)
+        eps = r.normal(0, 0.1, FM_DIM).astype(np.float32)
+        c = centers[int(pick.integers(FM_CENTERS))]
+        qs.append((str(qi), (c + basis @ w + eps).tolist()))
+    return qs
 
 
 def main():
@@ -34,21 +110,33 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
-    from anndb_spark.operators.hnsw import HnswConfig, build_index, search_index
+    from anndb_spark.operators.hnsw import (
+        HnswConfig,
+        build_index,
+        save_index,
+        search_index_path,
+    )
     from anndb_spark.operators.knn import knn_exact, knn_search
     from anndb_spark.sources.tables import lineitem_vec
 
+    scratch = tempfile.mkdtemp(prefix="anndb_bench_")
+
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, repeats: int = REPEATS):
+        out, times = None, []
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            out = fn()
+            times.append(time.perf_counter() - t0)
+        timings[name] = round(float(np.median(times)), 3)
+        mins[name] = round(min(times), 3)
         return out
 
     # warm the JVM, parquet footers, codegen, and the Arrow/pandas-UDF
-    # worker pool so the first timed query measures the kernel
+    # worker pool so timed queries measure the kernels
     warm = lineitem_vec(spark, sf_dir).limit(1000).select("id", "vector")
     knn_exact(warm, entry._queries_df(spark, entry.LINEITEM_QUERIES[:1]), 5).collect()
 
@@ -75,24 +163,34 @@ def main():
     )
     sample_n = sample.count()
     cfg = HnswConfig(m=16, ef_construction=100)
-    idx = build_index(sample, cfg).cache()
-    n_edges = timed("hnsw_build_100k", lambda: idx.count())
+    timed("hnsw_build_100k", lambda: build_index(sample, cfg).count(), repeats=2)
     extra["hnsw_build_inserts_per_s"] = round(sample_n / timings["hnsw_build_100k"], 1)
+    idx_path = os.path.join(scratch, "idx_100k")
+    save_index(build_index(sample, cfg), idx_path)
+    n_edges = spark.read.parquet(idx_path).count()
 
-    # q4: ANN search, 1000 queries over the materialized index (batch
-    # size amortizes the fixed job/cogroup overhead so q/s reflects the
-    # kernel). auto = strategy router (brute GEMM at this partition
-    # size); beam = forced HNSW graph walk (the large-partition path).
+    # q4: ANN search, 1000 queries over the SAVED index — the serving
+    # shape (search_index_path): one task per graph partition reading
+    # its own parquet, worker-cached graphs, queries in the closure.  No
+    # per-call index shuffle/Arrow re-ship (that transfer was ~10× the
+    # graph-walk time).  auto = strategy router (brute GEMM at this
+    # partition size); beam = forced HNSW walk (the large-partition path).
     rng = np.random.default_rng(42)
     queries = [(str(i), rng.normal(0, 30, 8).tolist()) for i in range(1000)]
+    search_index_path(  # warm: prime worker graph caches
+        spark, idx_path, queries[:8], 10, ef=50, config=cfg, cache_token="bench-flat"
+    ).collect()
     timed(
         "hnsw_search_1kq",
-        lambda: search_index(idx, sample, queries, 10, ef=50, config=cfg).collect(),
+        lambda: search_index_path(
+            spark, idx_path, queries, 10, ef=50, config=cfg, cache_token="bench-flat"
+        ).collect(),
     )
     timed(
         "hnsw_search_1kq_beam",
-        lambda: search_index(
-            idx, sample, queries, 10, ef=50, config=cfg, strategy="beam"
+        lambda: search_index_path(
+            spark, idx_path, queries, 10, ef=50, config=cfg, strategy="beam",
+            cache_token="bench-flat",
         ).collect(),
     )
     extra["hnsw_search_q_per_s"] = round(1000 / timings["hnsw_search_1kq"], 1)
@@ -105,30 +203,28 @@ def main():
     extra["hnsw_partition_searches_per_s_beam"] = round(
         1000 * cpus / timings["hnsw_search_1kq_beam"], 1
     )
-    extra["baseline_build_inserts_per_s_m16"] = 3382.0
-    extra["baseline_search_q_per_s_m16"] = 26112.0
 
     # q4b: cluster-routed IVF×HNSW — the 100 TB search shape: the index
-    # is partitioned by coarse k-means cell and each query walks only
-    # nprobe=4 of 32 graphs (plus worker-cached reconstruction),
-    # instead of the flat scatter's one-walk-per-partition
-    from anndb_spark.operators.hnsw import search_index_routed
+    # is partitioned by coarse k-means cell; each query batch lists only
+    # its nprobe=4 probed cells' parquet directories (scan pruning) and
+    # walks only those graphs, instead of the flat scatter's
+    # one-walk-per-partition
     from anndb_spark.operators.ivf import assign_clusters, train_centroids
 
     cent_r = train_centroids(sample, 32, sample_n=50_000)
     assigned_r = assign_clusters(sample.select("id", "vector"), cent_r)
-    idx_r = build_index(assigned_r, cfg, partition_col="cluster_id").cache()
-    idx_r.count()
+    idx_r_path = os.path.join(scratch, "idx_100k_routed")
+    save_index(build_index(assigned_r, cfg, partition_col="cluster_id"), idx_r_path)
     # warm pass primes the per-worker graph cache (serving shape)
-    search_index_routed(
-        idx_r, queries[:8], 10, cent_r, nprobe=4, ef=50, config=cfg,
-        cache_token="bench", strategy="beam",
+    search_index_path(
+        spark, idx_r_path, queries[:8], 10, centroids=cent_r, nprobe=4, ef=50,
+        config=cfg, cache_token="bench", strategy="beam",
     ).collect()
     timed(
         "hnsw_search_1kq_routed",
-        lambda: search_index_routed(
-            idx_r, queries, 10, cent_r, nprobe=4, ef=50, config=cfg,
-            cache_token="bench", strategy="beam",
+        lambda: search_index_path(
+            spark, idx_r_path, queries, 10, centroids=cent_r, nprobe=4, ef=50,
+            config=cfg, cache_token="bench", strategy="beam",
         ).collect(),
     )
     extra["hnsw_search_q_per_s_routed"] = round(
@@ -159,15 +255,17 @@ def main():
     # q10: IVF scale path over embeddings — train coarse quantizer,
     # assign clusters, then a 200-query batch probing 4 of 32 clusters
     # (scans ~1/8 of the table per query vs exact kNN's full scan)
-    from anndb_spark.operators.ivf import assign_clusters, search_ivf, train_centroids
+    from anndb_spark.operators.ivf import search_ivf
 
     def ivf_setup():
         cent = train_centroids(emb, 32, sample_n=50_000)
-        assigned = assign_clusters(emb, cent).cache()
+        assigned = assign_clusters(emb, cent)
         assigned.count()
         return cent, assigned
 
     cent, assigned = timed("ivf_train_assign", ivf_setup)
+    assigned = assigned.cache()
+    assigned.count()
     rng2 = np.random.default_rng(7)
     ivf_q = spark.createDataFrame(
         [(i, rng2.normal(0, 1, 64).tolist()) for i in range(200)],
@@ -209,6 +307,62 @@ def main():
         lambda: entry._dedup_minhash_pairs(spark, sf_dir).collect(),
     )
 
+    # q13: the reference ann-benchmark protocol at fashion-mnist scale
+    # (BASELINE.md contract): 60k×784 euclidean, build M=16/efC=500,
+    # search ef=20/k=10, recall@10 vs exact ground truth.  One build
+    # repeat (it dominates wall time); search runs the full repeat set
+    # over worker-resident graphs.
+    fm = fm_table(spark, cpus).cache()
+    fm_n = fm.count()
+    cfg_fm = HnswConfig(m=16, ef_construction=500)
+    fm_path = os.path.join(scratch, "idx_fm")
+
+    def fm_build():
+        # build + persist: the timed unit is what a user pays to get a
+        # searchable index on storage (the reference times Insert loops,
+        # then snapshots separately; persist here is a few % of build)
+        save_index(build_index(fm, cfg_fm), fm_path)
+
+    timed("fm_build_60k_784", fm_build, repeats=1)
+    idx_fm_rows = spark.read.parquet(fm_path).count()
+    qs_fm = fm_queries()
+    search_index_path(  # warm + prime worker graph caches
+        spark, fm_path, qs_fm[:8], 10, ef=20, config=cfg_fm, strategy="beam",
+        cache_token="bench-fm",
+    ).collect()
+    timed(
+        "fm_search_1kq",
+        lambda: search_index_path(
+            spark, fm_path, qs_fm, 10, ef=20, config=cfg_fm, strategy="beam",
+            cache_token="bench-fm",
+        ).collect(),
+    )
+    # exact ground truth: blocked-GEMM brute scan of every partition
+    truth_rows = search_index_path(
+        spark, fm_path, qs_fm, 10, config=cfg_fm, strategy="brute",
+        cache_token="bench-fm",
+    ).collect()
+    ann_rows = search_index_path(
+        spark, fm_path, qs_fm, 10, ef=20, config=cfg_fm, strategy="beam",
+        cache_token="bench-fm",
+    ).collect()
+    truth: dict[str, set] = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["id"])
+    hits = 0
+    for r in ann_rows:
+        if r["id"] in truth.get(r["query_id"], ()):
+            hits += 1
+    recall = hits / (10 * FM_QUERIES)
+    extra["fm_recall_at_10"] = round(recall, 4)
+    extra["fm_build_inserts_per_s"] = round(fm_n / timings["fm_build_60k_784"], 1)
+    extra["fm_search_q_per_s"] = round(FM_QUERIES / timings["fm_search_1kq"], 1)
+    extra["fm_config"] = "m=16 efC=500 ef=20 k=10 60000x784 euclidean"
+    extra["fm_index_rows"] = idx_fm_rows
+    extra["baseline_fm_build_inserts_per_s_m16"] = 3382.0
+    extra["baseline_fm_search_q_per_s_m16"] = 26112.0
+    extra["baseline_fm_recall_at_10_m16"] = 0.9453
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -217,6 +371,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
                 "sf": sf,
                 "extra": extra,
             }

@@ -439,3 +439,47 @@ def test_index_metadata_passthrough(spark):
     ).collect()
     for r in res_r:
         assert r["metadata"] == want[r["id"]]
+
+
+def test_search_index_path_matches_dataframe_search(spark, spark_index, tmp_path):
+    """The serving-shape path search (per-partition parquet reads, no
+    index shuffle) must return exactly what the DataFrame search
+    returns — flat, routed, and brute/beam strategies."""
+    from anndb_spark.operators.hnsw import (
+        save_index,
+        search_index_path,
+        search_index_routed,
+    )
+    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+
+    emb, idx, cfg = spark_index
+    path = str(tmp_path / "pidx")
+    save_index(idx, path)
+    rng = np.random.default_rng(41)
+    queries = [(str(i), rng.normal(0, 1, 64).tolist()) for i in range(6)]
+    for strategy in ("brute", "beam"):
+        a = search_index(
+            idx, None, queries, k=8, ef=80, config=cfg, strategy=strategy
+        ).collect()
+        b = search_index_path(
+            spark, path, queries, k=8, ef=80, config=cfg, strategy=strategy
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), strategy
+
+    # routed: per-cell parquet listing == DataFrame isin-pruned routed scan
+    cent = train_centroids(emb, 4, sample_n=10_000)
+    idx_r = build_index(
+        assign_clusters(emb.select("id", "vector"), cent), cfg,
+        partition_col="cluster_id",
+    )
+    rpath = str(tmp_path / "pidx_routed")
+    from anndb_spark.operators.hnsw import save_index as _si
+
+    _si(idx_r, rpath)
+    a = search_index_routed(
+        idx_r, queries, k=8, centroids=cent, nprobe=2, ef=80, config=cfg
+    ).collect()
+    b = search_index_path(
+        spark, rpath, queries, k=8, centroids=cent, nprobe=2, ef=80, config=cfg
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
