@@ -166,10 +166,27 @@ class Dataset:
         (`storage/partition.go:349-367`); the compactor owns the merge."""
         self._append(df, "update")
 
-    def remove(self, ids: DataFrame | list) -> None:
+    def remove(self, ids: DataFrame | list, update_index: bool = True) -> None:
+        """Append delete ops; if a materialized index exists, also write
+        its tombstones immediately (no graph rebuild) so ANN search
+        excludes the deleted items right away — the reference's `Remove`
+        hits the live index too (`index/hnsw.go:164-214`).  The next
+        `build_index()` after compaction drops the tombstones."""
         if isinstance(ids, list):
             ids = self.spark.createDataFrame([(str(i),) for i in ids], "id STRING")
         self._append(ids.select("id"), "delete")
+        if update_index:
+            idx = self.index()
+            if idx is not None:
+                from anndb_spark.operators.hnsw import tombstone_rows
+
+                # materialize before appending into the directory the
+                # plan reads from
+                rows = tombstone_rows(idx, ids).localCheckpoint()
+                if rows.take(1):
+                    rows.write.mode("append").partitionBy("partition_id").parquet(
+                        self.index_path
+                    )
 
     # --- compaction / state --------------------------------------------
 

@@ -1068,21 +1068,13 @@ def _graph_from_index(
     return ids, g
 
 
-def delete_from_index(
+def tombstone_rows(
     index: DataFrame, ids: DataFrame | list, id_col: str = "id"
 ) -> DataFrame:
-    """Tombstone deletes — no graph rebuild.
-
-    The reference's `Remove` (index/hnsw.go:164-214) tombstones the
-    vertex and detaches edges; searches skip deleted vertices
-    (index/hnsw.go:295-297,335-337).  Here a delete appends one 'tomb'
-    row per deleted id (routed to its partition via the vertex rows —
-    a broadcast-sized join for any sane delete batch); the graph stays
-    untouched and every search kernel filters tombstones from results
-    while still walking through them.  Rebuild a partition only when its
-    tombstone fraction crosses a threshold (see `tombstone_stats` and
-    the streaming maintainer).
-    """
+    """The fresh 'tomb' rows a delete of ``ids`` adds to ``index`` —
+    routed to their partitions via the vertex rows (a broadcast-sized
+    join for any sane delete batch), minus already-tombstoned ids
+    (idempotent re-delete)."""
     spark = index.sparkSession
     if isinstance(ids, list):
         ids = spark.createDataFrame([(str(i),) for i in ids], "id STRING")
@@ -1095,18 +1087,34 @@ def delete_from_index(
         "src",
         F.lit(None).cast("int").alias("level"),
         F.lit(None).cast("array<string>").alias("dsts"),
-        F.lit(None).cast("array<float>").alias("vec"),
+        *([F.lit(None).cast("array<float>").alias("vec")] if "vec" in index.columns else []),
         *(
             [F.lit(None).cast("map<string,string>").alias("meta")]
             if "meta" in index.columns
             else []
         ),
     )
-    # a re-deleted id must not duplicate its tombstone row
     existing = index.filter(F.col("kind") == "tomb")
-    fresh = tombs.join(
+    return tombs.join(
         existing.select(F.col("src").alias("_t")), tombs["src"] == F.col("_t"), "left_anti"
-    )
+    ).drop("_t")
+
+
+def delete_from_index(
+    index: DataFrame, ids: DataFrame | list, id_col: str = "id"
+) -> DataFrame:
+    """Tombstone deletes — no graph rebuild.
+
+    The reference's `Remove` (index/hnsw.go:164-214) tombstones the
+    vertex and detaches edges; searches skip deleted vertices
+    (index/hnsw.go:295-297,335-337).  Here a delete appends one 'tomb'
+    row per deleted id (see `tombstone_rows`); the graph stays untouched
+    and every search kernel filters tombstones from results while still
+    walking through them.  Rebuild a partition only when its tombstone
+    fraction crosses a threshold (see `tombstone_stats` and the
+    streaming maintainer).
+    """
+    fresh = tombstone_rows(index, ids, id_col)
     return index.unionByName(fresh.select(*index.columns))
 
 

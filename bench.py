@@ -363,6 +363,41 @@ def main():
     extra["baseline_fm_search_q_per_s_m16"] = 26112.0
     extra["baseline_fm_recall_at_10_m16"] = 0.9453
 
+    # q13b: the same protocol on the cluster-routed index — the 100 TB
+    # search shape (per-query work = nprobe graph walks of 32, unprobed
+    # partition directories never enter the plan).  Reported with its
+    # own recall: the accuracy/cost knob the flat scatter doesn't have.
+    cent_fm = train_centroids(fm, 32, sample_n=30_000)
+    fm_routed_path = os.path.join(scratch, "idx_fm_routed")
+    save_index(
+        build_index(
+            assign_clusters(fm.select("id", "vector"), cent_fm),
+            cfg_fm,
+            partition_col="cluster_id",
+        ),
+        fm_routed_path,
+    )
+    search_index_path(  # warm
+        spark, fm_routed_path, qs_fm[:8], 10, centroids=cent_fm, nprobe=8,
+        ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
+    ).collect()
+    timed(
+        "fm_search_1kq_routed",
+        lambda: search_index_path(
+            spark, fm_routed_path, qs_fm, 10, centroids=cent_fm, nprobe=8,
+            ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
+        ).collect(),
+    )
+    ann_routed = search_index_path(
+        spark, fm_routed_path, qs_fm, 10, centroids=cent_fm, nprobe=8,
+        ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
+    ).collect()
+    hits_r = sum(1 for r in ann_routed if r["id"] in truth.get(r["query_id"], ()))
+    extra["fm_recall_at_10_routed_np8"] = round(hits_r / (10 * FM_QUERIES), 4)
+    extra["fm_search_q_per_s_routed_np8"] = round(
+        FM_QUERIES / timings["fm_search_1kq_routed"], 1
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

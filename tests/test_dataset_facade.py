@@ -187,3 +187,32 @@ def test_pending_changes_invisible_until_compact(spark, db):
     assert ds.len() == 0  # changelog not yet folded
     ds.compact()
     assert ds.len() == 1
+
+
+def test_remove_tombstones_index_without_rebuild(spark, db):
+    """remove() on an indexed dataset tombstones the materialized index
+    immediately — ANN search excludes deleted ids before any compaction
+    or rebuild (reference Remove semantics, index/hnsw.go:164-214)."""
+    from pyspark.sql import functions as F2
+
+    ds = db.create_dataset("tomb", dimension=8, partition_count=2)
+    rows, df = _vec_rows(spark, 120, 8, seed=21)
+    ds.insert(df)
+    ds.compact()
+    ds.build_index()
+    idx_before = ds.index()
+    verts_before = idx_before.filter(F2.col("kind") == "vertex").count()
+
+    victim = rows[7][0]
+    near = ds.search(rows[7][1], 3, mode="ann").orderBy("rank").collect()
+    assert near[0]["id"] == victim
+
+    ds.remove([victim])  # no compact, no rebuild
+    idx_after = ds.index()
+    # graph untouched, one tombstone added
+    assert idx_after.filter(F2.col("kind") == "vertex").count() == verts_before
+    assert [
+        r["src"] for r in idx_after.filter(F2.col("kind") == "tomb").collect()
+    ] == [victim]
+    got = ds.search(rows[7][1], 3, mode="ann").orderBy("rank").collect()
+    assert victim not in {r["id"] for r in got} and len(got) == 3
