@@ -1286,6 +1286,7 @@ def search_index_path(
     with_metadata: bool = False,
     centroids=None,
     nprobe: int = 0,
+    queries_per_task: int | None = None,
 ) -> DataFrame:
     """Serving-shape ANN search over a SAVED index (`save_index` path).
 
@@ -1340,23 +1341,40 @@ def search_index_path(
     out_schema = "query_id STRING, id STRING, score FLOAT" + (
         ", metadata MAP<STRING,STRING>" if with_metadata else ""
     )
-    # one row per graph partition, round-robin → exactly one pid per task
-    plan = spark.createDataFrame([(p,) for p in pids], "pid INT").repartition(
-        max(len(pids), 1)
+    # task layout: (pid, query-chunk) rows, round-robin.  Chunking the
+    # query set per partition breaks the one-task-per-partition
+    # straggler bound — skewed cluster cells (and the lock-step beam's
+    # slowest-query tail) stop gating the whole job; the graph cache
+    # makes the extra per-task reconstruction cheap.
+    n_q = qmat.shape[0]
+    per_pid = {
+        p: (len(by_pid[p]) if by_pid is not None else n_q) for p in pids
+    }
+    if queries_per_task is None:
+        total = sum(per_pid.values())
+        par = spark.sparkContext.defaultParallelism
+        queries_per_task = max(64, -(-total // max(3 * par, 1)))
+    plan_rows = []
+    for p in pids:
+        n_chunks = max(1, -(-per_pid[p] // queries_per_task))
+        plan_rows.extend((p, c) for c in range(n_chunks))
+    plan = spark.createDataFrame(plan_rows, "pid INT, chunk INT").repartition(
+        max(len(plan_rows), 1)
     )
+    qpt = queries_per_task
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
         for b in batches:
-            for pid in b["pid"].tolist():
+            for pid, chunk in zip(b["pid"].tolist(), b["chunk"].tolist()):
                 if by_pid is None:
-                    sub, sub_qids = qmat, qid_arr
+                    qsel = list(range(chunk * qpt, min((chunk + 1) * qpt, n_q)))
                 else:
-                    qsel = by_pid.get(int(pid), [])
-                    if not qsel:
-                        continue
-                    sub, sub_qids = qmat[qsel], qid_arr[qsel]
+                    qsel = by_pid.get(int(pid), [])[chunk * qpt : (chunk + 1) * qpt]
+                if not qsel:
+                    continue
+                sub, sub_qids = qmat[qsel], qid_arr[qsel]
                 # a full-graph cache entry serves both strategies; a
                 # brute-only (adjacency-free) one is keyed separately
                 full_key = (cache_token, pid) if cache_token is not None else None
