@@ -21,6 +21,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -292,6 +293,48 @@ def simhash64_cols(text: Column) -> tuple[Column, Column]:
     return simhash_col(text, 32, salt=""), simhash_col(text, 32, salt="1:")
 
 
+def simhash64_signatures_fast(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, lo, hi) 64-bit SimHash signatures via an Arrow-batched
+    hashlib kernel — bit-identical to `simhash64_cols` (same md5-hex
+    scheme: char j of md5(word) / md5('1:'+word), '≥8' ⇔ byte ≥ 56 on
+    lowercase hex, sum of ±1 over DISTINCT words), but one C md5 per
+    word instead of 64 Catalyst-interpreted aggregate expressions.
+    The expression path stays as the dual-dialect oracle surface."""
+    import hashlib
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    shifts = np.arange(32, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_lo, out_hi = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                acc_lo = np.zeros(32, dtype=np.int64)
+                acc_hi = np.zeros(32, dtype=np.int64)
+                for w in set(text.split(" ")):
+                    e = w.encode()
+                    d1 = np.frombuffer(
+                        hashlib.md5(e).hexdigest().encode(), dtype=np.uint8
+                    )
+                    d2 = np.frombuffer(
+                        hashlib.md5(b"1:" + e).hexdigest().encode(), dtype=np.uint8
+                    )
+                    acc_lo += np.where(d1 >= 56, 1, -1)
+                    acc_hi += np.where(d2 >= 56, 1, -1)
+                out_ids.append(did)
+                out_lo.append(int(((acc_lo > 0).astype(np.int64) << shifts).sum()))
+                out_hi.append(int(((acc_hi > 0).astype(np.int64) << shifts).sum()))
+            yield pd.DataFrame({"id": out_ids, "lo": out_lo, "hi": out_hi})
+
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(run, schema=f"id {id_type}, lo LONG, hi LONG")
+    )
+
+
 def simhash64_band_val(lo: Column, hi: Column, off: int, width: int) -> Column:
     """Bits [off, off+width) of the 64-bit signature (lo | hi << 32) as a
     non-negative BIGINT — straddle-aware, shift-left done by multiply so
@@ -329,6 +372,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 64,
     max_hamming: int = 3,
+    kernel: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -341,14 +385,22 @@ def simhash_pairs(
 
     Default is the 64-bit two-half signature (`simhash64_cols`) — 16
     bits saturate on any real corpus (VERDICT r3 wrong #3); bits ≤ 32
-    selects the single-md5 signature (kept for the compact oracle)."""
+    selects the single-md5 signature (kept for the compact oracle).
+    ``kernel='fast'`` (64-bit only) computes signatures with the
+    bit-identical Arrow hashlib kernel; ``'expr'`` uses the
+    dual-dialect column expression — either is oracle-checkable."""
     df = ensure_parallelism(df)
     bounds = simhash_band_bounds(bits, max_hamming)
     if bits > 32:
         if bits != 64:
             raise ValueError("simhash_pairs supports bits <= 32 or bits == 64")
-        lo, hi = simhash64_cols(F.col(text_col))
-        sigs = df.select(F.col(id_col).alias("id"), lo.alias("lo"), hi.alias("hi"))
+        if kernel == "fast":
+            sigs = simhash64_signatures_fast(df, text_col, id_col)
+        else:
+            lo, hi = simhash64_cols(F.col(text_col))
+            sigs = df.select(
+                F.col(id_col).alias("id"), lo.alias("lo"), hi.alias("hi")
+            )
         band_exprs = [
             F.struct(
                 F.lit(b).alias("band"),

@@ -226,3 +226,31 @@ def test_minhash_fast_kernel_bit_identical(spark):
         map(tuple, minhash_lsh_pairs(docs, threshold=0.5, kernel="fast").collect())
     )
     assert p_slow == p_fast
+
+
+def test_simhash64_fast_kernel_bit_identical(spark):
+    """The Arrow hashlib kernel must reproduce the 64-bit expression
+    signatures exactly — that makes it safe as the default under the
+    oracle-checked pairs query (same guarantee as the MinHash kernel)."""
+    from anndb_spark.operators.dedup import (
+        simhash64_cols,
+        simhash64_signatures_fast,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lo, hi = simhash64_cols(F.col("text"))
+    expr = {
+        r["id"]: (r["lo"], r["hi"])
+        for r in docs.select(
+            F.col("doc_id").alias("id"), lo.alias("lo"), hi.alias("hi")
+        ).collect()
+    }
+    fast = {
+        r["id"]: (r["lo"], r["hi"])
+        for r in simhash64_signatures_fast(docs).collect()
+    }
+    assert expr == fast
+    p_expr = sorted(map(tuple, simhash_pairs(docs, kernel="expr").collect()))
+    p_fast = sorted(map(tuple, simhash_pairs(docs, kernel="fast").collect()))
+    assert p_expr == p_fast
