@@ -31,6 +31,7 @@ partition pruning.  Both sit on the same exact-kNN semantic core
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -44,7 +45,37 @@ __all__ = [
     "assign_clusters",
     "route_queries",
     "search_ivf",
+    "save_assigned",
+    "search_ivf_path",
 ]
+
+# worker-resident cluster matrices for the serving path (same contract
+# as the HNSW graph cache: byte-capped LRU in the reused python worker)
+_CLUSTER_CACHE: dict = {}
+_CLUSTER_CACHE_MAX_BYTES = int(
+    os.environ.get("ANNDB_CLUSTER_CACHE_BYTES", str(1 << 30))
+)
+
+
+def _ccache_get(key):
+    if key is None or key not in _CLUSTER_CACHE:
+        return None
+    val = _CLUSTER_CACHE.pop(key)
+    _CLUSTER_CACHE[key] = val
+    return val[:2]
+
+
+def _ccache_put(key, ids, mat):
+    if key is None:
+        return
+    nb = mat.nbytes + 64 * len(ids)
+    if nb > _CLUSTER_CACHE_MAX_BYTES:
+        return
+    total = nb + sum(v[2] for v in _CLUSTER_CACHE.values())
+    while total > _CLUSTER_CACHE_MAX_BYTES and _CLUSTER_CACHE:
+        _, _, old = _CLUSTER_CACHE.pop(next(iter(_CLUSTER_CACHE)))
+        total -= old
+    _CLUSTER_CACHE[key] = (ids, mat, nb)
 
 
 def _as_matrix(series: pd.Series) -> np.ndarray:
@@ -259,4 +290,111 @@ def search_ivf(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "score", *payload_cols)
+    )
+
+
+def save_assigned(assigned: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a cluster-assigned vector table partitioned by
+    ``cluster_id`` — every later probe becomes directory-level pruning
+    (nprobe/n_clusters of the bytes are even listed)."""
+    assigned.write.mode(mode).partitionBy("cluster_id").parquet(path)
+
+
+def search_ivf_path(
+    spark,
+    path: str,
+    queries: list[tuple[object, list[float]]],
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 8,
+    space: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    cache_token: str | None = None,
+    queries_per_task: int | None = None,
+) -> DataFrame:
+    """Serving-shape IVF top-k over a `save_assigned` table.
+
+    Same result contract as `search_ivf` (float64 scores, ascending
+    (score, id), rank 1..k — pytest-identical), different physical plan:
+    queries are routed on the driver against the tiny centroid matrix;
+    the plan holds one row per (probed cluster, query-chunk); each task
+    column-reads its own cluster's parquet directly (unprobed cluster
+    directories never enter the plan) and GEMM-scores its chunk against
+    the worker-cached cluster matrix.  A warm serving workload pays zero
+    table bytes per batch — the IVF analogue of `hnsw.search_index_path`.
+    """
+    import os as _os
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    npb = min(nprobe, cent.shape[0])
+    qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    d = _pairwise(qmat, cent, space)
+    probes = np.argpartition(d, min(npb - 1, d.shape[1] - 1), axis=1)[:, :npb]
+    by_cid: dict[int, list[int]] = {}
+    for qi, ps in enumerate(probes):
+        for p in ps:
+            by_cid.setdefault(int(p), []).append(qi)
+    avail = {
+        int(dname.split("=")[1])
+        for dname in _os.listdir(path)
+        if dname.startswith("cluster_id=")
+    }
+    cids = sorted(set(by_cid) & avail)
+    if queries_per_task is None:
+        total = sum(len(by_cid[c]) for c in cids)
+        par = spark.sparkContext.defaultParallelism
+        queries_per_task = max(64, -(-total // max(3 * par, 1)))
+    qpt = queries_per_task
+    plan_rows = []
+    for c in cids:
+        n_chunks = max(1, -(-len(by_cid[c]) // qpt))
+        plan_rows.extend((c, i) for i in range(n_chunks))
+    plan = spark.createDataFrame(plan_rows or [(-1, 0)], "cid INT, chunk INT").repartition(
+        max(len(plan_rows), 1)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for cid, chunk in zip(b["cid"].tolist(), b["chunk"].tolist()):
+                if cid < 0:
+                    continue
+                qsel = by_cid.get(int(cid), [])[chunk * qpt : (chunk + 1) * qpt]
+                if not qsel:
+                    continue
+                key = (cache_token, int(cid)) if cache_token is not None else None
+                hit = _ccache_get(key)
+                if hit is not None:
+                    ids, vmat = hit
+                else:
+                    tbl = pq.read_table(
+                        _os.path.join(path, f"cluster_id={cid}"),
+                        columns=[id_col, vec_col],
+                    ).to_pandas()
+                    ids = tbl[id_col].to_numpy()
+                    vmat = np.array(tbl[vec_col].tolist(), dtype=np.float64)
+                    _ccache_put(key, ids, vmat)
+                if not len(ids):
+                    continue
+                dm = _pairwise(qmat[qsel], vmat, space)
+                kk = min(k, vmat.shape[0])
+                part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
+                sel = part.reshape(-1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qid_arr[qsel], kk),
+                        "id": ids[sel],
+                        "score": np.take_along_axis(dm, part, axis=1).reshape(-1),
+                    }
+                )
+
+    partial = plan.mapInPandas(run, schema="query_id STRING, id STRING, score DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "score")
     )

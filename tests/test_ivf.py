@@ -83,3 +83,40 @@ def test_search_reports_k_rows_per_query(spark, vectors, queries):
     got = search_ivf(vectors, queries, K, cent, nprobe=3)
     per_q = got.groupBy("query_id").count().select(F.min("count"), F.max("count")).collect()[0]
     assert per_q[0] == K and per_q[1] == K
+
+
+def test_search_ivf_path_matches_search_ivf(spark, tmp_path):
+    """The serving-shape IVF path search (per-cluster parquet reads,
+    driver routing, worker-cached cluster matrices) returns exactly what
+    the cogroup search_ivf returns."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.ivf import (
+        assign_clusters,
+        save_assigned,
+        search_ivf,
+        search_ivf_path,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+    )
+    cent = train_centroids(emb, 4, sample_n=10_000)
+    assigned = assign_clusters(emb, cent)
+    path = str(tmp_path / "ivf_assigned")
+    save_assigned(assigned, path)
+
+    rng = np.random.default_rng(3)
+    queries = [(str(i), rng.normal(0, 1, 64).tolist()) for i in range(7)]
+    qdf = spark.createDataFrame(
+        queries, "query_id STRING, query_vector ARRAY<DOUBLE>"
+    )
+    for nprobe in (2, 4):
+        a = search_ivf(assigned, qdf, 5, cent, nprobe=nprobe).collect()
+        b = search_ivf_path(
+            spark, path, queries, 5, cent, nprobe=nprobe, cache_token="t"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), nprobe
