@@ -342,6 +342,30 @@ def search_ivf_path(
         if dname.startswith("cluster_id=")
     }
     cids = sorted(set(by_cid) & avail)
+    # result id column keeps the table's native type (one footer read)
+    id_type = "string"
+    for dname in sorted(_os.listdir(path)):
+        if not dname.startswith("cluster_id="):
+            continue
+        files = [
+            f
+            for f in _os.listdir(_os.path.join(path, dname))
+            if f.endswith(".parquet")
+        ]
+        if files:
+            import pyarrow.parquet as _pq
+
+            at = _pq.read_schema(
+                _os.path.join(path, dname, files[0])
+            ).field(id_col).type
+            id_type = {
+                "int64": "bigint",
+                "int32": "int",
+                "int16": "smallint",
+                "double": "double",
+                "float": "float",
+            }.get(str(at), "string")
+            break
     if queries_per_task is None:
         total = sum(len(by_cid[c]) for c in cids)
         par = spark.sparkContext.defaultParallelism
@@ -391,7 +415,9 @@ def search_ivf_path(
                     }
                 )
 
-    partial = plan.mapInPandas(run, schema="query_id STRING, id STRING, score DOUBLE")
+    partial = plan.mapInPandas(
+        run, schema=f"query_id STRING, id {id_type}, score DOUBLE"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
     return (
         partial.withColumn("rank", F.row_number().over(w))

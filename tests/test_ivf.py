@@ -120,3 +120,33 @@ def test_search_ivf_path_matches_search_ivf(spark, tmp_path):
             spark, path, queries, 5, cent, nprobe=nprobe, cache_token="t"
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b)), nprobe
+
+
+def test_search_ivf_path_native_id_type(spark, tmp_path):
+    """Non-string (BIGINT) ids survive the serving path with their
+    native type — the output schema is footer-detected, not hardcoded."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.ivf import (
+        assign_clusters,
+        save_assigned,
+        search_ivf,
+        search_ivf_path,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    cent = train_centroids(emb, 4, sample_n=10_000)
+    assigned = assign_clusters(emb, cent)
+    path = str(tmp_path / "ivf_int")
+    save_assigned(assigned, path)
+    rng = np.random.default_rng(5)
+    queries = [(str(i), rng.normal(0, 1, 64).tolist()) for i in range(5)]
+    out = search_ivf_path(spark, path, queries, 5, cent, nprobe=2)
+    assert dict(out.dtypes)["id"] == "bigint"
+    qdf = spark.createDataFrame(queries, "query_id STRING, query_vector ARRAY<DOUBLE>")
+    a = search_ivf(assigned, qdf, 5, cent, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, out.collect()))
