@@ -275,6 +275,20 @@ class Dataset:
         except Exception:
             return None
 
+    def _index_version(self) -> str | None:
+        """Cache token for the serving search: max mtime under the saved
+        index dir.  Any rewrite or tombstone append bumps it, so worker
+        graph caches can never serve a stale graph."""
+        try:
+            mt = max(
+                os.path.getmtime(os.path.join(dp, f))
+                for dp, _, fs in os.walk(self.index_path)
+                for f in fs
+            )
+            return f"{self.index_path}@{mt}"
+        except (OSError, ValueError):
+            return None
+
     def search(self, query, k: int, mode: str = "auto", with_metadata: bool = False, **kw):
         """Top-k search; single vector or [(query_id, vector)].  Returns
         (query_id, rank, id, score) ascending — `services/search.go:20-46`
@@ -290,13 +304,23 @@ class Dataset:
         queries = [("0", list(query))] if not isinstance(query, list) or (
             query and isinstance(query[0], (int, float))
         ) else query
+        index_df = kw.pop("index", None)
+        index_path = None
+        if index_df is None and mode in ("auto", "ann"):
+            # saved index → serving path with an auto-versioned cache
+            # token (mtime-based: rebuilds/tombstones invalidate it)
+            version = self._index_version()
+            if version is not None:
+                index_path = self.index_path
+                kw.setdefault("cache_token", version)
         plan, res = knn(
             self.state(),
             queries,
             k,
             space=self.meta.space,
             mode=mode,
-            index=kw.pop("index", self.index() if mode in ("auto", "ann") else None),
+            index=index_df,
+            index_path=index_path,
             **kw,
         )
         if with_metadata:

@@ -38,6 +38,8 @@ def knn(
     space: str = "euclidean",
     mode: str = "auto",
     index: DataFrame | None = None,
+    index_path: str | None = None,
+    cache_token: str | None = None,
     centroids=None,
     nprobe: int = 8,
     ef: int | None = None,
@@ -47,28 +49,35 @@ def knn(
     """Route a kNN request to its physical path; returns (plan, result).
 
     ``queries``: [(query_id, vector)].  ``mode='auto'`` prefers the
-    cheapest prepared accelerator: an HNSW ``index`` if given, else IVF
-    ``centroids`` if given, else exact — but small tables always go
-    exact (the accelerator can't beat a broadcast cross join there).
-    ``approx_row_count`` lets the caller pass a known size and skip the
-    count job.
+    cheapest prepared accelerator: an HNSW ``index`` (DataFrame or saved
+    ``index_path``) if given, else IVF ``centroids`` if given, else
+    exact — but small tables always go exact (the accelerator can't beat
+    a broadcast cross join there).  ``approx_row_count`` lets the caller
+    pass a known size and skip the count job.
+
+    A saved ``index_path`` routes to the serving-shape
+    `hnsw.search_index_path` (per-partition parquet reads + the
+    worker-resident graph cache keyed by ``cache_token``) — the hot-path
+    layout; an in-memory ``index`` DataFrame uses the shuffle-based
+    `hnsw.search_index`.
     """
-    from anndb_spark.operators.hnsw import search_index
+    from anndb_spark.operators.hnsw import search_index, search_index_path
     from anndb_spark.operators.ivf import search_ivf
     from anndb_spark.operators.knn import knn_exact
 
     if mode not in ("auto", "exact", "ann", "ivf"):
         raise ValueError(f"unknown mode {mode!r}")
-    if mode == "ann" and index is None:
-        raise ValueError("mode='ann' requires a materialized index DataFrame")
+    if mode == "ann" and index is None and index_path is None:
+        raise ValueError("mode='ann' requires a materialized index (DataFrame or path)")
     if mode == "ivf" and centroids is None:
         raise ValueError("mode='ivf' requires trained centroids")
 
+    have_index = index is not None or index_path is not None
     if mode == "auto":
         n = approx_row_count
-        if n is None and (index is not None or centroids is not None):
+        if n is None and (have_index or centroids is not None):
             n = vectors.count()
-        if index is not None and (n or 0) > exact_max_rows:
+        if have_index and (n or 0) > exact_max_rows:
             mode = "ann"
         elif centroids is not None and (n or 0) > exact_max_rows:
             mode = "ivf"
@@ -80,6 +89,11 @@ def knn(
     if mode == "ann":
         from anndb_spark.operators.hnsw import HnswConfig
 
+        if index_path is not None:
+            return "ann", search_index_path(
+                spark, index_path, qitems, k, ef=ef,
+                config=HnswConfig(space=space), cache_token=cache_token,
+            )
         return "ann", search_index(
             index, vectors, qitems, k, ef=ef, config=HnswConfig(space=space)
         )

@@ -254,3 +254,21 @@ def test_simhash64_fast_kernel_bit_identical(spark):
     p_expr = sorted(map(tuple, simhash_pairs(docs, kernel="expr").collect()))
     p_fast = sorted(map(tuple, simhash_pairs(docs, kernel="fast").collect()))
     assert p_expr == p_fast
+
+
+def test_dedup_clusters_chain_converges_fast(spark):
+    """Pointer jumping makes chain-shaped duplicate graphs converge in
+    O(log n) rounds: a 300-link chain resolves within max_iter=12 (pure
+    min-label propagation would need 300 rounds), and every node maps to
+    the chain head.  A disjoint clique keeps its own keeper."""
+    from anndb_spark.operators.dedup import dedup_clusters
+
+    chain = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(300)]
+    clique = [(f"k{a}", f"k{b}") for a in "012" for b in "345"]
+    pairs = spark.createDataFrame(chain + clique, "id_a STRING, id_b STRING")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, max_iter=12).collect()
+    }
+    assert {out[f"c{i:04d}"] for i in range(301)} == {"c0000"}
+    assert {out[f"k{x}"] for x in "012345"} == {"k0"}
