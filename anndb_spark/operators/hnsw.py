@@ -600,7 +600,13 @@ class HnswGraph:
         if n == 0:
             return g
         if brute_threshold is None:
-            brute_threshold = 4 * config.ef_construction
+            # beam-worthy only when a brute candidate row costs more than
+            # the beam's visit budget: scale the cutover inversely with
+            # dimension (at 8-d a full GEMM row is ~free; at 784-d the
+            # 4·efC bound dominates)
+            brute_threshold = max(
+                4 * config.ef_construction, 200_000 // max(mat.shape[1], 1)
+            )
         g.norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
         g.norms = np.sqrt(g.norms2)
         space = config.space
