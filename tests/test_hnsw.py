@@ -483,3 +483,29 @@ def test_search_index_path_matches_dataframe_search(spark, spark_index, tmp_path
         spark, rpath, queries, k=8, centroids=cent, nprobe=2, ef=80, config=cfg
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tombstones_survive_save_and_path_search(spark, spark_index, tmp_path):
+    """'tomb' rows round-trip through save_index and are honored by the
+    serving path search — deleted ids never returned from a saved index."""
+    from anndb_spark.operators.hnsw import (
+        delete_from_index,
+        save_index,
+        search_index_path,
+    )
+
+    emb, idx, cfg = spark_index
+    del_ids = [r["id"] for r in emb.select("id").limit(40).collect()]
+    path = str(tmp_path / "tomb_idx")
+    save_index(delete_from_index(idx, del_ids), path)
+    rng = np.random.default_rng(53)
+    queries = [(str(i), rng.normal(0, 1, 64).tolist()) for i in range(6)]
+    for strategy in ("brute", "beam"):
+        res = search_index_path(
+            spark, path, queries, k=10, ef=100, config=cfg, strategy=strategy
+        ).collect()
+        assert not ({r["id"] for r in res} & set(del_ids)), strategy
+        per_q = {}
+        for r in res:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert all(len(v) == 10 for v in per_q.values())
