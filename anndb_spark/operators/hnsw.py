@@ -100,8 +100,12 @@ class HnswGraph:
         self.adj: list[dict[int, set[int]]] = []
         self.entrypoint: int = -1
         self._rng = np.random.default_rng(config.seed)
-        # tombstone mask (None = no deletes): deleted vertices remain
-        # traversable, never returned (index/hnsw.go:295-297,335-337)
+        # tombstone mask (None = no deletes).  Intentional divergence
+        # from the reference: its Remove detaches edges and traversal
+        # skips deleted neighbors outright (index/hnsw.go:183-214,
+        # 295-297); here edges are never detached, so deleted vertices
+        # stay TRAVERSABLE (preserving connectivity between rebuilds)
+        # and are only excluded from result sets.
         self.deleted: np.ndarray | None = None
         # per-vertex metadata maps aligned with the vector matrix
         self.item_meta: list[dict | None] | None = None
@@ -428,8 +432,9 @@ class HnswGraph:
                 cur_d[upd] = dmin[better]
                 active[a[~better]] = False
         # beam on level 0: fixed-width array beams (results + candidates);
-        # tombstoned vertices feed the candidate beam (traversable) but
-        # never the result beam (index/hnsw.go:335-337)
+        # tombstoned vertices feed the candidate beam (traversable — our
+        # divergence; the reference skips deleted vertices outright) but
+        # never the result beam
         pad0 = self.adj_pad[0]
         deleted = self.deleted
         visited = np.zeros((q, n), dtype=bool)
@@ -528,6 +533,8 @@ class HnswGraph:
         pruning plus fine brute scan, IVF-style)."""
         v = self.vectors
         n = v.shape[0]
+        if n == 0:
+            return [[] for _ in range(queries.shape[0])]
         k = min(k, n)
         space = self.cfg.space
         if space == "manhattan":
@@ -813,7 +820,9 @@ INDEX_SCHEMA = (
 #       'vertex'— src's top level + its vector (`vec`) + metadata (`meta`)
 #       'entry' — the partition's entrypoint id + its level
 #       'tomb'  — src is DELETED (tombstone; excluded from results but
-#                 still traversable — index/hnsw.go:295-297,335-337)
+#                 still traversable — our divergence from the reference,
+#                 which detaches edges and skips deleted vertices during
+#                 traversal, index/hnsw.go:183-214,295-297)
 #       'config'— the build HnswConfig as JSON in `src` — the analogue of
 #                 the reference snapshot's leading config header
 #                 (index/hnsw_persistence.go:45-70, index/config.go:150-216).
@@ -1011,8 +1020,10 @@ def _graph_from_index(
 
     Vertex metadata (when present) is attached as ``g.item_meta`` and
     'tomb' rows become the ``g.deleted`` mask — deleted vertices stay
-    traversable but are excluded from results (the reference's tombstone
-    semantics, index/hnsw.go:295-297,335-337).
+    traversable but are excluded from results.  (Intentional divergence:
+    the reference skips deleted vertices during traversal and detaches
+    their edges in Remove, index/hnsw.go:183-214,295-297; keeping them
+    traversable here preserves graph connectivity between rebuilds.)
 
     Adjacency parsing is fully vectorized (pandas get_indexer + one
     scatter per level — no per-row Python); ``need_adj=False`` skips it
@@ -1033,6 +1044,8 @@ def _graph_from_index(
         pos_index = pd.Index(ids)
         levels = vrows["level"].to_numpy(dtype=np.int32)
     n = len(ids)
+    if vecs.ndim == 1:  # zero vertices → (0, 0) matrix, empty graph
+        vecs = vecs.reshape(0, 0)
     g = HnswGraph(vecs.shape[1], cfg)
     g.vectors = vecs
     g.levels = levels.tolist()
@@ -1057,6 +1070,20 @@ def _graph_from_index(
             lens = np.fromiter((len(d) for d in dl), dtype=np.int64, count=len(dl))
             flat = list(chain.from_iterable(dl))
             dst_idx = pos_index.get_indexer(flat).astype(np.int32)
+            # a -1 from get_indexer means an adjacency row references an
+            # id with no vertex row — a corrupt or drifted index; the
+            # scatter below would silently write into the wrong row /
+            # leave the -1 padding sentinel as a neighbor (ADVICE r4)
+            if (srcs < 0).any() or (dst_idx < 0).any():
+                bad = (
+                    grp["src"][srcs < 0].iloc[0]
+                    if (srcs < 0).any()
+                    else next(f for f, ix in zip(flat, dst_idx) if ix < 0)
+                )
+                raise ValueError(
+                    f"corrupt index: adjacency at level {lvl} references "
+                    f"id {bad!r} with no vertex row"
+                )
             cap = int(lens.max()) if len(lens) else 1
             mat = np.full((n, max(cap, 1)), -1, dtype=np.int32)
             if len(lens):
@@ -1068,7 +1095,17 @@ def _graph_from_index(
         for lvl in range(int(levels.max(initial=0)) + 1):
             g.adj_pad.setdefault(lvl, np.full((n, 1), -1, dtype=np.int32))
     erow = idx_pdf[idx_pdf["kind"] == "entry"]
-    g.entrypoint = int(pos_index.get_indexer(erow["src"].iloc[:1])[0])
+    if len(erow) and n:
+        g.entrypoint = int(pos_index.get_indexer(erow["src"].iloc[:1])[0])
+        if g.entrypoint < 0:
+            raise ValueError(
+                f"corrupt index: entrypoint {erow['src'].iloc[0]!r} has "
+                "no vertex row"
+            )
+    else:
+        # vertex-less partition (e.g. fully-deleted then rebuilt): a
+        # valid empty graph — searches return nothing
+        g.entrypoint = -1
     g.norms2 = np.einsum("ij,ij->i", g.vectors, g.vectors, dtype=np.float32)
     g.norms = np.sqrt(g.norms2)
     return ids, g
@@ -1112,11 +1149,13 @@ def delete_from_index(
     """Tombstone deletes — no graph rebuild.
 
     The reference's `Remove` (index/hnsw.go:164-214) tombstones the
-    vertex and detaches edges; searches skip deleted vertices
-    (index/hnsw.go:295-297,335-337).  Here a delete appends one 'tomb'
-    row per deleted id (see `tombstone_rows`); the graph stays untouched
-    and every search kernel filters tombstones from results while still
-    walking through them.  Rebuild a partition only when its tombstone
+    vertex and detaches edges; its searches then skip deleted vertices
+    entirely (index/hnsw.go:295-297).  We intentionally diverge: a
+    delete appends one 'tomb' row per deleted id (see `tombstone_rows`);
+    the graph stays untouched and every search kernel filters tombstones
+    from results while still walking THROUGH them — edges are never
+    detached, so connectivity survives heavy churn between rebuilds.
+    Rebuild a partition only when its tombstone
     fraction crosses a threshold (see `tombstone_stats` and the
     streaming maintainer).
     """

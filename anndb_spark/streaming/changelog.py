@@ -173,6 +173,28 @@ def stream_maintain_index(
         if upsert_pids:
             dirty_state = routed.filter(F.col("partition_id").isin(upsert_pids))
             out = build_index(dirty_state, cfg, num_tasks=max(len(upsert_pids), 1))
+            # a partition rebuilt to EMPTY (every item deleted) emits no
+            # index rows, and dynamic partition overwrite leaves its old
+            # graph directory untouched — searches would keep returning
+            # the deleted items.  Emit a config-only marker row for each
+            # emptied partition so the overwrite replaces the directory
+            # with a vertex-less (valid, empty) graph (ADVICE r4).
+            present = {
+                r["partition_id"]
+                for r in dirty_state.select("partition_id").distinct().collect()
+            }
+            emptied = [p for p in upsert_pids if p not in present]
+            if emptied:
+                from anndb_spark.operators.hnsw import INDEX_SCHEMA, config_to_json
+
+                marker = spark_l.createDataFrame(
+                    [
+                        (int(p), "config", config_to_json(cfg), None, None, None, None)
+                        for p in emptied
+                    ],
+                    INDEX_SCHEMA,
+                )
+                out = out.unionByName(marker)
         if tombstoned is not None:
             out = (
                 tombstoned

@@ -261,3 +261,55 @@ def test_stream_maintain_index_tombstone_deletes(spark, tmp_path):
     got2 = [r["id"] for r in res2.orderBy("rank").collect()]
     assert got2[0] == anchor[1]
     assert not (set(got2) & (set(del1) | set(del2)))
+
+
+def test_stream_maintain_index_empty_partition_rebuild(spark, tmp_path):
+    """Deleting EVERY item of a partition crosses the rebuild threshold,
+    and the rebuild of a now-empty partition must replace its old graph
+    directory (config-only marker row) — not leave the stale graph
+    serving deleted items (ADVICE r4 medium)."""
+    import numpy as np
+
+    from anndb_spark.operators.hnsw import HnswConfig, load_index, search_index
+    from anndb_spark.streaming.changelog import stream_maintain_index
+
+    changelog = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(77)
+    dim, n = 8, 80
+    ddl = "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>"
+
+    # ids i:032x route by uuid_mod → partition i % 4; 20 rows/partition
+    rows = [
+        (i, f"{i:032x}", "insert", rng.normal(0, 1, dim).tolist(), {})
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, ddl).write.mode("append").parquet(changelog)
+    cfg = HnswConfig(space="euclidean")
+    run = lambda: stream_maintain_index(  # noqa: E731
+        spark, changelog, base, index, ckpt, partition_count=4, config=cfg,
+        tombstone_rebuild_fraction=0.2,
+    ).awaitTermination(180)
+    run()
+
+    p0_ids = [r[1] for r in rows if int(r[1], 16) % 4 == 0]
+    assert len(p0_ids) == 20
+    spark.createDataFrame(
+        [(n + j, d, "delete", None, None) for j, d in enumerate(p0_ids)], ddl
+    ).write.mode("append").parquet(changelog)
+    run()
+
+    idx = load_index(spark, index)
+    # partition 0's directory was REPLACED: no vertices, no tombstones
+    p0 = idx.filter(F.col("partition_id") == 0)
+    kinds = {r["kind"] for r in p0.collect()}
+    assert kinds == {"config"}
+    # search across the whole index (incl. the empty partition) works and
+    # never returns a deleted id
+    anchor = rows[1]  # partition 1, still present
+    res = search_index(idx, None, [("q", anchor[3])], 10, config=cfg)
+    got = [r["id"] for r in res.orderBy("rank").collect()]
+    assert got and got[0] == anchor[1]
+    assert not (set(got) & set(p0_ids))
