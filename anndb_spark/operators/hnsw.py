@@ -88,6 +88,20 @@ def _dist_many(space: str, mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.abs(np.float32(1.0) - dot / (nm * nq))
 
 
+# fork-build plumbing: children inherit the pre-wave graph via fork COW
+# (no serialization); the tuple is (graph, vectors, ef_construction)
+_BUILD_FORK_GRAPH = None
+
+
+def _build_fork_cand_work(slice_ids: list[int]):
+    g, v, efc = _BUILD_FORK_GRAPH
+    res = g.search_fast_batch(v[slice_ids], k=efc, ef=efc)
+    return [
+        (x, g._select_neighbors(cand, g.cfg.m, 0, v[x]))
+        for x, cand in zip(slice_ids, res)
+    ]
+
+
 class HnswGraph:
     """One partition's HNSW graph over an int-indexed vector matrix."""
 
@@ -171,7 +185,12 @@ class HnswGraph:
         if not self.cfg.heuristic:
             return heapq.nsmallest(k, cand)
         # heuristic (alg 4): optionally extend by neighbors-of-neighbors,
-        # keep candidates closer to q than to any already-selected one
+        # keep candidates closer to q than to any already-selected one.
+        # Vectorized: each accepted neighbor prunes the remaining pool
+        # with ONE batched distance row (d(s, c) <= d(q, c) → prune c) —
+        # ≤k rows per call instead of one row per pool member, and the
+        # pool shrinks fast because the nearest accept kills most of its
+        # own cluster.  Semantics identical to the sequential loop.
         pool = dict(( (n, d) for d, n in cand ))
         if self.cfg.extend_candidates:
             seen = set(pool)
@@ -181,25 +200,56 @@ class HnswGraph:
                         seen.add(nn)
                         pool[nn] = self._d(nn, q)
         ordered = sorted((d, n) for n, d in pool.items())
-        selected: list[tuple[float, int]] = []
-        pruned: list[tuple[float, int]] = []
-        for d, n in ordered:
-            if len(selected) >= k:
+        W = len(ordered)
+        ids = np.fromiter((n for _, n in ordered), dtype=np.int64, count=W)
+        dq = np.fromiter((d for d, _ in ordered), dtype=np.float32, count=W)
+        alive = np.ones(W, dtype=bool)
+        pruned_mask = np.zeros(W, dtype=bool)
+        sel_order: list[int] = []
+        # small pools (backlink prunes: W = cap + overflow) pay mostly
+        # numpy call overhead — precompute the full W×W pairwise matrix
+        # in two ops and run the greedy over it
+        P = self._pairwise_rows(ids) if W <= 160 else None
+        X = self.vectors[ids] if P is None else None
+        while len(sel_order) < k:
+            nz = np.nonzero(alive)[0]
+            if not nz.size:
                 break
-            if not selected:
-                selected.append((d, n))
+            i = int(nz[0])
+            alive[i] = False
+            sel_order.append(i)
+            rest = nz[1:]
+            if len(sel_order) >= k or not rest.size:
                 continue
-            ds_sel = self._d_batch([s for _, s in selected], self.vectors[n])
-            if d < float(ds_sel.min()):
-                selected.append((d, n))
-            else:
-                pruned.append((d, n))
-        if self.cfg.keep_pruned:
-            for d, n in pruned:
+            ds = P[i, rest] if P is not None else _dist_many(
+                self.cfg.space, X[rest], X[i]
+            )
+            kill = ds <= dq[rest]  # not strictly closer to q than to s
+            kidx = rest[kill]
+            alive[kidx] = False
+            pruned_mask[kidx] = True
+        selected = [(float(dq[i]), int(ids[i])) for i in sel_order]
+        if self.cfg.keep_pruned and len(selected) < k:
+            for i in np.nonzero(pruned_mask)[0]:  # ascending d(q, ·)
                 if len(selected) >= k:
                     break
-                selected.append((d, n))
+                selected.append((float(dq[i]), int(ids[i])))
         return sorted(selected)
+
+    def _pairwise_rows(self, ids: np.ndarray) -> np.ndarray:
+        """Full pairwise distance matrix among ``ids`` (one GEMM)."""
+        X = self.vectors[ids]
+        space = self.cfg.space
+        if space == "manhattan":
+            return np.abs(X[:, None, :] - X[None, :, :]).sum(
+                axis=2, dtype=np.float32
+            )
+        G = X @ X.T
+        n2 = np.einsum("ij,ij->i", X, X, dtype=np.float32)
+        if space == "euclidean":
+            return np.sqrt(np.maximum(n2[:, None] + n2[None, :] - 2.0 * G, 0.0))
+        nm = np.sqrt(n2)
+        return np.abs(np.float32(1.0) - G / (nm[:, None] * nm[None, :]))
 
     def _cap(self, level: int) -> int:
         return self.cfg.m_max_0 if level == 0 else self.cfg.m_max
@@ -387,11 +437,11 @@ class HnswGraph:
     ):
         """Batched search_fast: all queries walk the graph in lock-step.
 
-        Per step every live query pops its best candidate and expands it;
-        the whole frontier's distances are one gathered einsum and beam
-        maintenance is one argpartition — numpy work scales with
-        Σ pops · cap instead of Python-interpreter steps.  Queries are
-        chunked so the (chunk × n) visited bitmap stays bounded
+        Per step every live query expands its best few unexpanded beam
+        members; the whole frontier's distances are one gathered einsum
+        and beam maintenance is one argpartition — numpy work scales
+        with Σ pops · cap instead of Python-interpreter steps.  Queries
+        are chunked so the (chunk × n) visited bitmap stays bounded
         (~200 MB) for large partitions.
         """
         if self.entrypoint < 0:
@@ -399,12 +449,159 @@ class HnswGraph:
         n = len(self.levels)
         if chunk is None:
             chunk = int(max(16, min(1024, 2e8 / max(n, 1))))
+        # tombstoned graphs use the two-beam variant (deleted vertices
+        # must stay traversable without occupying result slots)
+        kern = (
+            self._search_batch_chunk_tombstone
+            if self.deleted is not None and self.deleted.any()
+            else self._search_batch_chunk
+        )
         out = []
         for s in range(0, Q.shape[0], chunk):
-            out.extend(self._search_batch_chunk(Q[s : s + chunk], k, ef))
+            out.extend(kern(Q[s : s + chunk], k, ef))
         return out
 
-    def _search_batch_chunk(self, Q: np.ndarray, k: int, ef: int | None):
+    def _descend_batch(self, Qf: np.ndarray, qn2: np.ndarray):
+        """Lock-step greedy hill-climb from the entrypoint down to level
+        1; returns (cur, cur_d) per query — the level-0 beam seeds."""
+        q = Qf.shape[0]
+        cur = np.full(q, self.entrypoint, dtype=np.int64)
+        ones = np.ones((q, 1), dtype=bool)
+        cur_d = self._dist_gather(cur[:, None], ones, Qf, qn2)[:, 0]
+        for lvl in range(int(self.levels[self.entrypoint]), 0, -1):
+            pad = self.adj_pad.get(lvl)
+            if pad is None:
+                continue
+            active = np.ones(q, dtype=bool)
+            while active.any():
+                a = np.where(active)[0]
+                nb = pad[cur[a]]
+                d = self._dist_gather(nb, nb >= 0, Qf[a], qn2[a])
+                j = d.argmin(axis=1)
+                dmin = d[np.arange(len(a)), j]
+                better = dmin < cur_d[a]
+                upd = a[better]
+                cur[upd] = nb[better, j[better]]
+                cur_d[upd] = dmin[better]
+                active[a[~better]] = False
+        return cur, cur_d
+
+    def _search_batch_chunk(
+        self, Q: np.ndarray, k: int, ef: int | None, pops_per_step: int | None = None
+    ):
+        """Single-beam lock-step level-0 search (canonical HNSW beam:
+        candidates and results are ONE ef-wide set with an expanded
+        flag per slot — hnswlib's W/C invariant without two heaps).
+
+        Per step each live query expands its best ``pops_per_step``
+        unexpanded members at once: ~B× fewer lock-step rounds for the
+        same visit order, one (ef + B·cap)-wide argpartition merge per
+        round instead of two, and the frontier distance evaluation is
+        one flat ragged einsum over fresh slots only."""
+        Qf = np.ascontiguousarray(Q, dtype=np.float32)
+        q = Qf.shape[0]
+        n = len(self.levels)
+        ef = max(ef or self.cfg.ef, k)
+        space = self.cfg.space
+        qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
+        INF = np.float32(np.inf)
+        cur, cur_d = self._descend_batch(Qf, qn2)
+        pad0 = self.adj_pad[0]
+        cap = pad0.shape[1]
+        if pops_per_step is None:
+            # multi-pop trades extra distance evals for fewer lock-step
+            # rounds: a win when evals are cheap (low dim) or the beam is
+            # wide (large ef absorbs speculative expansion); at high dim
+            # with a narrow beam the wasted evals dominate (measured)
+            pops_per_step = 4 if (self.dim <= 64 or ef >= 128) else 2
+        B = max(1, min(pops_per_step, ef))
+        visited = np.zeros((q, n), dtype=bool)
+        visited[np.arange(q), cur] = True
+        beam_d = np.full((q, ef), INF, dtype=np.float32)
+        beam_i = np.full((q, ef), -1, dtype=np.int64)
+        beam_x = np.zeros((q, ef), dtype=bool)  # expanded flag
+        beam_d[:, 0] = cur_d
+        beam_i[:, 0] = cur
+        alive = np.ones(q, dtype=bool)
+        while alive.any():
+            a = np.where(alive)[0]
+            bda = beam_d[a]
+            bd = np.where(beam_x[a], INF, bda)  # unexpanded distances
+            jsel = np.argpartition(bd, B - 1, axis=1)[:, :B]
+            dsel = np.take_along_axis(bd, jsel, axis=1)
+            worst = bda.max(axis=1)  # INF while beam not full → no stop
+            best = dsel.min(axis=1)
+            done = (best > worst) | ~np.isfinite(best)
+            if done.any():
+                alive[a[done]] = False
+                keep = ~done
+                a = a[keep]
+                if not len(a):
+                    break
+                jsel, dsel, worst, bda = jsel[keep], dsel[keep], worst[keep], bda[keep]
+            ok = np.isfinite(dsel) & (dsel <= worst[:, None])
+            beam_x[a[:, None], jsel] |= ok
+            nodes = np.where(ok, np.take_along_axis(beam_i[a], jsel, axis=1), 0)
+            nb = pad0[nodes].reshape(len(a), B * cap)
+            nb = np.where(np.repeat(ok, cap, axis=1), nb, -1)
+            valid = nb >= 0
+            safe = np.where(valid, nb, 0)
+            # fresh detection block-by-block: duplicates ACROSS the B
+            # expanded slots must collapse to one beam entry, so visited
+            # is updated between blocks (B tiny vectorized rounds)
+            a_col = a[:, None]
+            fresh = np.zeros_like(valid)
+            for b in range(B):
+                sl = slice(b * cap, (b + 1) * cap)
+                f = valid[:, sl] & ~visited[a_col, safe[:, sl]]
+                visited[a_col, safe[:, sl]] |= f
+                fresh[:, sl] = f
+            rows, cols = np.nonzero(fresh)
+            d = np.full(nb.shape, INF, dtype=np.float32)
+            if len(rows):
+                nbs = nb[rows, cols]
+                sub = self.vectors[nbs]
+                Qa = Qf[a]
+                qn2a = qn2[a]
+                if space == "manhattan":
+                    dflat = np.abs(sub - Qa[rows]).sum(axis=1, dtype=np.float32)
+                else:
+                    dot = np.einsum("ij,ij->i", sub, Qa[rows], dtype=np.float32)
+                    if space == "euclidean":
+                        dflat = np.sqrt(
+                            np.maximum(
+                                self.norms2[nbs] - 2.0 * dot + qn2a[rows], 0.0
+                            )
+                        )
+                    else:
+                        dflat = np.abs(
+                            np.float32(1.0)
+                            - dot / (self.norms[nbs] * np.sqrt(qn2a[rows]))
+                        )
+                d[rows, cols] = dflat
+            # one argpartition merges frontier into the beam
+            md = np.concatenate([bda, d], axis=1)
+            mi = np.concatenate([beam_i[a], nb], axis=1)
+            mx = np.concatenate([beam_x[a], np.zeros_like(d, dtype=bool)], axis=1)
+            sel = np.argpartition(md, ef - 1, axis=1)[:, :ef]
+            beam_d[a] = np.take_along_axis(md, sel, axis=1)
+            beam_i[a] = np.take_along_axis(mi, sel, axis=1)
+            beam_x[a] = np.take_along_axis(mx, sel, axis=1)
+        out = []
+        order = np.argsort(beam_d, axis=1, kind="stable")
+        rd = np.take_along_axis(beam_d, order, axis=1)
+        ri = np.take_along_axis(beam_i, order, axis=1)
+        kk = min(k, ef)
+        for qi in range(q):
+            row = [
+                (float(rd[qi, j]), int(ri[qi, j]))
+                for j in range(kk)
+                if np.isfinite(rd[qi, j])
+            ]
+            out.append(row)
+        return out
+
+    def _search_batch_chunk_tombstone(self, Q: np.ndarray, k: int, ef: int | None):
         Qf = np.ascontiguousarray(Q, dtype=np.float32)
         q = Qf.shape[0]
         n = len(self.levels)
@@ -572,6 +769,7 @@ class HnswGraph:
         config: HnswConfig,
         wave: int = 256,
         brute_threshold: int | None = None,
+        workers: int = 1,
     ) -> "HnswGraph":
         """Deterministic wave-batched build with a GEMM fast path.
 
@@ -579,10 +777,14 @@ class HnswGraph:
         (`index/hnsw.go:80-140`); the batch analogue keeps its fixed
         order but processes items in waves whose candidate searches run
         against the pre-wave graph, then commits apply in ascending id
-        order (edges + prunes).  Intra-wave items don't see each other
-        as candidates — backlink pruning re-knits those edges, and
-        recall vs brute force is unchanged (tests).  Wave boundaries are
-        fixed, so rebuilds are reproducible.
+        order (edges).  Backlink prunes are deferred to the wave
+        boundary and run once per over-cap vertex (the union of a
+        vertex's wave backlinks is pruned in ONE heuristic/simple
+        selection instead of once per edge) — candidate generation never
+        reads adjacency mid-wave, so results are identical to pruning
+        eagerly, and wave boundaries are fixed, so rebuilds are
+        reproducible.  Intra-wave items don't see each other as
+        candidates — backlink pruning re-knits those edges.
 
         Candidate generation has two kernels:
 
@@ -597,8 +799,22 @@ class HnswGraph:
           the construction beam width (the reference-protocol efC=500
           case).
         - **batched beam** beyond the threshold — the asymptotic path
-          for large partitions, where the beam's sub-linear visit count
-          wins.
+          for large partitions.  Level-0 candidates come from the
+          lock-step batched beam; upper-level candidates are EXACT
+          distance rows against that level's (16×-smaller per level)
+          node set — cheaper AND better than beaming the upper levels.
+
+        ``workers`` > 1 splits each wave's candidate search + neighbor
+        selection across FORKED worker processes (the pre-wave graph is
+        inherited copy-on-write — no serialization; each wave re-forks
+        so children always see the committed graph).  Commits stay
+        single-process and ordered, so the result is bit-identical to
+        workers=1.  This is the reference's concurrent-insert shape
+        (`index/hnsw.go:80-140` is called from NumCPU goroutines) for
+        driver-side single-graph builds; per-partition builds inside
+        Spark tasks keep workers=1 (the task's core is the unit of
+        parallelism there — threads would only fight the GIL, measured
+        net-negative).  Falls back to serial where fork is unavailable.
         """
         g = cls(mat.shape[1], config)
         g.vectors = np.ascontiguousarray(mat, dtype=np.float32)
@@ -640,6 +856,8 @@ class HnswGraph:
                 np.float32(1.0) - dot / (g.norms[:upto][None, :] * qn[:, None])
             )
 
+        overflow: set[tuple[int, int]] = set()  # (vertex, level) over cap
+
         def commit_exact(x: int, drow: np.ndarray, upto: int) -> None:
             """Insert x with exact top-efC candidates from built[:upto]
             per level (ties broken by index — deterministic)."""
@@ -678,11 +896,23 @@ class HnswGraph:
                         g.adj[x][l].add(nb)
                         g.adj[nb].setdefault(l, set()).add(x)
                         if len(g.adj[nb][l]) > g._cap(l):
-                            g._prune(nb, l)
+                            overflow.add((nb, l))
                 if L > max_level:
                     g.entrypoint = x
             for l in range(1, L + 1):
                 by_level.setdefault(l, []).append(x)
+
+        def flush_overflow(dirty: set[int] | None) -> None:
+            """Prune every over-cap vertex once (wave-granular): the
+            selection sees the union of the wave's backlinks, candidate
+            generation never read adjacency mid-wave."""
+            for nb, l in sorted(overflow):
+                before = set(g.adj[nb].get(l, ()))
+                g._prune(nb, l)
+                if dirty is not None:
+                    dirty.add(nb)
+                    dirty.update(before - g.adj[nb][l])
+            overflow.clear()
 
         # bootstrap sequentially (exact candidates, one gemv per item):
         # tiny graphs change too fast for stale pre-wave candidates
@@ -694,6 +924,22 @@ class HnswGraph:
                 else np.empty(0, dtype=np.float32)
             )
             commit_exact(x, drow, x)
+            # bootstrap prunes stay eager: the tiny graph IS the
+            # candidate pool structure for upper levels of later items
+            flush_overflow(None)
+
+        import multiprocessing as _mp
+
+        can_fork = workers > 1 and "fork" in _mp.get_all_start_methods()
+
+        def cand_work(slice_ids: list[int]):
+            """Candidate beams + level-0 neighbor selection for a wave
+            slice (read-only on the pre-wave graph)."""
+            res = g.search_fast_batch(v[slice_ids], k=efc, ef=efc)
+            return [
+                (x, g._select_neighbors(cand, g.cfg.m, 0, v[x]))
+                for x, cand in zip(slice_ids, res)
+            ]
 
         dirty: set[int] = set()
         finalized = False
@@ -705,6 +951,7 @@ class HnswGraph:
                 D = dist_rows(v[i:j], i)
                 for x in range(i, j):
                     commit_exact(x, D[x - i], i)
+                flush_overflow(None)
                 i = j
                 continue
             if not finalized:
@@ -714,42 +961,84 @@ class HnswGraph:
             ids = list(range(i, j))
             g._refresh_pads(dirty, len(g.levels))
             dirty.clear()
-            batch_ids = [x for x in ids if levels[x] == 0]
-            res_map = {}
-            if batch_ids:
-                res = g.search_fast_batch(
-                    g.vectors[batch_ids],
-                    k=g.cfg.ef_construction,
-                    ef=g.cfg.ef_construction,
-                )
-                res_map = dict(zip(batch_ids, res))
+            if can_fork and len(ids) >= 8 * workers:
+                # fork AFTER the pads refresh: children inherit the
+                # committed pre-wave graph copy-on-write and search
+                # their slice; only (id, selected-neighbor) pairs come
+                # back.  A fresh pool per wave keeps replicas in sync.
+                global _BUILD_FORK_GRAPH
+                _BUILD_FORK_GRAPH = (g, v, efc)
+                chunks = [
+                    c.tolist()
+                    for c in np.array_split(np.asarray(ids), 2 * workers)
+                    if len(c)
+                ]
+                ctx = _mp.get_context("fork")
+                with ctx.Pool(workers) as pool:
+                    parts = pool.map(_build_fork_cand_work, chunks)
+                _BUILD_FORK_GRAPH = None
+                nbrs0 = {x: nb for part in parts for x, nb in part}
+            else:
+                nbrs0 = dict(cand_work(ids))
             for x in ids:
-                if x in res_map:
-                    g._commit_level0(x, res_map[x], dirty)
-                else:
-                    g._insert_prebuilt(x, levels[x])
-                    dirty.add(x)
-                    dirty.update(nb for lv in g.adj[x] for nb in g.adj[x][lv])
+                g._commit_wave_item(
+                    x, levels[x], nbrs0[x], by_level, i, dirty, overflow
+                )
+            flush_overflow(dirty)
             i = j
         return g
 
-    def _commit_level0(self, idx: int, cand: list, dirty: set[int]):
-        """Apply a pre-searched level-0 insert (edges + backlink prunes)."""
+    def _commit_wave_item(
+        self,
+        idx: int,
+        level: int,
+        nbrs0: list[tuple[float, int]],
+        by_level: dict[int, list[int]],
+        upto: int,
+        dirty: set[int],
+        overflow: set[tuple[int, int]],
+    ):
+        """Apply one wave insert: pre-selected level-0 neighbors, EXACT
+        upper-level candidates (distance row against that level's pre-wave
+        node set — n/16^l nodes, cheaper and better than beaming), edges
+        both ways; backlink prunes are deferred to the wave boundary."""
         assert idx == len(self.levels)
-        self.levels.append(0)
-        self.adj.append({0: set()})
+        self.levels.append(level)
+        self.adj.append({l: set() for l in range(level + 1)})
         q = self.vectors[idx]
-        if not cand:
-            return
-        nbrs = self._select_neighbors(cand, self.cfg.m, 0, q)
-        for _, nb in nbrs:
+        ep_level = self.levels[self.entrypoint]
+        for _, nb in nbrs0:
             self.adj[idx][0].add(nb)
             self.adj[nb].setdefault(0, set()).add(idx)
             dirty.add(nb)
             if len(self.adj[nb][0]) > self._cap(0):
-                before = set(self.adj[nb][0])
-                self._prune(nb, 0)
-                dirty.update(before - self.adj[nb][0])
+                overflow.add((nb, 0))
+        for l in range(1, min(level, ep_level) + 1):
+            nodes = by_level.get(l)
+            if not nodes:
+                continue
+            pool = np.asarray(nodes, dtype=np.int64)
+            pool = pool[pool < upto]  # intra-wave items invisible
+            if not pool.size:
+                continue
+            ds = _dist_many(self.cfg.space, self.vectors[pool], q)
+            k_eff = min(self.cfg.ef_construction, len(pool))
+            if len(pool) > k_eff:
+                sel = np.argpartition(ds, k_eff - 1)[:k_eff]
+            else:
+                sel = np.arange(len(pool))
+            cand = sorted(zip(ds[sel].tolist(), pool[sel].tolist()))
+            nbrs = self._select_neighbors(cand, self.cfg.m, l, q)
+            for _, nb in nbrs:
+                self.adj[idx][l].add(nb)
+                self.adj[nb].setdefault(l, set()).add(idx)
+                dirty.add(nb)
+                if len(self.adj[nb][l]) > self._cap(l):
+                    overflow.add((nb, l))
+        if level > ep_level:
+            self.entrypoint = idx
+        for l in range(1, level + 1):
+            by_level.setdefault(l, []).append(idx)
         dirty.add(idx)
 
     def _refresh_pads(self, dirty: set[int], new_n: int):
@@ -778,32 +1067,6 @@ class HnswGraph:
                 pad[i, :] = -1
                 if ns:
                     pad[i, : len(ns)] = sorted(ns)
-
-    def _insert_prebuilt(self, idx: int, level: int):
-        """insert() for pre-loaded vector matrix (no copy per row)."""
-        q = self.vectors[idx]
-        self.levels.append(level)
-        self.adj.append({l: set() for l in range(level + 1)})
-        if self.entrypoint < 0:
-            self.entrypoint = idx
-            return
-        ep = self.entrypoint
-        max_level = self.levels[ep]
-        cur = ep
-        for l in range(max_level, level, -1):
-            cur = self._greedy_closest(q, cur, l)
-        for l in range(min(level, max_level), -1, -1):
-            cand = self._search_level(q, cur, self.cfg.ef_construction, l)
-            nbrs = self._select_neighbors(cand, self.cfg.m, l, q)
-            for _, n in nbrs:
-                self.adj[idx][l].add(n)
-                self.adj[n].setdefault(l, set()).add(idx)
-                if len(self.adj[n][l]) > self._cap(l):
-                    self._prune(n, l)
-            if cand:
-                cur = cand[0][1]
-        if level > max_level:
-            self.entrypoint = idx
 
 
 # ---------------------------------------------------------------------------
@@ -911,9 +1174,18 @@ def _build_one_graph(pid: int, pdf: pd.DataFrame, cfg: HnswConfig) -> pd.DataFra
     levels = pdf["level"].astype(int).tolist()
     metas = pdf["meta"].tolist() if "meta" in pdf.columns else [None] * len(ids)
     g = HnswGraph.build(mat, levels, cfg)
+    return graph_to_index_rows(g, ids, pid, metas=metas)
+
+
+def graph_to_index_rows(
+    g: HnswGraph, ids: list, pid: int, metas: list | None = None
+) -> pd.DataFrame:
+    """Serialize an in-memory graph to INDEX_SCHEMA rows (the columnar
+    snapshot encoding — vertex/adj/entry/config)."""
     rows = []
+    mat = g.vectors
     for i, nbrs in enumerate(g.adj):
-        m = metas[i]
+        m = metas[i] if metas is not None else None
         m = dict(m) if m is not None else None  # arrow maps arrive as tuples
         rows.append((pid, "vertex", ids[i], g.levels[i], None, mat[i].tolist(), m))
         for lvl, ns in nbrs.items():
@@ -925,9 +1197,36 @@ def _build_one_graph(pid: int, pdf: pd.DataFrame, cfg: HnswConfig) -> pd.DataFra
         rows.append(
             (pid, "entry", ids[g.entrypoint], g.levels[g.entrypoint], None, None, None)
         )
-    rows.append((pid, "config", config_to_json(cfg), None, None, None, None))
+    rows.append((pid, "config", config_to_json(g.cfg), None, None, None, None))
     return pd.DataFrame(
         rows, columns=["partition_id", "kind", "src", "level", "dsts", "vec", "meta"]
+    )
+
+
+def save_graph_partition(g: HnswGraph, ids: list, path: str, pid: int = 0) -> None:
+    """Persist ONE driver-built graph directly into the `save_index`
+    serving layout (``path/partition_id=<pid>/``) without a Spark job —
+    the single-resident-graph deployment (and the reference-benchmark
+    harness shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    pdf = graph_to_index_rows(g, ids, pid).drop(columns=["partition_id"])
+    part_dir = _os_mod.path.join(path, f"partition_id={pid}")
+    _os_mod.makedirs(part_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("src", pa.string()),
+            ("level", pa.int32()),
+            ("dsts", pa.list_(pa.string())),
+            ("vec", pa.list_(pa.float32())),
+            ("meta", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    pq_mod.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        _os_mod.path.join(part_dir, "part-0.parquet"),
     )
 
 
@@ -1364,8 +1663,14 @@ def search_index_path(
         for d in _os.listdir(path)
         if d.startswith("partition_id=")
     )
-    qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
-    qmat = np.array([v for _, v in queries], dtype=np.float32)
+    if isinstance(queries, tuple):
+        # (ids, matrix) — zero-copy for large query batches
+        qids_in, qmat = queries
+        qid_arr = np.array([str(q) for q in qids_in], dtype=object)
+        qmat = np.ascontiguousarray(qmat, dtype=np.float32)
+    else:
+        qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
+        qmat = np.array([v for _, v in queries], dtype=np.float32)
     by_pid: dict[int, list[int]] | None = None
     if centroids is not None and nprobe > 0:
         from anndb_spark.operators.ivf import _pairwise
@@ -1382,9 +1687,21 @@ def search_index_path(
     else:
         pids = all_pids
 
-    out_cols = ["query_id", "id", "score"] + (["metadata"] if with_metadata else [])
-    out_schema = "query_id STRING, id STRING, score FLOAT" + (
-        ", metadata MAP<STRING,STRING>" if with_metadata else ""
+    # ONE graph partition → every query is answered completely by its
+    # single (pid, chunk) task: ranks are final in-task and the global
+    # top-k Window (a shuffle) is skipped entirely — the single-graph
+    # serving fast path (the reference benchmark's one-resident-graph
+    # shape, cmd/benchmark/ann-benchmark/main.go:279-307)
+    single_graph = len(pids) == 1 and by_pid is None
+    rank_cols = ["rank"] if single_graph else []
+    out_cols = ["query_id", *rank_cols, "id", "score"] + (
+        ["metadata"] if with_metadata else []
+    )
+    out_schema = (
+        "query_id STRING, "
+        + ("rank INT, " if single_graph else "")
+        + "id STRING, score FLOAT"
+        + (", metadata MAP<STRING,STRING>" if with_metadata else "")
     )
     # task layout: (pid, query-chunk) rows, round-robin.  Chunking the
     # query set per partition breaks the one-task-per-partition
@@ -1479,6 +1796,11 @@ def search_index_path(
                     "id": ids_arr[nid],
                     "score": dist,
                 }
+                if single_graph:
+                    # hit lists are ascending → positional ranks are final
+                    data["rank"] = np.concatenate(
+                        [np.arange(1, c + 1, dtype=np.int32) for c in counts]
+                    ) if total else np.empty(0, dtype=np.int32)
                 if with_metadata:
                     meta = g.item_meta
                     data["metadata"] = (
@@ -1487,6 +1809,8 @@ def search_index_path(
                 yield pd.DataFrame(data, columns=out_cols)
 
     partials = plan.mapInPandas(run, schema=out_schema)
+    if single_graph:
+        return partials
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())

@@ -81,7 +81,7 @@ def fm_table(spark, cpus: int):
     )
 
 
-def fm_queries():
+def fm_queries(n: int = FM_QUERIES):
     # same center/basis seed stream as fm_table; query-side rng disjoint
     r0 = np.random.default_rng(FM_SEED)
     centers = r0.normal(0, 1.0, (FM_CENTERS, FM_DIM)).astype(np.float32)
@@ -90,13 +90,30 @@ def fm_queries():
     )
     pick = np.random.default_rng(FM_SEED + 1)
     qs = []
-    for qi in range(FM_QUERIES):
+    for qi in range(n):
         r = np.random.default_rng((FM_SEED + 1, qi))
         w = r.normal(0, 1.0, FM_INTRINSIC).astype(np.float32)
         eps = r.normal(0, 0.1, FM_DIM).astype(np.float32)
         c = centers[int(pick.integers(FM_CENTERS))]
         qs.append((str(qi), (c + basis @ w + eps).tolist()))
     return qs
+
+
+def fm_corpus_np(cpus: int):
+    """The fm_table corpus as (ids, matrix) on the driver — same per-id
+    rng scheme, for the single-resident-graph protocol legs."""
+    rng = np.random.default_rng(FM_SEED)
+    centers = rng.normal(0, 1.0, (FM_CENTERS, FM_DIM)).astype(np.float32)
+    basis = (rng.normal(0, 1.0, (FM_DIM, FM_INTRINSIC)) / np.sqrt(FM_INTRINSIC)).astype(
+        np.float32
+    )
+    mat = np.empty((FM_N, FM_DIM), dtype=np.float32)
+    for i in range(FM_N):
+        r = np.random.default_rng((FM_SEED, i))
+        w = r.normal(0, 1.0, FM_INTRINSIC).astype(np.float32)
+        eps = r.normal(0, 0.1, FM_DIM).astype(np.float32)
+        mat[i] = centers[i % FM_CENTERS] + basis @ w + eps
+    return [str(i) for i in range(FM_N)], mat
 
 
 def main():
@@ -317,9 +334,14 @@ def main():
     # search ef=20/k=10, recall@10 vs exact ground truth.  One build
     # repeat (it dominates wall time); search runs the full repeat set
     # over worker-resident graphs.
+    # heuristic neighbor selection (the reference's
+    # selectNeighborsHeuristic, index/hnsw.go:382-417): on clustered
+    # corpora simple selection yields cluster-island graphs whose
+    # single-graph recall collapses (measured 0.63 vs 0.999 at ef=20);
+    # the per-edge cost is vectorized (see _select_neighbors)
     fm = fm_table(spark, cpus).cache()
     fm_n = fm.count()
-    cfg_fm = HnswConfig(m=16, ef_construction=500)
+    cfg_fm = HnswConfig(m=16, ef_construction=500, heuristic=True)
     fm_path = os.path.join(scratch, "idx_fm")
 
     def fm_build():
@@ -362,11 +384,75 @@ def main():
     extra["fm_recall_at_10"] = round(recall, 4)
     extra["fm_build_inserts_per_s"] = round(fm_n / timings["fm_build_60k_784"], 1)
     extra["fm_search_q_per_s"] = round(FM_QUERIES / timings["fm_search_1kq"], 1)
-    extra["fm_config"] = "m=16 efC=500 ef=20 k=10 60000x784 euclidean"
+    extra["fm_config"] = "m=16 efC=500 ef=20 k=10 60000x784 euclidean heuristic"
     extra["fm_index_rows"] = idx_fm_rows
     extra["baseline_fm_build_inserts_per_s_m16"] = 3382.0
     extra["baseline_fm_search_q_per_s_m16"] = 26112.0
     extra["baseline_fm_recall_at_10_m16"] = 0.9453
+
+    # q13a: the LITERAL reference-benchmark shape — ONE resident 60k×784
+    # graph, queries split across cores (their harness runs NumCPU
+    # workers against a single in-memory graph,
+    # cmd/benchmark/ann-benchmark/main.go:279-307).  The graph is built
+    # driver-side with the fork-parallel wave build (the analogue of
+    # their NumCPU concurrent inserts), persisted in the serving layout,
+    # and searched through search_index_path's single-graph fast path
+    # (per-chunk tasks, worker-resident cached graph, ranks finalized
+    # in-task — no shuffle).  Throughput is timed on a 10k-query batch
+    # so per-job scheduling overhead amortizes; recall on the standard
+    # 1k set vs the same exact ground truth.
+    from anndb_spark.operators.hnsw import HnswGraph, save_graph_partition
+
+    t0 = time.perf_counter()
+    fm_ids, fm_mat = fm_corpus_np(cpus)
+    lr = np.random.default_rng(FM_SEED + 7)
+    lvl_mult = cfg_fm.level_multiplier
+    fm_levels = np.floor(
+        -np.log(np.clip(lr.random(FM_N), 1e-12, 1 - 1e-12)) * lvl_mult
+    ).astype(int).tolist()
+    g_single = HnswGraph.build(fm_mat, fm_levels, cfg_fm, workers=cpus)
+    single_build_s = time.perf_counter() - t0
+    extra["fm_single_build_s"] = round(single_build_s, 1)
+    extra["fm_single_build_inserts_per_s"] = round(FM_N / single_build_s, 1)
+    fm_single_path = os.path.join(scratch, "idx_fm_single")
+    save_graph_partition(g_single, fm_ids, fm_single_path)
+    del g_single
+    qs10k = fm_queries(10_000)
+    qs_fm_10k = (
+        [q for q, _ in qs10k],
+        np.array([v for _, v in qs10k], dtype=np.float32),
+    )  # (ids, matrix) — skips per-call python-list conversion
+    del qs10k
+    qpt = -(-len(qs_fm_10k[0]) // cpus)
+    search_index_path(  # warm every worker's resident graph
+        spark, fm_single_path, qs_fm[:64], 10, ef=20, config=cfg_fm,
+        strategy="beam", cache_token="bench-fm-single", queries_per_task=2,
+    ).collect()
+    timed(
+        "fm_search_10kq_single_graph",
+        lambda: search_index_path(
+            spark, fm_single_path, qs_fm_10k, 10, ef=20, config=cfg_fm,
+            strategy="beam", cache_token="bench-fm-single", queries_per_task=qpt,
+        ).collect(),
+    )
+    extra["fm_search_q_per_s_single_graph"] = round(
+        len(qs_fm_10k) / timings["fm_search_10kq_single_graph"], 1
+    )
+    single_rows = search_index_path(
+        spark, fm_single_path, qs_fm, 10, ef=20, config=cfg_fm,
+        strategy="beam", cache_token="bench-fm-single",
+        queries_per_task=-(-FM_QUERIES // cpus),
+    ).collect()
+    truth_single = search_index_path(
+        spark, fm_single_path, qs_fm, 10, config=cfg_fm, strategy="brute",
+        cache_token="bench-fm-single-brute",
+        queries_per_task=-(-FM_QUERIES // cpus),
+    ).collect()
+    tr_map: dict[str, set] = {}
+    for r in truth_single:
+        tr_map.setdefault(r["query_id"], set()).add(r["id"])
+    hits_s = sum(1 for r in single_rows if r["id"] in tr_map.get(r["query_id"], ()))
+    extra["fm_recall_at_10_single_graph"] = round(hits_s / (10 * FM_QUERIES), 4)
 
     # q13b: the same protocol on the cluster-routed index — the 100 TB
     # search shape (per-query work = nprobe graph walks of 32, unprobed

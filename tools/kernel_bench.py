@@ -34,14 +34,24 @@ SEED = 1234
 CENTERS, INTRINSIC = 64, 32
 
 
-def corpus(n, rng):
+def _centers_basis():
+    # centers/basis ALWAYS from the base seed — queries must live in the
+    # same clusters as the corpus (bench.py fm_table/fm_queries contract)
+    rng = np.random.default_rng(SEED)
     centers = rng.normal(0, 1.0, (CENTERS, DIM)).astype(np.float32)
     basis = (rng.normal(0, 1.0, (DIM, INTRINSIC)) / np.sqrt(INTRINSIC)).astype(
         np.float32
     )
+    return centers, basis
+
+
+def corpus(n, rng, pick_centers=False):
+    centers, basis = _centers_basis()
     w = rng.normal(0, 1.0, (n, INTRINSIC)).astype(np.float32)
     eps = rng.normal(0, 0.1, (n, DIM)).astype(np.float32)
-    cidx = np.arange(n) % CENTERS
+    cidx = (
+        rng.integers(CENTERS, size=n) if pick_centers else np.arange(n) % CENTERS
+    )
     return centers[cidx] + w @ basis.T + eps
 
 
@@ -74,7 +84,7 @@ def get_graph():
 def main():
     g = get_graph()
     rng = np.random.default_rng(SEED + 99)
-    Q = corpus(N_QUERIES, rng)
+    Q = corpus(N_QUERIES, rng, pick_centers=True)
 
     # ground truth (blocked brute)
     truth = []
