@@ -61,6 +61,15 @@ class HnswConfig:
     heuristic: bool = False  # reference benchmark uses simple selection
     extend_candidates: bool = False
     keep_pruned: bool = True
+    # heuristic selection examines only the nearest `heuristic_pool`
+    # candidates (0 = unlimited, the reference-faithful default).
+    # Capping trades diversification reach for ~pool·accepts selection
+    # cost: measured safe (recall unchanged) on small per-partition
+    # graphs (≲6k rows, cap 64), but it COLLAPSES single-graph recall at
+    # 60k (0.93 → 0.61) — the cross-cluster candidates that keep a big
+    # graph navigable sit deeper than the nearest 64.  Cap only when the
+    # partition size is known to tolerate it.
+    heuristic_pool: int = 0
     seed: int = 42
 
     def __post_init__(self):
@@ -200,6 +209,8 @@ class HnswGraph:
                         seen.add(nn)
                         pool[nn] = self._d(nn, q)
         ordered = sorted((d, n) for n, d in pool.items())
+        if self.cfg.heuristic_pool and len(ordered) > self.cfg.heuristic_pool:
+            ordered = ordered[: self.cfg.heuristic_pool]
         W = len(ordered)
         ids = np.fromiter((n for _, n in ordered), dtype=np.int64, count=W)
         dq = np.fromiter((d for d, _ in ordered), dtype=np.float32, count=W)
@@ -303,6 +314,72 @@ class HnswGraph:
         if level > max_level:
             self.entrypoint = idx  # CAS analogue (index/hnsw.go:136)
         return idx
+
+    def thaw_adjacency(self) -> "HnswGraph":
+        """Rebuild the python adjacency sets from the padded matrices —
+        the inverse of finalize(), for mutating a reconstructed graph
+        (online insert into a loaded index)."""
+        n = len(self.levels)
+        self.adj = [dict() for _ in range(n)]
+        for lvl, pad in self.adj_pad.items():
+            for i in range(min(n, pad.shape[0])):
+                row = pad[i]
+                ns = row[row >= 0]
+                if len(ns):
+                    self.adj[i][int(lvl)] = set(int(x) for x in ns)
+        return self
+
+    def insert_many(self, mats: np.ndarray, new_levels: list[int]) -> list[int]:
+        """Online insert of a batch into an EXISTING graph — the
+        reference's live-insert path (`index/hnsw.go:80-140`) in batch
+        form: one matrix grow, then the sequential insert loop per item
+        (beam search on the current python adjacency).  O(batch · search)
+        compute, independent of partition size.  Invalidates the
+        finalized pads (callers re-finalize for the fast search path)."""
+        mats = np.ascontiguousarray(mats, dtype=np.float32).reshape(
+            -1, self.dim or mats.shape[-1]
+        )
+        base = len(self.levels)
+        self.vectors = (
+            np.concatenate([self.vectors, mats]) if base else mats.copy()
+        )
+        if self.deleted is not None:
+            self.deleted = np.concatenate(
+                [self.deleted, np.zeros(len(new_levels), dtype=bool)]
+            )
+        out = []
+        for r, level in enumerate(new_levels):
+            idx = base + r
+            q = self.vectors[idx]
+            self.levels.append(int(level))
+            self.adj.append({l: set() for l in range(int(level) + 1)})
+            if self.entrypoint < 0:
+                self.entrypoint = idx
+                out.append(idx)
+                continue
+            ep = self.entrypoint
+            max_level = self.levels[ep]
+            cur = ep
+            for l in range(max_level, level, -1):
+                cur = self._greedy_closest(q, cur, l)
+            for l in range(min(level, max_level), -1, -1):
+                cand = self._search_level(q, cur, self.cfg.ef_construction, l)
+                nbrs = self._select_neighbors(cand, self.cfg.m, l, q)
+                for _, nb in nbrs:
+                    self.adj[idx][l].add(nb)
+                    self.adj[nb].setdefault(l, set()).add(idx)
+                    if len(self.adj[nb][l]) > self._cap(l):
+                        self._prune(nb, l)
+                if cand:
+                    cur = cand[0][1]
+            if level > max_level:
+                self.entrypoint = idx
+            out.append(idx)
+        # stale caches: pads/norms cover the pre-insert prefix only
+        for attr in ("adj_pad", "norms2", "norms"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return out
 
     # -- search (index/hnsw.go:216-247) --------------------------------
     def search(self, q: np.ndarray, k: int, ef: int | None = None):
@@ -451,15 +528,90 @@ class HnswGraph:
             chunk = int(max(16, min(1024, 2e8 / max(n, 1))))
         # tombstoned graphs use the two-beam variant (deleted vertices
         # must stay traversable without occupying result slots)
-        kern = (
-            self._search_batch_chunk_tombstone
-            if self.deleted is not None and self.deleted.any()
-            else self._search_batch_chunk
-        )
-        out = []
-        for s in range(0, Q.shape[0], chunk):
-            out.extend(kern(Q[s : s + chunk], k, ef))
-        return out
+        if self.deleted is not None and self.deleted.any():
+            out = []
+            for s in range(0, Q.shape[0], chunk):
+                out.extend(
+                    self._search_batch_chunk_tombstone(Q[s : s + chunk], k, ef)
+                )
+            return out
+        if n < 4096 or max(self.levels) == 0:
+            out = []
+            for s in range(0, Q.shape[0], chunk):
+                out.extend(self._search_batch_chunk(Q[s : s + chunk], k, ef))
+            return out
+        # big graphs: seeded + locality-sorted search.  The graph's own
+        # upper-level vertices are the seed set: one (q × S) GEMM against
+        # a small cache-resident matrix replaces the greedy descent
+        # (which gathers scattered rows level by level), and sorting the
+        # batch by assigned seed makes concurrent beams walk the SAME
+        # region of the vector matrix — the random-gather working set
+        # drops from the whole matrix to a cluster's worth, which is
+        # what the (bandwidth-bound) kernel actually pays for.
+        Qf = np.ascontiguousarray(Q, dtype=np.float32)
+        seeds = self._seed_set()
+        qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
+        sv = self.vectors[seeds]
+        dot = Qf @ sv.T
+        if self.cfg.space == "manhattan":
+            d = np.stack(
+                [np.abs(sv - row).sum(axis=1, dtype=np.float32) for row in Qf]
+            ) if Qf.shape[0] <= 64 else None
+            if d is None:
+                # blocked to bound the (q × S × dim) broadcast
+                d = np.empty((Qf.shape[0], len(seeds)), dtype=np.float32)
+                for s0 in range(0, Qf.shape[0], 64):
+                    d[s0 : s0 + 64] = np.abs(
+                        sv[None, :, :] - Qf[s0 : s0 + 64, None, :]
+                    ).sum(axis=2, dtype=np.float32)
+        elif self.cfg.space == "euclidean":
+            d = np.sqrt(
+                np.maximum(self.norms2[seeds][None, :] - 2.0 * dot + qn2[:, None], 0.0)
+            )
+        else:
+            d = np.abs(
+                np.float32(1.0)
+                - dot / (self.norms[seeds][None, :] * np.sqrt(qn2)[:, None])
+            )
+        best = d.argmin(axis=1)
+        entry = seeds[best]
+        entry_d = d[np.arange(Qf.shape[0]), best]
+        order = np.argsort(best, kind="stable")  # locality sort
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        out_sorted = []
+        for s in range(0, Qf.shape[0], chunk):
+            sel = order[s : s + chunk]
+            out_sorted.extend(
+                self._search_batch_chunk(
+                    Qf[sel], k, ef, entry=entry[sel], entry_d=entry_d[sel]
+                )
+            )
+        return [out_sorted[inv[i]] for i in range(Qf.shape[0])]
+
+    def _seed_set(self) -> np.ndarray:
+        """Entry-seed vertex ids: all vertices at the highest level L
+        whose population lands in [16, 1024] (the graph's own hierarchy
+        as a coarse quantizer).  Cached until the graph changes."""
+        cached = getattr(self, "_seeds_cache", None)
+        if cached is not None and cached[0] == len(self.levels):
+            return cached[1]
+        lv = np.asarray(self.levels)
+        seeds = None
+        for L in range(int(lv.max()), 0, -1):
+            ids = np.nonzero(lv >= L)[0]
+            if len(ids) > 1024:
+                break
+            if len(ids) >= 16:
+                seeds = ids
+        if seeds is None:
+            seeds = np.nonzero(lv >= 1)[0]
+            if len(seeds) > 1024:
+                seeds = seeds[:1024]
+            elif not len(seeds):
+                seeds = np.array([self.entrypoint], dtype=np.int64)
+        self._seeds_cache = (len(self.levels), seeds)
+        return seeds
 
     def _descend_batch(self, Qf: np.ndarray, qn2: np.ndarray):
         """Lock-step greedy hill-climb from the entrypoint down to level
@@ -487,7 +639,13 @@ class HnswGraph:
         return cur, cur_d
 
     def _search_batch_chunk(
-        self, Q: np.ndarray, k: int, ef: int | None, pops_per_step: int | None = None
+        self,
+        Q: np.ndarray,
+        k: int,
+        ef: int | None,
+        pops_per_step: int | None = None,
+        entry: np.ndarray | None = None,
+        entry_d: np.ndarray | None = None,
     ):
         """Single-beam lock-step level-0 search (canonical HNSW beam:
         candidates and results are ONE ef-wide set with an expanded
@@ -505,7 +663,11 @@ class HnswGraph:
         space = self.cfg.space
         qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
         INF = np.float32(np.inf)
-        cur, cur_d = self._descend_batch(Qf, qn2)
+        if entry is None:
+            cur, cur_d = self._descend_batch(Qf, qn2)
+        else:
+            cur = np.asarray(entry, dtype=np.int64)
+            cur_d = np.asarray(entry_d, dtype=np.float32)
         pad0 = self.adj_pad[0]
         cap = pad0.shape[1]
         if pops_per_step is None:
@@ -1230,6 +1392,85 @@ def save_graph_partition(g: HnswGraph, ids: list, path: str, pid: int = 0) -> No
     )
 
 
+def extend_index(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    config: HnswConfig | None = None,
+    partition_col: str = "partition_id",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    meta_col: str | None = "metadata",
+) -> DataFrame:
+    """Insert a (small) batch into EXISTING per-partition graphs without
+    rebuilding them — the reference's online `Insert`
+    (`index/hnsw.go:80-140`, proposal path `storage/partition.go:144-167`)
+    expressed as a cogrouped transform.
+
+    Per touched partition the task reconstructs the saved graph, thaws
+    its adjacency, runs the sequential insert loop for the new rows
+    (levels from `crud.assign_level` — identical to what a full rebuild
+    would assign), and re-emits the partition's index rows.  Compute is
+    O(batch · beam) per partition instead of the rebuild's O(partition ·
+    beam); the re-emit is O(partition) parquet WRITE, which is cheap
+    next to graph construction.  Ids already present (or tombstoned) in
+    the graph are skipped, so changelog replay is idempotent.  Existing
+    tombstones ride along unchanged.
+
+    Untouched partitions are NOT emitted — pair with dynamic partition
+    overwrite (the streaming maintainer's write mode).
+    """
+    cfg = config or get_index_config(index) or HnswConfig()
+    from anndb_spark.operators.crud import assign_level
+
+    has_meta = meta_col is not None and meta_col in new_vectors.columns
+    src = new_vectors.select(
+        F.col(partition_col).alias("partition_id"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("vector"),
+        assign_level(F.col(id_col).cast("string"), cfg.m).alias("level"),
+        *(
+            [F.col(meta_col).alias("meta")]
+            if has_meta
+            else [F.lit(None).cast("map<string,string>").alias("meta")]
+        ),
+    )
+
+    def extend_one(new_pdf: pd.DataFrame, idx_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(new_pdf):
+            # partition untouched by the batch: pass the rows through
+            return idx_pdf[
+                ["partition_id", "kind", "src", "level", "dsts", "vec", "meta"]
+            ] if len(idx_pdf) else pd.DataFrame(
+                columns=["partition_id", "kind", "src", "level", "dsts", "vec", "meta"]
+            )
+        pid = int(new_pdf["partition_id"].iloc[0])
+        new_pdf = new_pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        if not len(idx_pdf) or not (idx_pdf["kind"] == "vertex").any():
+            return _build_one_graph(pid, new_pdf, cfg)
+        ids, g = _graph_from_index(idx_pdf, cfg)
+        g.thaw_adjacency()
+        known = set(ids)
+        fresh = new_pdf[~new_pdf["id"].isin(known)]
+        metas = (
+            [dict(m) if m is not None else None for m in (g.item_meta or [None] * len(ids))]
+        )
+        if len(fresh):
+            mat = np.array(fresh["vector"].tolist(), dtype=np.float32)
+            g.insert_many(mat, fresh["level"].astype(int).tolist())
+            ids = ids + fresh["id"].tolist()
+            metas += [
+                dict(m) if m is not None else None for m in fresh["meta"]
+            ]
+        out = graph_to_index_rows(g, ids, pid, metas=metas)
+        tombs = idx_pdf[idx_pdf["kind"] == "tomb"]
+        if len(tombs):
+            out = pd.concat([out, tombs[out.columns]], ignore_index=True)
+        return out
+
+    cogrouped = src.groupBy("partition_id").cogroup(index.groupBy("partition_id"))
+    return cogrouped.applyInPandas(extend_one, schema=INDEX_SCHEMA)
+
+
 def config_to_json(cfg: HnswConfig) -> str:
     return json.dumps(asdict(cfg), sort_keys=True)
 
@@ -1306,6 +1547,146 @@ def _cache_put(key, ids, g):
         _, _, old_nb = _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
         total -= old_nb
     _GRAPH_CACHE[key] = (ids, g, nb)
+
+
+# ---------------------------------------------------------------------------
+# Shared-memory (L2) graph cache: ONE physical copy per host
+# ---------------------------------------------------------------------------
+# The per-process LRU above gives each python worker a PRIVATE graph copy:
+# 32 workers × 200 MB is 6.4 GB of duplicated pages, and the (bandwidth-
+# bound) beam kernel's random gathers then miss cache independently in
+# every worker.  The L2 layer materializes the finalized graph ONCE into
+# /dev/shm as read-only npy files and every worker mmaps them — one
+# physical page set shared by all workers on the host (the resident-index
+# contract a serving node actually wants).  Writers build into a private
+# tmp dir and atomically rename it in; losers of the race just mmap the
+# winner's copy.
+
+_SHM_ROOT = _os_mod.environ.get(
+    "ANNDB_SHM_CACHE_DIR",
+    "/dev/shm/anndb_graphs" if _os_mod.path.isdir("/dev/shm") else "",
+)
+_SHM_CACHE_MAX_BYTES = int(
+    _os_mod.environ.get("ANNDB_SHM_CACHE_BYTES", str(8 << 30))
+)
+
+
+def _shm_dir_for(key) -> str | None:
+    if not _SHM_ROOT:
+        return None
+    import hashlib
+
+    h = hashlib.sha1(repr(key).encode()).hexdigest()[:24]
+    return _os_mod.path.join(_SHM_ROOT, h)
+
+
+def _shm_load(d: str, cfg: "HnswConfig"):
+    """mmap a stored graph; returns (ids, graph) or None."""
+    import pickle as _pickle
+
+    if not _os_mod.path.exists(_os_mod.path.join(d, "_COMPLETE")):
+        return None
+    try:
+        j = json.loads(open(_os_mod.path.join(d, "meta.json")).read())
+        g = HnswGraph(int(j["dim"]), cfg)
+        mm = lambda name: np.load(  # noqa: E731
+            _os_mod.path.join(d, name), mmap_mode="r"
+        )
+        g.vectors = mm("vectors.npy")
+        g.levels = np.asarray(mm("levels.npy"))
+        g.norms2 = mm("norms2.npy")
+        g.norms = mm("norms.npy")
+        g.entrypoint = int(j["entrypoint"])
+        g.adj_pad = {int(lvl): mm(f"pad_{lvl}.npy") for lvl in j["pad_levels"]}
+        if j.get("has_deleted"):
+            g.deleted = np.asarray(mm("deleted.npy"))
+        with open(_os_mod.path.join(d, "ids.pkl"), "rb") as f:
+            ids = _pickle.load(f)
+        mp = _os_mod.path.join(d, "meta.pkl")
+        if _os_mod.path.exists(mp):
+            with open(mp, "rb") as f:
+                g.item_meta = _pickle.load(f)
+        _os_mod.utime(d)  # LRU touch
+        return ids, g
+    except Exception:
+        return None
+
+
+def _shm_store(key, ids, g: "HnswGraph") -> str | None:
+    """Write the finalized graph into /dev/shm (atomic dir rename)."""
+    import pickle as _pickle
+    import shutil
+
+    d = _shm_dir_for(key)
+    if d is None:
+        return None
+    if _os_mod.path.exists(_os_mod.path.join(d, "_COMPLETE")):
+        return d
+    tmp = f"{d}.tmp.{_os_mod.getpid()}"
+    try:
+        _os_mod.makedirs(tmp, exist_ok=True)
+        np.save(_os_mod.path.join(tmp, "vectors.npy"), np.asarray(g.vectors))
+        np.save(
+            _os_mod.path.join(tmp, "levels.npy"),
+            np.asarray(g.levels, dtype=np.int32),
+        )
+        np.save(_os_mod.path.join(tmp, "norms2.npy"), np.asarray(g.norms2))
+        np.save(_os_mod.path.join(tmp, "norms.npy"), np.asarray(g.norms))
+        for lvl, pad in g.adj_pad.items():
+            np.save(_os_mod.path.join(tmp, f"pad_{lvl}.npy"), pad)
+        if g.deleted is not None:
+            np.save(_os_mod.path.join(tmp, "deleted.npy"), g.deleted)
+        with open(_os_mod.path.join(tmp, "ids.pkl"), "wb") as f:
+            _pickle.dump(ids, f, protocol=4)
+        if g.item_meta is not None:
+            with open(_os_mod.path.join(tmp, "meta.pkl"), "wb") as f:
+                _pickle.dump(g.item_meta, f, protocol=4)
+        with open(_os_mod.path.join(tmp, "meta.json"), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "dim": g.dim,
+                        "entrypoint": g.entrypoint,
+                        "pad_levels": sorted(g.adj_pad),
+                        "has_deleted": g.deleted is not None,
+                    }
+                )
+            )
+        open(_os_mod.path.join(tmp, "_COMPLETE"), "w").close()
+        try:
+            _os_mod.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        _shm_evict()
+        return d
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+
+
+def _shm_evict() -> None:
+    """Drop oldest cached graphs once the root exceeds the byte cap."""
+    import shutil
+
+    try:
+        dirs = []
+        for name in _os_mod.listdir(_SHM_ROOT):
+            p = _os_mod.path.join(_SHM_ROOT, name)
+            if not _os_mod.path.isdir(p):
+                continue
+            size = sum(
+                _os_mod.path.getsize(_os_mod.path.join(p, f))
+                for f in _os_mod.listdir(p)
+            )
+            dirs.append((_os_mod.path.getmtime(p), size, p))
+        total = sum(s for _, s, _ in dirs)
+        for _, size, p in sorted(dirs):
+            if total <= _SHM_CACHE_MAX_BYTES:
+                break
+            shutil.rmtree(p, ignore_errors=True)
+            total -= size
+    except OSError:
+        pass
 
 
 def _graph_from_index(
@@ -1631,6 +2012,7 @@ def search_index_path(
     centroids=None,
     nprobe: int = 0,
     queries_per_task: int | None = None,
+    locality_centroids=None,
 ) -> DataFrame:
     """Serving-shape ANN search over a SAVED index (`save_index` path).
 
@@ -1651,18 +2033,23 @@ def search_index_path(
     tasks), and each task searches only its queries — per-query work is
     nprobe graph walks.
 
+    ``path`` may be a plain path or any URI pyarrow.fs can mount
+    (``file://``, ``s3://``, ``hdfs://`` with libhdfs): discovery and
+    task-side reads both go through the filesystem API, so driver and
+    executors need no shared local filesystem.
+
     Results are identical to `search_index` / `search_index_routed` on
     the same saved index (pytest-verified).
     """
     import os as _os
 
+    from anndb_spark.sources import fsutil
+
     cfg = config or get_index_config(load_index(spark, path)) or HnswConfig()
     ef = max(ef or cfg.ef, k)
-    all_pids = sorted(
-        int(d.split("=")[1])
-        for d in _os.listdir(path)
-        if d.startswith("partition_id=")
-    )
+    # partition discovery through pyarrow.fs: plain paths, file://,
+    # s3://, hdfs:// — not a shared-local-FS assumption (ADVICE r4)
+    all_pids = fsutil.list_partition_values(path, "partition_id=")
     if isinstance(queries, tuple):
         # (ids, matrix) — zero-copy for large query batches
         qids_in, qmat = queries
@@ -1671,6 +2058,19 @@ def search_index_path(
     else:
         qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
         qmat = np.array([v for _, v in queries], dtype=np.float32)
+    if locality_centroids is not None and (centroids is None or nprobe <= 0):
+        # order the batch by coarse cell BEFORE chunking: each task's
+        # queries then walk the SAME region of the graph, shrinking the
+        # random-gather working set (the bandwidth-bound kernel's real
+        # cost) from the whole matrix to a cluster's worth.  Pure
+        # reordering — results are per-query, order-independent.
+        from anndb_spark.operators.ivf import _pairwise
+
+        lc = np.ascontiguousarray(locality_centroids, dtype=np.float64)
+        assign = _pairwise(qmat.astype(np.float64), lc, cfg.space).argmin(axis=1)
+        order = np.argsort(assign, kind="stable")
+        qmat = np.ascontiguousarray(qmat[order])
+        qid_arr = qid_arr[order]
     by_pid: dict[int, list[int]] | None = None
     if centroids is not None and nprobe > 0:
         from anndb_spark.operators.ivf import _pairwise
@@ -1726,7 +2126,7 @@ def search_index_path(
     qpt = queries_per_task
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
+        from anndb_spark.sources import fsutil as _fsu
 
         for b in batches:
             for pid, chunk in zip(b["pid"].tolist(), b["chunk"].tolist()):
@@ -1741,6 +2141,15 @@ def search_index_path(
                 # brute-only (adjacency-free) one is keyed separately
                 full_key = (cache_token, pid) if cache_token is not None else None
                 hit = _cache_get(full_key)
+                if hit is None and full_key is not None:
+                    # L2: host-shared mmap copy (one physical page set
+                    # for every worker on this host)
+                    d = _shm_dir_for(full_key)
+                    if d is not None:
+                        got = _shm_load(d, cfg)
+                        if got is not None:
+                            _cache_put(full_key, *got)
+                            hit = got
                 use_brute = strategy == "brute"
                 if hit is not None:
                     ids, g = hit
@@ -1749,8 +2158,8 @@ def search_index_path(
                         and len(ids) * sub.shape[0] * g.dim <= brute_flops_threshold
                     )
                 else:
-                    idx_pdf = pq.read_table(
-                        _os.path.join(path, f"partition_id={pid}")
+                    idx_pdf = _fsu.read_parquet_dir(
+                        _fsu.join(path, f"partition_id={pid}")
                     ).to_pandas()
                     n_vert = int((idx_pdf["kind"] == "vertex").sum())
                     dim = (
@@ -1776,6 +2185,14 @@ def search_index_path(
                             _cache_put(bkey, ids, g)
                     else:
                         ids, g = _graph_from_index(idx_pdf, cfg)
+                        if full_key is not None:
+                            # publish to L2, then serve from the SHARED
+                            # pages (drops this worker's private copy)
+                            d = _shm_store(full_key, ids, g)
+                            if d is not None:
+                                got = _shm_load(d, cfg)
+                                if got is not None:
+                                    ids, g = got
                         _cache_put(full_key, ids, g)
                 res = (
                     g.search_brute(sub, k)

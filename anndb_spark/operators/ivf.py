@@ -336,28 +336,18 @@ def search_ivf_path(
     for qi, ps in enumerate(probes):
         for p in ps:
             by_cid.setdefault(int(p), []).append(qi)
-    avail = {
-        int(dname.split("=")[1])
-        for dname in _os.listdir(path)
-        if dname.startswith("cluster_id=")
-    }
+    from anndb_spark.sources import fsutil
+
+    # discovery + footer read through pyarrow.fs (plain path, file://,
+    # s3://, hdfs:// — no shared-local-FS assumption, ADVICE r4)
+    avail = set(fsutil.list_partition_values(path, "cluster_id="))
     cids = sorted(set(by_cid) & avail)
     # result id column keeps the table's native type (one footer read)
     id_type = "string"
-    for dname in sorted(_os.listdir(path)):
-        if not dname.startswith("cluster_id="):
-            continue
-        files = [
-            f
-            for f in _os.listdir(_os.path.join(path, dname))
-            if f.endswith(".parquet")
-        ]
-        if files:
-            import pyarrow.parquet as _pq
-
-            at = _pq.read_schema(
-                _os.path.join(path, dname, files[0])
-            ).field(id_col).type
+    for cid0 in sorted(avail):
+        schema = fsutil.read_dir_schema(fsutil.join(path, f"cluster_id={cid0}"))
+        if schema is not None:
+            at = schema.field(id_col).type
             id_type = {
                 "int64": "bigint",
                 "int32": "int",
@@ -380,7 +370,7 @@ def search_ivf_path(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.parquet as pq
+        from anndb_spark.sources import fsutil as _fsu
 
         for b in batches:
             for cid, chunk in zip(b["cid"].tolist(), b["chunk"].tolist()):
@@ -394,8 +384,8 @@ def search_ivf_path(
                 if hit is not None:
                     ids, vmat = hit
                 else:
-                    tbl = pq.read_table(
-                        _os.path.join(path, f"cluster_id={cid}"),
+                    tbl = _fsu.read_parquet_dir(
+                        _fsu.join(path, f"cluster_id={cid}"),
                         columns=[id_col, vec_col],
                     ).to_pandas()
                     ids = tbl[id_col].to_numpy()

@@ -16,6 +16,13 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "anndb-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    # one BLAS thread per python worker: each worker owns ONE task core;
+    # unbounded OpenBLAS/OMP pools (32 workers × 32 threads) thrash the
+    # scheduler the moment any kernel hits a BLAS matmul.  Set in the
+    # driver env (local-mode workers inherit it) AND as executorEnv (for
+    # real clusters).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -34,6 +41,9 @@ def get_spark(app_name: str = "anndb-spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -74,6 +74,7 @@ def stream_maintain_index(
     config=None,
     trigger_available_now: bool = True,
     tombstone_rebuild_fraction: float = 0.2,
+    extend_max_fraction: float = 0.1,
 ):
     """Incrementally maintain base snapshot AND HNSW index from a growing
     changelog — the full streaming analogue of the reference's apply loop
@@ -94,8 +95,16 @@ def stream_maintain_index(
     cumulative tombstone fraction crosses ``tombstone_rebuild_fraction``
     is its graph rebuilt from compacted state (dropping the tombstones)
     — the compaction-threshold analogue of the reference's
-    snapshotOffset (`storage/raft/group.go:275-300`).  Insert/update
-    batches still rebuild their partitions' graphs.
+    snapshotOffset (`storage/raft/group.go:275-300`).
+
+    Small INSERT-ONLY batches are cheap too: a partition whose batch
+    contains only inserts, fewer than ``extend_max_fraction`` of its
+    current size, EXTENDS the existing graph in place
+    (`hnsw.extend_index` — the reference's online Insert,
+    `index/hnsw.go:80-140`) instead of rebuilding: compute scales with
+    the batch, not the partition, which is what a steady-ingest
+    workload pays per micro-batch.  Update batches (and large insert
+    floods) still rebuild their partitions' graphs.
 
     At 100 TB the cost per micro-batch is O(upsert-dirty partitions ×
     partition size + deletes), independent of table size — the same
@@ -126,20 +135,32 @@ def stream_maintain_index(
         routed = with_partition_id(new_state, partition_count).localCheckpoint()
         routed.write.mode("overwrite").partitionBy("partition_id").parquet(base_dir)
 
-        # classify touched partitions: any insert/update → graph rebuild;
-        # delete-only → tombstones (unless fraction crosses the threshold)
+        # classify touched partitions: update (or mixed) → graph rebuild;
+        # delete-only → tombstones (unless fraction crosses the
+        # threshold); small insert-only → in-place graph extension
         per_part = (
             with_partition_id(batch_df.select("id", "op"), partition_count)
             .groupBy("partition_id")
             .agg(
                 F.max(F.when(F.col("op") != "delete", 1).otherwise(0)).alias(
                     "has_upsert"
-                )
+                ),
+                F.max(F.when(F.col("op") != "insert", 1).otherwise(0)).alias(
+                    "has_non_insert"
+                ),
+                F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias(
+                    "n_insert"
+                ),
             )
             .collect()
         )
         upsert_pids = [r["partition_id"] for r in per_part if r["has_upsert"]]
         delete_pids = [r["partition_id"] for r in per_part if not r["has_upsert"]]
+        insert_only = {
+            r["partition_id"]: r["n_insert"]
+            for r in per_part
+            if r["has_upsert"] and not r["has_non_insert"]
+        }
         try:
             idx_cur = load_index(spark_l, index_dir)
         except Exception:
@@ -169,7 +190,45 @@ def stream_maintain_index(
                     F.col("partition_id").isin(keep)
                 ).localCheckpoint()
 
+        # insert-only partitions small enough relative to their current
+        # graph extend in place instead of rebuilding
+        extend_pids: list[int] = []
+        if idx_cur is not None and insert_only and extend_max_fraction > 0:
+            sizes = {
+                r["partition_id"]: r["n"]
+                for r in idx_cur.filter(
+                    (F.col("kind") == "vertex")
+                    & F.col("partition_id").isin(list(insert_only))
+                )
+                .groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            extend_pids = [
+                p
+                for p, n_ins in insert_only.items()
+                if sizes.get(p, 0) > 0
+                and n_ins <= extend_max_fraction * sizes[p]
+            ]
+        rebuild_pids = [p for p in upsert_pids if p not in extend_pids]
+
         out = None
+        extended = None
+        if extend_pids:
+            from anndb_spark.operators.hnsw import extend_index
+
+            ins_ids = batch_df.filter(F.col("op") == "insert").select("id").distinct()
+            new_rows = routed.filter(
+                F.col("partition_id").isin(extend_pids)
+            ).join(ins_ids, "id")
+            # materialize BEFORE the dynamic overwrite rewrites the very
+            # index files this plan reads
+            extended = extend_index(
+                idx_cur.filter(F.col("partition_id").isin(extend_pids)),
+                new_rows,
+                cfg,
+            ).localCheckpoint()
+        upsert_pids = rebuild_pids
         if upsert_pids:
             dirty_state = routed.filter(F.col("partition_id").isin(upsert_pids))
             out = build_index(dirty_state, cfg, num_tasks=max(len(upsert_pids), 1))
@@ -195,12 +254,13 @@ def stream_maintain_index(
                     INDEX_SCHEMA,
                 )
                 out = out.unionByName(marker)
-        if tombstoned is not None:
-            out = (
-                tombstoned
-                if out is None
-                else out.unionByName(tombstoned, allowMissingColumns=True)
-            )
+        for part in (extended, tombstoned):
+            if part is not None:
+                out = (
+                    part
+                    if out is None
+                    else out.unionByName(part, allowMissingColumns=True)
+                )
         if out is None:
             return
         prev = spark_l.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

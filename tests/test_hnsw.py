@@ -509,3 +509,73 @@ def test_tombstones_survive_save_and_path_search(spark, spark_index, tmp_path):
         for r in res:
             per_q.setdefault(r["query_id"], []).append(r)
         assert all(len(v) == 10 for v in per_q.values())
+
+
+def test_save_graph_partition_single_graph_fast_path(spark, tmp_path):
+    """A driver-built graph persisted via save_graph_partition must be
+    searchable through search_index_path, whose single-partition fast
+    path (in-task ranks, no window shuffle) must agree with the
+    shuffle-based search_index on the same rows."""
+    from anndb_spark.operators.hnsw import (
+        load_index,
+        save_graph_partition,
+        search_index_path,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim = 600, 16
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=100, heuristic=True)
+    lr = np.random.default_rng(3)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12)) * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg)
+    ids = [f"v{i:04d}" for i in range(n)]
+    path = str(tmp_path / "single_idx")
+    save_graph_partition(g, ids, path)
+
+    queries = [(str(i), rng.normal(0, 1, dim).tolist()) for i in range(40)]
+    via_path = search_index_path(
+        spark, path, queries, 5, ef=50, config=cfg, strategy="beam",
+        queries_per_task=7,
+    )
+    assert "rank" in via_path.columns  # fast path emitted ranks in-task
+    got_path = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in via_path.collect()
+    }
+    idx_df = load_index(spark, path)
+    got_df = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in search_index(
+            idx_df, None, queries, 5, ef=50, config=cfg, strategy="beam"
+        ).collect()
+    }
+    assert got_path == got_df and len(got_path) == 200
+
+    # numpy (ids, matrix) query form gives identical results
+    qmat = np.array([v for _, v in queries], dtype=np.float32)
+    via_np = search_index_path(
+        spark, path, ([q for q, _ in queries], qmat), 5, ef=50, config=cfg,
+        strategy="beam", queries_per_task=7,
+    ).collect()
+    assert {(r["query_id"], r["rank"]): r["id"] for r in via_np} == got_path
+
+
+def test_fork_parallel_build_identical_to_serial():
+    """workers>1 must produce a bit-identical graph (fork replicas only
+    parallelize read-only candidate work; commits stay ordered)."""
+    rng = np.random.default_rng(23)
+    n, dim = 3000, 24
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=80, heuristic=True)
+    lr = np.random.default_rng(5)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12)) * cfg.level_multiplier
+    ).astype(int).tolist()
+    g1 = HnswGraph.build(mat, levels, cfg, workers=1)
+    g2 = HnswGraph.build(mat, levels, cfg, workers=4)
+    assert g1.entrypoint == g2.entrypoint
+    assert g1.levels == g2.levels
+    assert all(a == b for a, b in zip(g1.adj, g2.adj))

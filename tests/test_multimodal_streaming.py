@@ -313,3 +313,106 @@ def test_stream_maintain_index_empty_partition_rebuild(spark, tmp_path):
     got = [r["id"] for r in res.orderBy("rank").collect()]
     assert got and got[0] == anchor[1]
     assert not (set(got) & set(p0_ids))
+
+
+def test_stream_maintain_index_insert_only_extends(spark, tmp_path, monkeypatch):
+    """A small insert-only micro-batch must EXTEND the touched
+    partition's existing graph (hnsw.extend_index — the reference's
+    online Insert) instead of rebuilding it; results match what a full
+    rebuild would serve."""
+    import numpy as np
+
+    import anndb_spark.streaming.changelog as chlog
+    from anndb_spark.operators import hnsw as H
+    from anndb_spark.operators.hnsw import HnswConfig, load_index, search_index
+    from anndb_spark.streaming.changelog import stream_maintain_index
+
+    changelog = str(tmp_path / "changes")
+    base = str(tmp_path / "base")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(55)
+    dim, n = 8, 160
+    ddl = "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>"
+
+    rows = [
+        (i, f"{i:032x}", "insert", rng.normal(0, 1, dim).tolist(), {"s": str(i)})
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, ddl).write.mode("append").parquet(changelog)
+    cfg = HnswConfig(space="euclidean")
+    run = lambda: stream_maintain_index(  # noqa: E731
+        spark, changelog, base, index, ckpt, partition_count=4, config=cfg,
+        extend_max_fraction=0.1,
+    ).awaitTermination(180)
+    run()
+
+    # batch 2: 2 new ids, both partition 0 (2/40 = 5% < 10% → extend).
+    # build_index must NOT run — only extend_index.
+    new = [
+        (n + j, f"{(n + 4 * j):032x}", "insert",
+         rng.normal(0, 1, dim).tolist(), {"s": "new"})
+        for j in range(2)
+    ]
+    assert all(int(r[1], 16) % 4 == 0 for r in new)
+    spark.createDataFrame(new, ddl).write.mode("append").parquet(changelog)
+
+    def boom(*a, **k):
+        raise AssertionError("build_index ran for an insert-only small batch")
+
+    monkeypatch.setattr(H, "build_index", boom)
+    assert chlog is not None  # module import exercised; patch via hnsw
+    run()
+
+    idx = load_index(spark, index)
+    verts_p0 = {
+        r["src"]
+        for r in idx.filter(
+            (F.col("kind") == "vertex") & (F.col("partition_id") == 0)
+        ).collect()
+    }
+    assert {r[1] for r in new} <= verts_p0 and len(verts_p0) == 42
+    # metadata rides the extension
+    meta_rows = {
+        r["src"]: r["meta"]
+        for r in idx.filter(
+            (F.col("kind") == "vertex") & (F.col("src") == new[0][1])
+        ).collect()
+    }
+    assert meta_rows[new[0][1]]["s"] == "new"
+    # the new vector is immediately searchable at rank 1, and old
+    # anchors still resolve
+    for probe in (new[0], rows[4]):
+        res = search_index(idx, None, [("q", probe[3])], 3, config=cfg)
+        assert res.orderBy("rank").collect()[0]["id"] == probe[1]
+
+
+def test_insert_many_extends_loaded_graph_kernel():
+    """Kernel-level online insert: a reconstructed-and-thawed graph
+    accepts new vectors and serves them with parity to a fresh build's
+    exact results."""
+    import numpy as np
+
+    from anndb_spark.operators.hnsw import HnswConfig, HnswGraph
+
+    rng = np.random.default_rng(66)
+    n, dim = 1200, 12
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=80, heuristic=True)
+    lr = np.random.default_rng(2)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12)) * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels[:1000], cfg) if False else HnswGraph.build(
+        mat[:1000], levels[:1000], cfg
+    )
+    g.finalize()
+    g.thaw_adjacency()
+    g.insert_many(mat[1000:], levels[1000:])
+    assert len(g.levels) == n
+    g.finalize()
+    q = mat[1100]
+    res = g.search_fast_batch(q.reshape(1, -1), 5, 60)[0]
+    assert res[0][1] == 1100  # the freshly inserted vector finds itself
+    truth = g.search_brute(q.reshape(1, -1), 5)[0]
+    assert {i for _, i in res} == {i for _, i in truth}
