@@ -33,6 +33,7 @@ distance evaluations stand in for the reference's SIMD kernels).
 
 from __future__ import annotations
 
+import glob as _glob_mod
 import heapq
 import json
 import math
@@ -101,6 +102,32 @@ def _dist_many(space: str, mat: np.ndarray, q: np.ndarray) -> np.ndarray:
 # (no serialization); the tuple is (graph, vectors, ef_construction)
 _BUILD_FORK_GRAPH = None
 
+# fork-GEMM plumbing: (graph, vectors, efc, by_level, levels, upto)
+_BUILD_FORK_GEMM = None
+
+# fork-prune plumbing: the graph whose over-cap vertices are being pruned
+_BUILD_FORK_PRUNE = None
+
+
+def _build_fork_prune_work(chunk: list[tuple[int, int]]):
+    """Keep-set computation for a slice of over-cap (vertex, level)
+    pairs against the frozen end-of-regime adjacency — returns
+    (node, level, keep_ids); the parent applies all keeps plus
+    reciprocal drops in one order-independent pass."""
+    g = _BUILD_FORK_PRUNE
+    out = []
+    for node, level in chunk:
+        cap = g._cap(level)
+        nbrs = list(g.adj[node].get(level, ()))
+        if len(nbrs) <= cap:
+            continue
+        ds = g._d_batch(nbrs, g.vectors[node])
+        keep = g._select_neighbors(
+            sorted(zip(ds.tolist(), nbrs)), cap, level, g.vectors[node]
+        )
+        out.append((node, level, [n for _, n in keep]))
+    return out
+
 
 def _build_fork_cand_work(slice_ids: list[int]):
     g, v, efc = _BUILD_FORK_GRAPH
@@ -108,6 +135,161 @@ def _build_fork_cand_work(slice_ids: list[int]):
     return [
         (x, g._select_neighbors(cand, g.cfg.m, 0, v[x]))
         for x, cand in zip(slice_ids, res)
+    ]
+
+
+def _limit_blas_threads():
+    """Pool initializer: single-threaded BLAS inside fork children —
+    ``workers`` processes × multi-threaded OpenBLAS oversubscribes the
+    cores and THRASHES (measured)."""
+    try:
+        from threadpoolctl import threadpool_limits
+
+        threadpool_limits(1)
+    except Exception:
+        pass
+
+
+def _build_fork_gemm_work(payload):
+    """Exact-candidate wave work for one slice: one GEMM distance block
+    against the pre-wave prefix, then per-item top-efC selection and
+    neighbor selection at EVERY level (level-0 from the full row, upper
+    levels from that level's pre-wave node pool) — the per-item work of
+    ``commit_exact`` minus the graph mutation, which stays in the
+    (ordered, single-process) parent commit.
+
+    Children are forked ONCE per build (not per wave): everything they
+    read from the fork snapshot is static for the whole GEMM regime
+    (vectors, norms, config, per-item levels) — the only wave-varying
+    state, the upper-level node pools and the prefix bound, arrives in
+    the task payload (a few KB)."""
+    slice_ids, upto, by_level = payload
+    g, v, efc, levels = _BUILD_FORK_GEMM
+    X = v[slice_ids]
+    space = g.cfg.space
+    sub = v[:upto]
+    if space == "manhattan":
+        D = np.empty((len(slice_ids), upto), dtype=np.float32)
+        for r in range(len(slice_ids)):
+            D[r] = np.abs(sub - X[r]).sum(axis=1, dtype=np.float32)
+    else:
+        dot = X @ sub.T
+        if space == "euclidean":
+            qn2 = np.einsum("ij,ij->i", X, X, dtype=np.float32)
+            D = np.sqrt(
+                np.maximum(
+                    g.norms2[:upto][None, :] - 2.0 * dot + qn2[:, None], 0.0
+                )
+            )
+        else:
+            qn = np.sqrt(np.einsum("ij,ij->i", X, X, dtype=np.float32))
+            D = np.abs(
+                np.float32(1.0) - dot / (g.norms[:upto][None, :] * qn[:, None])
+            )
+    return [
+        (x, _exact_item_select(g, D[r], x, upto, efc, by_level, levels))
+        for r, x in enumerate(slice_ids)
+    ]
+
+
+def _topk_ids(row: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the ``k`` smallest values (exact SET; order
+    unspecified — callers sort).  Full-row introselect is
+    data-sensitive (clustered corpora degrade its pivots to 2-4 ms per
+    60k row, measured); a strided-sample quantile bound shrinks the row
+    to a small exact-candidate subset first.  The ``idx.size >= k``
+    check guarantees exactness: every value ≤ the true k-th is ≤ t."""
+    nlen = row.shape[0]
+    if k >= nlen:
+        return np.arange(nlen)
+    if nlen >= 8192:
+        step = max(1, nlen // 4096)
+        sample = row[::step]
+        q = min(len(sample) - 1, (k * len(sample)) // nlen * 5 // 2 + 8)
+        t = np.partition(sample, q)[q]
+        idx = np.flatnonzero(row <= t)
+        if idx.size >= k:
+            if idx.size > k:
+                sub = row[idx]
+                return idx[np.argpartition(sub, k - 1)[:k]]
+            return idx
+        # sample bound too tight (rare): fall through to the full row
+    return np.argpartition(row, k - 1)[:k]
+
+
+def _exact_item_select(g, row, x, upto, efc, by_level, levels):
+    """Per-item neighbor selection from an exact distance row against
+    the pre-wave prefix: level-0 from the full row's top-efC, upper
+    levels from that level's pre-wave pool — the per-item work of
+    ``commit_exact`` minus the graph mutation."""
+    v = g.vectors
+    m = g.cfg.m
+    sel_by_level: dict[int, list[tuple[float, int]]] = {}
+    sel = _topk_ids(row[:upto], min(efc, upto))
+    cand = sorted(zip(row[sel].tolist(), sel.tolist()))
+    sel_by_level[0] = g._select_neighbors(cand, m, 0, v[x])
+    for l in range(1, levels[x] + 1):
+        nodes = by_level.get(l)
+        if not nodes:
+            continue
+        pool = np.asarray(nodes, dtype=np.int64)
+        pool = pool[pool < upto]  # intra-wave items invisible
+        if not pool.size:
+            continue
+        pd_ = row[pool]
+        sl = _topk_ids(pd_, min(efc, pd_.shape[0]))
+        cand_l = sorted(zip(pd_[sl].tolist(), pool[sl].tolist()))
+        sel_by_level[l] = g._select_neighbors(cand_l, m, l, v[x])
+    return sel_by_level
+
+
+def _build_fork_gemm_cols(args):
+    """Stage A of the column-tiled exact wave: compute the wave's
+    distance block against ONE column block of the prefix and write it
+    into the shared-memory distance buffer.  The column block
+    (~prefix/workers vectors) stays cache-resident through the GEMM, so
+    32 concurrent children don't each stream the whole prefix from RAM
+    (the row-chunked variant is memory-bandwidth-bound — measured)."""
+    lo, hi, wlo, wave_n, shm_path, shm_rows = args
+    g, v, efc, levels = _BUILD_FORK_GEMM
+    X = v[wlo : wlo + wave_n]
+    sub = v[lo:hi]
+    dot = X @ sub.T
+    if g.cfg.space == "euclidean":
+        qn2 = np.einsum("ij,ij->i", X, X, dtype=np.float32)
+        block = np.sqrt(
+            np.maximum(g.norms2[lo:hi][None, :] - 2.0 * dot + qn2[:, None], 0.0)
+        )
+    else:
+        qn = np.sqrt(np.einsum("ij,ij->i", X, X, dtype=np.float32))
+        block = np.abs(
+            np.float32(1.0) - dot / (g.norms[lo:hi][None, :] * qn[:, None])
+        )
+    D = np.memmap(
+        shm_path, dtype=np.float32, mode="r+", shape=(shm_rows, v.shape[0])
+    )
+    D[:wave_n, lo:hi] = block
+    del D
+    # per-item block argmin (nearly free): the parent reduces these to
+    # each item's nearest prefix vector and LOCALITY-SORTS the wave by
+    # it before stage B — same-cluster items then share their candidate
+    # vectors, so a stage-B chunk's scattered gathers become
+    # cache-resident (the random-gather wall at 32 children, measured)
+    bi = block.argmin(axis=1)
+    return (bi + lo).astype(np.int64), block[np.arange(wave_n), bi]
+
+
+def _build_fork_gemm_rows(args):
+    """Stage B of the column-tiled exact wave: per-item top-efC and
+    all-level neighbor selection straight from the shm distance rows."""
+    item_ids, wlo, upto, by_level, shm_path, shm_rows = args
+    g, v, efc, levels = _BUILD_FORK_GEMM
+    D = np.memmap(
+        shm_path, dtype=np.float32, mode="r", shape=(shm_rows, v.shape[0])
+    )
+    return [
+        (x, _exact_item_select(g, D[x - wlo, :upto], x, upto, efc, by_level, levels))
+        for x in item_ids
     ]
 
 
@@ -214,14 +396,104 @@ class HnswGraph:
         W = len(ordered)
         ids = np.fromiter((n for _, n in ordered), dtype=np.int64, count=W)
         dq = np.fromiter((d for d, _ in ordered), dtype=np.float32, count=W)
+        # small pools (backlink prunes: W = cap + overflow) precompute
+        # the full pairwise matrix — the greedy then runs without any
+        # further BLAS; large pools (efC construction candidates) would
+        # waste a W²·d GEMM on a pool the first accept mostly kills, so
+        # they compute one lazy gemv ROW per accepted neighbor instead
+        P = self._pairwise_rows(ids) if W <= 64 else None
+        X = None
+        if P is None:
+            # large pools gather the candidates' vectors once; builds
+            # provide a float16 shadow matrix (vectors_h) that HALVES
+            # the scattered-gather bytes — the greedy's domination test
+            # is a diversity heuristic, so half-precision operands only
+            # perturb near-boundary kills (recall unchanged, measured)
+            Xh = getattr(self, "vectors_h", None)
+            if Xh is not None and self.cfg.space != "manhattan":
+                X = Xh[ids].astype(np.float32)
+            else:
+                X = self.vectors[ids]
+        if P is None and self.cfg.space != "manhattan":
+            Xn2 = np.einsum("ij,ij->i", X, X, dtype=np.float32)
+            Xn = np.sqrt(Xn2) if self.cfg.space == "cosine" else None
+        if P is not None and W <= 64:
+            # small pools (backlink prunes: W = cap + overflow) pay
+            # mostly numpy CALL overhead — run the greedy in pure
+            # Python over the precomputed matrix's lists
+            Pl = P.tolist()
+            dql = dq.tolist()
+            state = [0] * W  # 0 alive, 1 selected, 2 pruned
+            n_sel = 0
+            for i in range(W):
+                if state[i] != 0:
+                    continue
+                state[i] = 1
+                n_sel += 1
+                if n_sel >= k:
+                    break
+                row = Pl[i]
+                for j in range(i + 1, W):
+                    if state[j] == 0 and row[j] <= dql[j]:
+                        state[j] = 2
+            selected = [
+                (float(dql[i]), int(ids[i])) for i in range(W) if state[i] == 1
+            ]
+            if self.cfg.keep_pruned and len(selected) < k:
+                for i in range(W):  # ascending d(q, ·)
+                    if len(selected) >= k:
+                        break
+                    if state[i] == 2:
+                        selected.append((float(dql[i]), int(ids[i])))
+            return sorted(selected)
+        if P is None and self.cfg.space != "manhattan":
+            # COMPACTED greedy for large pools: the first accept kills
+            # most of its own cluster, so physically shrinking the
+            # arrays makes every later domination row stream only the
+            # survivors — per-call memory traffic drops ~4× (the greedy
+            # is bandwidth-bound under a full worker fleet, measured)
+            space = self.cfg.space
+            cur_d, cur_ids, cur_X, cur_n2 = dq, ids, X, Xn2
+            cur_n = Xn if space == "cosine" else None
+            selected: list[tuple[float, int]] = []
+            pruned: list[tuple[float, int]] = []
+            while len(selected) < k and cur_d.size:
+                d0 = float(cur_d[0])
+                selected.append((d0, int(cur_ids[0])))
+                if len(selected) >= k or cur_d.size == 1:
+                    cur_d, cur_ids = cur_d[1:], cur_ids[1:]
+                    if space == "cosine":
+                        cur_n = cur_n[1:]
+                    cur_X, cur_n2 = cur_X[1:], cur_n2[1:]
+                    continue
+                x0 = cur_X[0]
+                dot = cur_X[1:] @ x0
+                if space == "euclidean":
+                    ds = np.sqrt(
+                        np.maximum(cur_n2[1:] + cur_n2[0] - 2.0 * dot, 0.0)
+                    )
+                else:
+                    ds = np.abs(np.float32(1.0) - dot / (cur_n[1:] * cur_n[0]))
+                kill = ds <= cur_d[1:]  # not strictly closer to q than to s
+                if self.cfg.keep_pruned and kill.any():
+                    pruned.extend(
+                        zip(cur_d[1:][kill].tolist(), cur_ids[1:][kill].tolist())
+                    )
+                keep = ~kill
+                cur_d, cur_ids = cur_d[1:][keep], cur_ids[1:][keep]
+                cur_X, cur_n2 = cur_X[1:][keep], cur_n2[1:][keep]
+                if space == "cosine":
+                    cur_n = cur_n[1:][keep]
+            if self.cfg.keep_pruned and len(selected) < k:
+                # original semantics append pruned in ascending (d, id)
+                for d_, n_ in sorted(pruned):
+                    if len(selected) >= k:
+                        break
+                    selected.append((d_, n_))
+            return sorted(selected)
         alive = np.ones(W, dtype=bool)
         pruned_mask = np.zeros(W, dtype=bool)
         sel_order: list[int] = []
-        # small pools (backlink prunes: W = cap + overflow) pay mostly
-        # numpy call overhead — precompute the full W×W pairwise matrix
-        # in two ops and run the greedy over it
-        P = self._pairwise_rows(ids) if W <= 160 else None
-        X = self.vectors[ids] if P is None else None
         while len(sel_order) < k:
             nz = np.nonzero(alive)[0]
             if not nz.size:
@@ -232,9 +504,10 @@ class HnswGraph:
             rest = nz[1:]
             if len(sel_order) >= k or not rest.size:
                 continue
-            ds = P[i, rest] if P is not None else _dist_many(
-                self.cfg.space, X[rest], X[i]
-            )
+            if P is not None:
+                ds = P[i, rest]
+            else:
+                ds = _dist_many(self.cfg.space, X[rest], X[i])
             kill = ds <= dq[rest]  # not strictly closer to q than to s
             kidx = rest[kill]
             alive[kidx] = False
@@ -984,14 +1257,30 @@ class HnswGraph:
         n = len(levels)
         if n == 0:
             return g
+        if config.space != "manhattan" and n * mat.shape[1] >= 1 << 22:
+            # f16 shadow for neighbor-selection gathers (see
+            # _select_neighbors); built once, dropped before return
+            g.vectors_h = v.astype(np.float16)
+        import multiprocessing as _mp
+
+        can_fork = workers > 1 and "fork" in _mp.get_all_start_methods()
         if brute_threshold is None:
-            # beam-worthy only when a brute candidate row costs more than
-            # the beam's visit budget: scale the cutover inversely with
-            # dimension (at 8-d a full GEMM row is ~free; at 784-d the
-            # 4·efC bound dominates)
-            brute_threshold = max(
-                4 * config.ef_construction, 200_000 // max(mat.shape[1], 1)
-            )
+            if can_fork:
+                # with a fork pool the GEMM path parallelizes perfectly
+                # (BLAS block per slice + per-row argpartition across
+                # workers) while staying EXACT — it beats the beam path
+                # up to ~100k prefix regardless of dimension, because
+                # the beam's ~efC·cap gathered distance evals per item
+                # cost about as much as a BLAS row that long
+                brute_threshold = max(4 * config.ef_construction, 120_000)
+            else:
+                # serial: beam-worthy once a brute candidate row costs
+                # more than the beam's visit budget — scale the cutover
+                # inversely with dimension (at 8-d a full GEMM row is
+                # ~free; at 784-d the 4·efC bound dominates)
+                brute_threshold = max(
+                    4 * config.ef_construction, 200_000 // max(mat.shape[1], 1)
+                )
         g.norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
         g.norms = np.sqrt(g.norms2)
         space = config.space
@@ -1047,10 +1336,7 @@ class HnswGraph:
                     k_eff = min(efc, pd_.shape[0])
                     if k_eff == 0:
                         continue
-                    if pd_.shape[0] > k_eff:
-                        sel = np.argpartition(pd_, k_eff - 1)[:k_eff]
-                    else:
-                        sel = np.arange(pd_.shape[0])
+                    sel = _topk_ids(pd_, k_eff)
                     nodes_sel = sel if pool is None else pool[sel]
                     cand = sorted(zip(pd_[sel].tolist(), nodes_sel.tolist()))
                     nbrs = g._select_neighbors(cand, g.cfg.m, l, v[x])
@@ -1090,9 +1376,46 @@ class HnswGraph:
             # candidate pool structure for upper levels of later items
             flush_overflow(None)
 
-        import multiprocessing as _mp
-
-        can_fork = workers > 1 and "fork" in _mp.get_all_start_methods()
+        def flush_final() -> None:
+            """End-of-GEMM-regime backlink prune: every over-cap
+            (vertex, level) computes its keep-set against the FROZEN
+            adjacency (fork-parallel when available — decisions are
+            independent), then all keeps plus reciprocal drops apply in
+            one order-independent pass: an edge survives iff neither
+            endpoint dropped it.  Identical results for any worker
+            count."""
+            items = sorted(overflow)
+            overflow.clear()
+            if not items:
+                return
+            global _BUILD_FORK_PRUNE
+            if can_fork and len(items) >= 8 * workers:
+                _BUILD_FORK_PRUNE = g
+                chunks = [
+                    c
+                    for c in (
+                        items[s::2 * workers] for s in range(2 * workers)
+                    )
+                    if c
+                ]
+                ctx = _mp.get_context("fork")
+                with ctx.Pool(workers) as pool:
+                    parts = pool.map(_build_fork_prune_work, chunks)
+                _BUILD_FORK_PRUNE = None
+                results = [r for part in parts for r in part]
+            else:
+                _BUILD_FORK_PRUNE = g
+                results = _build_fork_prune_work(items)
+                _BUILD_FORK_PRUNE = None
+            staged = []
+            for node, level, keep_ids in results:
+                keep = set(keep_ids)
+                staged.append((node, level, g.adj[node][level] - keep, keep))
+            for node, level, _dropped, keep in staged:
+                g.adj[node][level] = keep
+            for node, level, dropped, _keep in staged:
+                for x in dropped:
+                    g.adj[x].get(level, set()).discard(node)
 
         def cand_work(slice_ids: list[int]):
             """Candidate beams + level-0 neighbor selection for a wave
@@ -1105,18 +1428,164 @@ class HnswGraph:
 
         dirty: set[int] = set()
         finalized = False
+        gemm_pool = None
+        shm_path = None
+        # max wave size → shm distance-buffer row count (column-tiled path)
+        _maxw, _ii = 0, boot
+        while _ii < n:
+            _jj = min(n, _ii + max(wave, _ii // 10))
+            if _ii <= brute_threshold:
+                _maxw = max(_maxw, _jj - _ii)
+            _ii = _jj
+        _prof = _os_mod.environ.get("ANNDB_BUILD_PROF") == "1"
+        _t = {"fork": 0.0, "commit": 0.0, "flush": 0.0, "serial": 0.0}
+        import time as _time_mod
+
         i = boot
         while i < n:
             # waves grow with the graph (≤10% stale candidates per wave)
             j = min(n, i + max(wave, i // 10))
             if i <= brute_threshold:
-                D = dist_rows(v[i:j], i)
-                for x in range(i, j):
-                    commit_exact(x, D[x - i], i)
-                flush_overflow(None)
+                ids = list(range(i, j))
+                if (
+                    can_fork
+                    and not config.extend_candidates
+                    and len(ids) >= 8 * workers
+                ):
+                    # children forked ONCE for the regime (static
+                    # snapshot: vectors/norms/config/levels); each wave
+                    # ships only (slice, prefix bound, upper-level
+                    # pools) and gets back (id, {level: neighbors}) —
+                    # the parent commit is pure set updates in id order
+                    global _BUILD_FORK_GEMM
+                    _t0 = _time_mod.perf_counter()
+                    if gemm_pool is None:
+                        _BUILD_FORK_GEMM = (g, v, efc, levels)
+                        ctx = _mp.get_context("fork")
+                        gemm_pool = ctx.Pool(
+                            workers, initializer=_limit_blas_threads
+                        )
+                    if (
+                        shm_path is None
+                        and space != "manhattan"
+                        and _os_mod.path.isdir("/dev/shm")
+                        and _maxw * n * 4 <= 8e9
+                    ):
+                        import tempfile as _tf
+
+                        # sweep buffers leaked by crashed builds (files
+                        # are pid-tagged; a dead owner pid → unlink)
+                        for _old in _glob_mod.glob("/dev/shm/anndb-build-*"):
+                            try:
+                                _opid = int(_old.rsplit("-", 2)[-2])
+                                _os_mod.kill(_opid, 0)
+                            except (ValueError, ProcessLookupError):
+                                try:
+                                    _os_mod.unlink(_old)
+                                except OSError:
+                                    pass
+                            except OSError:
+                                pass
+                        fd, shm_path = _tf.mkstemp(
+                            dir="/dev/shm",
+                            prefix=f"anndb-build-{_os_mod.getpid()}-",
+                        )
+                        _os_mod.close(fd)
+                        mm = np.memmap(
+                            shm_path, dtype=np.float32, mode="w+",
+                            shape=(_maxw, n),
+                        )
+                        del mm
+                    bl_snap = {l: list(ns) for l, ns in by_level.items()}
+                    item_chunks = [
+                        c.tolist()
+                        for c in np.array_split(np.asarray(ids), 2 * workers)
+                        if len(c)
+                    ]
+                    if shm_path is not None:
+                        # stage A: column-tiled GEMM into the shm buffer
+                        # (each child's column block is cache-resident);
+                        # stage B: per-item selection from the shm rows
+                        wave_n = j - i
+                        cb = np.linspace(0, i, workers + 1).astype(int)
+                        mins = gemm_pool.map(
+                            _build_fork_gemm_cols,
+                            [
+                                (int(cb[b]), int(cb[b + 1]), i, wave_n,
+                                 shm_path, _maxw)
+                                for b in range(workers)
+                                if cb[b + 1] > cb[b]
+                            ],
+                        )
+                        _t["stageA"] = _t.get("stageA", 0.0) + (
+                            _time_mod.perf_counter() - _t0
+                        )
+                        mv = np.stack([m_[1] for m_ in mins])
+                        mi = np.stack([m_[0] for m_ in mins])
+                        bb = mv.argmin(axis=0)
+                        nearest = mi[bb, np.arange(wave_n)]
+                        order = np.argsort(nearest, kind="stable")
+                        ids_sorted = (np.asarray(ids)[order]).tolist()
+                        parts = gemm_pool.map(
+                            _build_fork_gemm_rows,
+                            [
+                                (c.tolist(), i, i, bl_snap, shm_path, _maxw)
+                                for c in np.array_split(
+                                    np.asarray(ids_sorted), 2 * workers
+                                )
+                                if len(c)
+                            ],
+                        )
+                        parts = [sorted(
+                            (p for part in parts for p in part),
+                            key=lambda t_: t_[0],
+                        )]
+                    else:
+                        parts = gemm_pool.map(
+                            _build_fork_gemm_work,
+                            [(c, i, bl_snap) for c in item_chunks],
+                        )
+                    _t1 = _time_mod.perf_counter()
+                    for part in parts:
+                        for x, pre in part:
+                            g._commit_exact_pre(
+                                x, levels[x], pre, by_level, overflow
+                            )
+                    _t2 = _time_mod.perf_counter()
+                    _t["fork"] += _t1 - _t0
+                    _t["commit"] += _t2 - _t1
+                else:
+                    # blocked so the (rows × i) distance matrix stays
+                    # under ~1 GB at any prefix
+                    _t0 = _time_mod.perf_counter()
+                    blk = max(256, int(2.5e8 // max(i, 1)))
+                    for s in range(i, j, blk):
+                        D = dist_rows(v[s : min(j, s + blk)], i)
+                        for x in range(s, min(j, s + blk)):
+                            commit_exact(x, D[x - s], i)
+                    _t["serial"] += _time_mod.perf_counter() - _t0
+                # backlink prunes are DEFERRED to the end of the GEMM
+                # regime: candidate generation here never reads
+                # adjacency, so over-cap lists are invisible until the
+                # graph is actually used — one mutual-agreement prune
+                # per over-cap vertex instead of one per wave it
+                # overflowed in (~3× fewer), computable in parallel
+                if _prof:
+                    print(f"wave {i}->{j}: {_t}", flush=True)
                 i = j
                 continue
             if not finalized:
+                if gemm_pool is not None:
+                    gemm_pool.terminate()
+                    gemm_pool = None
+                    _BUILD_FORK_GEMM = None
+                if shm_path is not None:
+                    try:
+                        _os_mod.unlink(shm_path)
+                    except OSError:
+                        pass
+                    shm_path = None
+                flush_final()  # GEMM-regime deferred prunes, then pads
                 g.finalize()  # build pads once at the kernel transition
                 finalized = True
                 dirty.clear()
@@ -1148,7 +1617,53 @@ class HnswGraph:
                 )
             flush_overflow(dirty)
             i = j
+        if gemm_pool is not None:
+            gemm_pool.terminate()
+            _BUILD_FORK_GEMM = None
+        if shm_path is not None:
+            try:
+                _os_mod.unlink(shm_path)
+            except OSError:
+                pass
+            shm_path = None
+        if not finalized:
+            flush_final()  # GEMM-only build: one deferred prune pass
+        if hasattr(g, "vectors_h"):
+            del g.vectors_h  # build-time only (searches never touch it)
         return g
+
+    def _commit_exact_pre(
+        self,
+        x: int,
+        L: int,
+        nbrs_by_level: dict[int, list[tuple[float, int]]],
+        by_level: dict[int, list[int]],
+        overflow: set[tuple[int, int]],
+    ) -> None:
+        """Ordered commit of one wave item whose per-level neighbor
+        selections were computed against the pre-wave graph (the
+        fork-GEMM path).  Pure set updates — identical graph to the
+        serial ``commit_exact`` because selection never reads adjacency
+        (``extend_candidates`` builds fall back to serial)."""
+        assert x == len(self.levels)
+        self.levels.append(L)
+        self.adj.append({l: set() for l in range(L + 1)})
+        if self.entrypoint < 0:
+            self.entrypoint = x
+        else:
+            max_level = self.levels[self.entrypoint]
+            for l, nbrs in nbrs_by_level.items():
+                if l > min(L, max_level):
+                    continue  # unreachable in practice: nonempty pool ⇒ pre-wave max ≥ l
+                for _, nb in nbrs:
+                    self.adj[x][l].add(nb)
+                    self.adj[nb].setdefault(l, set()).add(x)
+                    if len(self.adj[nb][l]) > self._cap(l):
+                        overflow.add((nb, l))
+            if L > max_level:
+                self.entrypoint = x
+        for l in range(1, L + 1):
+            by_level.setdefault(l, []).append(x)
 
     def _commit_wave_item(
         self,
