@@ -105,28 +105,6 @@ _BUILD_FORK_GRAPH = None
 # fork-GEMM plumbing: (graph, vectors, efc, by_level, levels, upto)
 _BUILD_FORK_GEMM = None
 
-# fork-prune plumbing: the graph whose over-cap vertices are being pruned
-_BUILD_FORK_PRUNE = None
-
-
-def _build_fork_prune_work(chunk: list[tuple[int, int]]):
-    """Keep-set computation for a slice of over-cap (vertex, level)
-    pairs against the frozen end-of-regime adjacency — returns
-    (node, level, keep_ids); the parent applies all keeps plus
-    reciprocal drops in one order-independent pass."""
-    g = _BUILD_FORK_PRUNE
-    out = []
-    for node, level in chunk:
-        cap = g._cap(level)
-        nbrs = list(g.adj[node].get(level, ()))
-        if len(nbrs) <= cap:
-            continue
-        ds = g._d_batch(nbrs, g.vectors[node])
-        keep = g._select_neighbors(
-            sorted(zip(ds.tolist(), nbrs)), cap, level, g.vectors[node]
-        )
-        out.append((node, level, [n for _, n in keep]))
-    return out
 
 
 def _build_fork_cand_work(slice_ids: list[int]):
@@ -556,6 +534,9 @@ class HnswGraph:
 
     # -- insert (index/hnsw.go:80-140) ---------------------------------
     def insert(self, vec: np.ndarray, level: int | None = None) -> int:
+        for a_ in ("q_codes", "q_scale", "q_min", "q_norms2", "q_norms"):
+            if hasattr(self, a_):  # stale after any mutation
+                delattr(self, a_)
         idx = len(self.levels)
         vec = np.asarray(vec, dtype=np.float32).reshape(1, -1)
         self.vectors = np.concatenate([self.vectors, vec]) if idx else vec.copy()
@@ -592,6 +573,11 @@ class HnswGraph:
         """Rebuild the python adjacency sets from the padded matrices —
         the inverse of finalize(), for mutating a reconstructed graph
         (online insert into a loaded index)."""
+        for a_ in ("q_codes", "q_scale", "q_min", "q_norms2", "q_norms"):
+            # traversal codes go stale the moment rows are added —
+            # search re-quantizes lazily after the mutation
+            if hasattr(self, a_):
+                delattr(self, a_)
         n = len(self.levels)
         self.adj = [dict() for _ in range(n)]
         for lvl, pad in self.adj_pad.items():
@@ -754,6 +740,42 @@ class HnswGraph:
                             heapq.heappop(results)
         return sorted((-nd, n_) for nd, n_ in results)[:k]
 
+    def quantize(self) -> "HnswGraph":
+        """Per-dimension uint8 scalar quantization of the vector matrix
+        for TRAVERSAL distance evaluation (search results are reranked
+        with exact float32 at the end — see _search_batch_chunk).  The
+        beam walk is memory-bandwidth-bound at high dimension: gathering
+        1 byte/dim instead of 4 quarters the scattered-read traffic the
+        kernel actually pays for."""
+        if self.cfg.space == "manhattan" or hasattr(self, "q_codes"):
+            return self
+        v = np.asarray(self.vectors)
+        vmin = v.min(axis=0)
+        scale = (v.max(axis=0) - vmin) / np.float32(255.0)
+        scale = np.where(scale > 0, scale, np.float32(1.0)).astype(np.float32)
+        self.q_min = vmin.astype(np.float32)
+        self.q_scale = scale
+        self.q_codes = np.clip(
+            np.round((v - vmin) / scale), 0, 255
+        ).astype(np.uint8)
+        # norms of the DEQUANTIZED rows (dot-trick consistency: the
+        # traversal compares quantized-vs-quantized throughout)
+        n2 = np.empty(v.shape[0], dtype=np.float32)
+        for s in range(0, v.shape[0], 8192):
+            dq = self.q_codes[s : s + 8192].astype(np.float32) * scale + vmin
+            n2[s : s + 8192] = np.einsum("ij,ij->i", dq, dq, dtype=np.float32)
+        self.q_norms2 = n2
+        self.q_norms = np.sqrt(n2)
+        return self
+
+    def _gather_dequant(self, idx: np.ndarray) -> np.ndarray:
+        """float32 rows for traversal: dequantized uint8 codes when the
+        graph is quantized (¼ the gather bytes), exact rows otherwise."""
+        qc = getattr(self, "q_codes", None)
+        if qc is None:
+            return self.vectors[idx]
+        return qc[idx].astype(np.float32) * self.q_scale + self.q_min
+
     def _dist_gather(
         self, nb: np.ndarray, mask: np.ndarray, Q: np.ndarray, qn2: np.ndarray
     ) -> np.ndarray:
@@ -763,9 +785,26 @@ class HnswGraph:
         Q: (a, d) queries, qn2: (a,) squared query norms.
         Returns (a, cap) with +inf where ``mask`` is False.  One fused
         einsum for the whole frontier instead of a Python loop per query.
-        """
+        Uses the quantized matrix when present (traversal accuracy)."""
         space = self.cfg.space
         safe = np.where(mask, nb, 0)
+        if (
+            getattr(self, "q_codes", None) is not None
+            and space != "manhattan"
+            and self.deleted is None  # tombstone path has no rerank
+        ):
+            sub = self._gather_dequant(safe)
+            dot = np.einsum("acd,ad->ac", sub, Q, dtype=np.float32)
+            if space == "euclidean":
+                d = np.sqrt(
+                    np.maximum(self.q_norms2[safe] - 2.0 * dot + qn2[:, None], 0.0)
+                )
+            else:
+                qn = np.sqrt(qn2)
+                d = np.abs(
+                    np.float32(1.0) - dot / (self.q_norms[safe] * qn[:, None])
+                )
+            return np.where(mask, d, np.float32(np.inf))
         sub = self.vectors[safe]  # (a, cap, d)
         if space == "manhattan":
             d = np.abs(sub - Q[:, None, :]).sum(axis=2, dtype=np.float32)
@@ -808,6 +847,10 @@ class HnswGraph:
                     self._search_batch_chunk_tombstone(Q[s : s + chunk], k, ef)
                 )
             return out
+        if n * self.dim >= 1 << 22 and self.cfg.space != "manhattan":
+            # big graphs walk on uint8-quantized rows + exact rerank
+            # (the beam is scattered-gather-bound at high dimension)
+            self.quantize()
         if n < 4096 or max(self.levels) == 0:
             out = []
             for s in range(0, Q.shape[0], chunk):
@@ -995,23 +1038,30 @@ class HnswGraph:
             d = np.full(nb.shape, INF, dtype=np.float32)
             if len(rows):
                 nbs = nb[rows, cols]
-                sub = self.vectors[nbs]
+                quant = getattr(self, "q_codes", None) is not None
+                sub = (
+                    self._gather_dequant(nbs)
+                    if quant and space != "manhattan"
+                    else self.vectors[nbs]
+                )
                 Qa = Qf[a]
                 qn2a = qn2[a]
                 if space == "manhattan":
                     dflat = np.abs(sub - Qa[rows]).sum(axis=1, dtype=np.float32)
                 else:
+                    n2 = self.q_norms2 if quant else self.norms2
                     dot = np.einsum("ij,ij->i", sub, Qa[rows], dtype=np.float32)
                     if space == "euclidean":
                         dflat = np.sqrt(
                             np.maximum(
-                                self.norms2[nbs] - 2.0 * dot + qn2a[rows], 0.0
+                                n2[nbs] - 2.0 * dot + qn2a[rows], 0.0
                             )
                         )
                     else:
+                        nm = self.q_norms if quant else self.norms
                         dflat = np.abs(
                             np.float32(1.0)
-                            - dot / (self.norms[nbs] * np.sqrt(qn2a[rows]))
+                            - dot / (nm[nbs] * np.sqrt(qn2a[rows]))
                         )
                 d[rows, cols] = dflat
             # one argpartition merges frontier into the beam
@@ -1022,6 +1072,25 @@ class HnswGraph:
             beam_d[a] = np.take_along_axis(md, sel, axis=1)
             beam_i[a] = np.take_along_axis(mi, sel, axis=1)
             beam_x[a] = np.take_along_axis(mx, sel, axis=1)
+        if getattr(self, "q_codes", None) is not None and space != "manhattan":
+            # exact float32 rerank of the final beam: the walk ran on
+            # quantized distances (¼ gather bytes); ranks and returned
+            # scores must be exact.  ef rows/query — ~3% extra traffic.
+            safe = np.where(beam_i >= 0, beam_i, 0)
+            sub = self.vectors[safe]  # (q, ef, d)
+            dot = np.einsum("qed,qd->qe", sub, Qf, dtype=np.float32)
+            if space == "euclidean":
+                d_ex = np.sqrt(
+                    np.maximum(self.norms2[safe] - 2.0 * dot + qn2[:, None], 0.0)
+                )
+            else:
+                d_ex = np.abs(
+                    np.float32(1.0)
+                    - dot / (self.norms[safe] * np.sqrt(qn2)[:, None])
+                )
+            beam_d = np.where(
+                np.isfinite(beam_d) & (beam_i >= 0), d_ex, np.float32(np.inf)
+            )
         out = []
         order = np.argsort(beam_d, axis=1, kind="stable")
         rd = np.take_along_axis(beam_d, order, axis=1)
@@ -1377,45 +1446,19 @@ class HnswGraph:
             flush_overflow(None)
 
         def flush_final() -> None:
-            """End-of-GEMM-regime backlink prune: every over-cap
-            (vertex, level) computes its keep-set against the FROZEN
-            adjacency (fork-parallel when available — decisions are
-            independent), then all keeps plus reciprocal drops apply in
-            one order-independent pass: an edge survives iff neither
-            endpoint dropped it.  Identical results for any worker
-            count."""
-            items = sorted(overflow)
+            """End-of-GEMM-regime backlink prune: ONE sequential
+            ``_prune`` per over-cap (vertex, level) instead of one per
+            wave it overflowed in (candidate generation never read
+            adjacency, so over-cap lists were invisible until now).
+            Sequential on purpose: reciprocal drops from earlier prunes
+            can take a later vertex back under cap, whose prune then
+            SKIPS — an order-independent mutual-agreement variant was
+            measured to collapse connectivity (and recall) on dense
+            same-cluster partitions, where every vertex's keep-set
+            overlaps heavily."""
+            for node, level in sorted(overflow):
+                g._prune(node, level)
             overflow.clear()
-            if not items:
-                return
-            global _BUILD_FORK_PRUNE
-            if can_fork and len(items) >= 8 * workers:
-                _BUILD_FORK_PRUNE = g
-                chunks = [
-                    c
-                    for c in (
-                        items[s::2 * workers] for s in range(2 * workers)
-                    )
-                    if c
-                ]
-                ctx = _mp.get_context("fork")
-                with ctx.Pool(workers) as pool:
-                    parts = pool.map(_build_fork_prune_work, chunks)
-                _BUILD_FORK_PRUNE = None
-                results = [r for part in parts for r in part]
-            else:
-                _BUILD_FORK_PRUNE = g
-                results = _build_fork_prune_work(items)
-                _BUILD_FORK_PRUNE = None
-            staged = []
-            for node, level, keep_ids in results:
-                keep = set(keep_ids)
-                staged.append((node, level, g.adj[node][level] - keep, keep))
-            for node, level, _dropped, keep in staged:
-                g.adj[node][level] = keep
-            for node, level, dropped, _keep in staged:
-                for x in dropped:
-                    g.adj[x].get(level, set()).discard(node)
 
         def cand_work(slice_ids: list[int]):
             """Candidate beams + level-0 neighbor selection for a wave
@@ -2115,6 +2158,12 @@ def _shm_load(d: str, cfg: "HnswConfig"):
         g.adj_pad = {int(lvl): mm(f"pad_{lvl}.npy") for lvl in j["pad_levels"]}
         if j.get("has_deleted"):
             g.deleted = np.asarray(mm("deleted.npy"))
+        if j.get("has_quant"):
+            g.q_codes = mm("q_codes.npy")
+            g.q_scale = np.asarray(mm("q_scale.npy"))
+            g.q_min = np.asarray(mm("q_min.npy"))
+            g.q_norms2 = mm("q_norms2.npy")
+            g.q_norms = mm("q_norms.npy")
         with open(_os_mod.path.join(d, "ids.pkl"), "rb") as f:
             ids = _pickle.load(f)
         mp = _os_mod.path.join(d, "meta.pkl")
@@ -2151,6 +2200,21 @@ def _shm_store(key, ids, g: "HnswGraph") -> str | None:
             np.save(_os_mod.path.join(tmp, f"pad_{lvl}.npy"), pad)
         if g.deleted is not None:
             np.save(_os_mod.path.join(tmp, "deleted.npy"), g.deleted)
+        if (
+            g.deleted is None
+            and g.cfg.space != "manhattan"
+            and len(g.levels) * g.dim >= 1 << 22
+        ):
+            g.quantize()  # share the traversal codes host-wide too
+        has_quant = getattr(g, "q_codes", None) is not None
+        if has_quant:
+            np.save(_os_mod.path.join(tmp, "q_codes.npy"), np.asarray(g.q_codes))
+            np.save(_os_mod.path.join(tmp, "q_scale.npy"), g.q_scale)
+            np.save(_os_mod.path.join(tmp, "q_min.npy"), g.q_min)
+            np.save(
+                _os_mod.path.join(tmp, "q_norms2.npy"), np.asarray(g.q_norms2)
+            )
+            np.save(_os_mod.path.join(tmp, "q_norms.npy"), np.asarray(g.q_norms))
         with open(_os_mod.path.join(tmp, "ids.pkl"), "wb") as f:
             _pickle.dump(ids, f, protocol=4)
         if g.item_meta is not None:
@@ -2164,6 +2228,7 @@ def _shm_store(key, ids, g: "HnswGraph") -> str | None:
                         "entrypoint": g.entrypoint,
                         "pad_levels": sorted(g.adj_pad),
                         "has_deleted": g.deleted is not None,
+                        "has_quant": has_quant,
                     }
                 )
             )

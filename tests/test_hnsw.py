@@ -579,3 +579,50 @@ def test_fork_parallel_build_identical_to_serial():
     assert g1.entrypoint == g2.entrypoint
     assert g1.levels == g2.levels
     assert all(a == b for a, b in zip(g1.adj, g2.adj))
+
+
+def test_quantized_traversal_exact_rerank():
+    """Big-graph searches walk on uint8-quantized rows but the returned
+    distances must be EXACT float32 (rerank), and recall must not
+    degrade vs the unquantized kernel."""
+    rng = np.random.default_rng(11)
+    n, dim = 3000, 64
+    centers = rng.normal(0, 1, (16, dim)).astype(np.float32)
+    mat = centers[np.arange(n) % 16] + rng.normal(0, 0.15, (n, dim)).astype(
+        np.float32
+    )
+    cfg = HnswConfig(m=8, ef_construction=80, ef=24, heuristic=True)
+    lr = np.random.default_rng(3)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12)) * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg).finalize()
+    Q = centers[rng.integers(16, size=50)] + rng.normal(
+        0, 0.15, (50, dim)
+    ).astype(np.float32)
+    base = g.search_fast_batch(Q, 10)
+    g.quantize()  # force (below the auto threshold)
+    quant = g.search_fast_batch(Q, 10)
+    # returned scores are exact euclidean distances, not quantized ones
+    for qi in range(50):
+        for d, idx in quant[qi]:
+            exact = float(np.linalg.norm(mat[idx] - Q[qi]))
+            assert abs(d - exact) < 1e-3
+    # recall parity with the exact-walk kernel (vs brute truth)
+    truth = g.search_brute(Q, 10)
+    tsets = [set(i for _, i in row) for row in truth]
+    r_base = sum(
+        len(tsets[qi] & set(i for _, i in base[qi])) for qi in range(50)
+    )
+    r_quant = sum(
+        len(tsets[qi] & set(i for _, i in quant[qi])) for qi in range(50)
+    )
+    assert r_quant >= r_base - 10  # ≤2% drift allowed
+
+    # mutation drops stale codes (and search still works)
+    g.thaw_adjacency()
+    assert not hasattr(g, "q_codes")
+    g.insert(Q[0])
+    g.finalize()
+    again = g.search_fast_batch(Q[:5], 5)
+    assert len(again) == 5 and all(len(r) == 5 for r in again)
