@@ -2630,6 +2630,13 @@ def search_index_path(
     # partition discovery through pyarrow.fs: plain paths, file://,
     # s3://, hdfs:// — not a shared-local-FS assumption (ADVICE r4)
     all_pids = fsutil.list_partition_values(path, "partition_id=")
+    # cache keys carry the index CONTENT fingerprint: the host-shared
+    # /dev/shm graph cache outlives the Spark session, so a bare
+    # (token, pid) key would silently serve a graph stored by a
+    # PREVIOUS index version under the same token (measured: a
+    # cluster-routed index re-trained across runs answered probes with
+    # the prior run's cells — recall degraded to ~nprobe/n_cells)
+    index_ver = fsutil.index_fingerprint(path) if cache_token else None
     if isinstance(queries, tuple):
         # (ids, matrix) — zero-copy for large query batches
         qids_in, qmat = queries
@@ -2719,7 +2726,11 @@ def search_index_path(
                 sub, sub_qids = qmat[qsel], qid_arr[qsel]
                 # a full-graph cache entry serves both strategies; a
                 # brute-only (adjacency-free) one is keyed separately
-                full_key = (cache_token, pid) if cache_token is not None else None
+                full_key = (
+                    (cache_token, index_ver, pid)
+                    if cache_token is not None
+                    else None
+                )
                 hit = _cache_get(full_key)
                 if hit is None and full_key is not None:
                     # L2: host-shared mmap copy (one physical page set
@@ -2753,7 +2764,7 @@ def search_index_path(
                     )
                     if use_brute:
                         bkey = (
-                            (cache_token, pid, "brute")
+                            (cache_token, index_ver, pid, "brute")
                             if cache_token is not None
                             else None
                         )

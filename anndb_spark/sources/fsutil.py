@@ -79,3 +79,29 @@ def read_dir_schema(path: str):
 def join(path: str, *parts: str) -> str:
     """Path join that preserves URI schemes (os.path.join would not)."""
     return "/".join([path.rstrip("/")] + [p.strip("/") for p in parts])
+
+
+def index_fingerprint(path: str) -> str:
+    """Content fingerprint of an index directory: hash of every file's
+    (relative path, size, mtime).  Serving caches key their resident
+    graphs by (token, FINGERPRINT, pid) — a host-shared cache entry can
+    outlive the Spark session AND the index version that produced it
+    (e.g. a rebuilt index saved under the same logical name), and an
+    unversioned token then serves a stale graph silently."""
+    import hashlib
+
+    from pyarrow import fs as pafs
+
+    f, p = resolve_fs(path)
+    try:
+        infos = f.get_file_info(
+            pafs.FileSelector(p, recursive=True, allow_not_found=True)
+        )
+    except Exception:
+        return "unknown"
+    items = sorted(
+        (i.path, int(i.size or 0), int(getattr(i, "mtime_ns", 0) or 0))
+        for i in infos
+        if i.type == pafs.FileType.File
+    )
+    return hashlib.sha1(repr(items).encode()).hexdigest()[:16]

@@ -626,3 +626,39 @@ def test_quantized_traversal_exact_rerank():
     g.finalize()
     again = g.search_fast_batch(Q[:5], 5)
     assert len(again) == 5 and all(len(r) == 5 for r in again)
+
+
+def test_serving_cache_tracks_index_content(spark, tmp_path):
+    """Same path + same cache_token, index REBUILT with different
+    content: the serving caches (worker L1 + host-shared /dev/shm, which
+    outlives Spark sessions) must serve the new graph, not the stale
+    one — keys carry the index content fingerprint."""
+    rng = np.random.default_rng(5)
+
+    def make(ids_prefix, n):
+        rows = [
+            (f"{ids_prefix}{i}", rng.normal(0, 1, 8).astype(float).tolist())
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "id string, vector array<float>"
+        ).withColumn("partition_id", F.pmod(F.crc32(F.col("id")), F.lit(2)).cast("int"))
+
+    from anndb_spark.operators.hnsw import save_index
+
+    cfg = HnswConfig(m=4, ef_construction=16, ef=16)
+    path = str(tmp_path / "idx")
+    save_index(build_index(make("a", 40), cfg), path)
+    q = [("q0", rng.normal(0, 1, 8).astype(float).tolist())]
+    from anndb_spark.operators.hnsw import search_index_path
+
+    r1 = search_index_path(
+        spark, path, q, 5, config=cfg, strategy="beam", cache_token="stale-t"
+    ).collect()
+    assert all(r["id"].startswith("a") for r in r1)
+    # rebuild at the SAME path with different ids/content
+    save_index(build_index(make("b", 60), cfg), path)
+    r2 = search_index_path(
+        spark, path, q, 5, config=cfg, strategy="beam", cache_token="stale-t"
+    ).collect()
+    assert all(r["id"].startswith("b") for r in r2), [r["id"] for r in r2]
