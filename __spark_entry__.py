@@ -339,6 +339,57 @@ def _token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _pq_adc_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 over the embeddings table:
+    seeded per-subspace k-means codebooks (deterministic), one-pass
+    encode, LUT-scored code scan with partial/final top-k.  PQ scores
+    are approximations of true distances by construction, so there is
+    no SQL oracle; the driver checks deterministic rows, and
+    tests/test_pq.py checks recall against exact kNN."""
+    from anndb_spark.operators.pq import pq_encode, pq_search, train_pq
+
+    emb = _embeddings_df(spark, sf_dir)
+    books = train_pq(emb, m=8, n_centroids=64, sample_n=20_000)
+    codes = pq_encode(emb, books)
+    q = (
+        emb.orderBy("id").limit(1).collect()[0]["vector"]
+    )  # deterministic probe vector
+    res = pq_search(
+        codes, q, books, k=10, rerank_with=emb, shortlist=50
+    )  # ADC shortlist + exact rerank (the standard PQ serving shape)
+    return res.select(
+        "id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+def _sq8_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-range uint8 scalar quantization of the embedding column —
+    the user-facing columnar codec (the serving-side per-dimension
+    variant cuts the HNSW beam's gather traffic, `HnswGraph.quantize`).
+    Pure column expressions; the oracle reproduces the float64
+    arithmetic bit-exactly."""
+    from anndb_spark.functions.quantize import (
+        _rmin,
+        _scale,
+        sq8_encode,
+        sq8_max_error,
+    )
+
+    v = F.col("embedding")
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("id"),
+            sq8_encode(v).alias("codes"),
+            _rmin(v).alias("rmin"),
+            _scale(v).alias("scale"),
+            sq8_max_error(v).alias("max_err"),
+        )
+        .orderBy("id")
+        .limit(500)
+    )
+
+
 def _size_info_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SizeInfo parity (O26): per-group count + estimated bytes."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -627,10 +678,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _fingerprint_documents,
         "token_frequencies": _token_frequencies,
         "size_info_embeddings": _size_info_embeddings,
+        "sq8_codes_embeddings": _sq8_codes_embeddings,
+        "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
     }
 
 
 # --- DuckDB oracle ---------------------------------------------------------
+
+
+def _sq8_oracle() -> str:
+    from anndb_spark.functions.quantize import sq8_oracle_sql
+
+    o = sq8_oracle_sql("embedding")
+    return f"""
+        SELECT vec_id AS id,
+               {o['codes']} AS codes,
+               {o['rmin']} AS rmin,
+               {o['scale']} AS scale,
+               {o['max_err']} AS max_err
+        FROM embeddings
+        ORDER BY id
+        LIMIT 500
+    """
 
 _SHINGLES_CTE = """
 words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -1061,4 +1130,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(embedding) * 4 + 12) AS BIGINT) AS bytes_size
             FROM embeddings GROUP BY label
         """,
+        "sq8_codes_embeddings": _sq8_oracle(),
     }

@@ -1,0 +1,93 @@
+"""Scalar quantization of vector columns (storage/shuffle compression).
+
+Row-wise uint8 scalar quantization: each vector is encoded against its
+own [min, max] range — ``code_i = floor((x_i - min) / scale + 0.5)``
+with ``scale = (max - min) / 255``.  At 100 TB an ``array<float>``
+embedding column is usually the widest column in the table; 8-bit codes
+cut its storage and shuffle footprint 4× while keeping ~0.2% relative
+reconstruction error, which is below the noise floor of cosine/L2
+near-duplicate thresholds.  (The serving-side analogue — PER-DIMENSION
+codes over a whole index partition, used to cut the HNSW beam's gather
+traffic — lives in ``operators/hnsw.HnswGraph.quantize``; this module
+is the user-facing columnar codec.)
+
+Everything here is a JVM-side column expression (no UDF): encode,
+decode, and reconstruction error are `transform`/`aggregate`
+higher-order functions, so Catalyst keeps the whole pipeline in
+whole-stage codegen and the DuckDB oracle can reproduce the arithmetic
+bit-exactly (all math in float64 with floor(x + 0.5) rounding — both
+engines use IEEE754 doubles).
+
+No reference counterpart (the reference stores raw float32 vectors,
+index/hnsw_persistence.go:71-95); this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _rmin(vec: Column) -> Column:
+    return F.array_min(vec).cast("double")
+
+
+def _scale(vec: Column) -> Column:
+    s = (F.array_max(vec).cast("double") - _rmin(vec)) / F.lit(255.0)
+    # constant vectors: any scale works, 1.0 keeps codes at 0
+    return F.when(s > 0, s).otherwise(F.lit(1.0))
+
+
+def sq8_encode(vec: Column) -> Column:
+    """uint8 codes (as int array — parquet/Arrow have no u8 list type
+    that DuckDB shares) for a float vector, row-range quantized."""
+    rmin, scale = _rmin(vec), _scale(vec)
+    return F.transform(
+        vec,
+        lambda x: F.floor((x.cast("double") - rmin) / scale + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+
+
+def sq8_decode(codes: Column, rmin: Column, scale: Column) -> Column:
+    """Reconstructed float64 vector from codes + row range."""
+    return F.transform(
+        codes, lambda c: c.cast("double") * scale.cast("double") + rmin.cast("double")
+    )
+
+
+def sq8_max_error(vec: Column) -> Column:
+    """max_i |x_i - decode(encode(x))_i| — the per-row reconstruction
+    error; bounded by scale/2."""
+    rmin, scale = _rmin(vec), _scale(vec)
+    rec = F.transform(
+        vec,
+        lambda x: F.abs(
+            x.cast("double")
+            - (
+                F.floor((x.cast("double") - rmin) / scale + F.lit(0.5))
+                * scale
+                + rmin
+            )
+        ),
+    )
+    return F.array_max(rec)
+
+
+def sq8_oracle_sql(vec: str = "vector") -> dict[str, str]:
+    """DuckDB SQL fragments computing the SAME encode/error arithmetic
+    (float64 throughout, floor(x+0.5) rounding) for the oracle twin."""
+    rmin = f"CAST(list_min({vec}) AS DOUBLE)"
+    raw_s = f"(CAST(list_max({vec}) AS DOUBLE) - {rmin}) / 255.0"
+    scale = f"(CASE WHEN {raw_s} > 0 THEN {raw_s} ELSE 1.0 END)"
+    codes = (
+        f"list_transform({vec}, x -> CAST(floor((CAST(x AS DOUBLE) - {rmin})"
+        f" / {scale} + 0.5) AS INT))"
+    )
+    err = (
+        f"list_max(list_transform({vec}, x -> abs(CAST(x AS DOUBLE) - "
+        f"(floor((CAST(x AS DOUBLE) - {rmin}) / {scale} + 0.5) * {scale}"
+        f" + {rmin}))))"
+    )
+    return {"rmin": rmin, "scale": scale, "codes": codes, "max_err": err}

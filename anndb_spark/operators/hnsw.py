@@ -847,7 +847,10 @@ class HnswGraph:
                     self._search_batch_chunk_tombstone(Q[s : s + chunk], k, ef)
                 )
             return out
-        if n * self.dim >= 1 << 22 and self.cfg.space != "manhattan":
+        if (
+            n * self.dim >= _QUANT_MIN_ELEMS
+            and self.cfg.space != "manhattan"
+        ):
             # big graphs walk on uint8-quantized rows + exact rerank
             # (the beam is scattered-gather-bound at high dimension)
             self.quantize()
@@ -2073,6 +2076,16 @@ def _check_config(idx_pdf: pd.DataFrame, cfg: HnswConfig) -> None:
 # sized via ANNDB_GRAPH_CACHE_BYTES (default 1 GiB).
 import os as _os_mod
 
+# matrices with at least this many elements walk on uint8 codes with an
+# exact float32 rerank (ANNDB_QUANT_MIN_ELEMS=0 forces quantization, a
+# huge value disables).  Default is conservative: at 47M elements
+# (60k×784) the u8→f32 upcast per gathered frontier measurably COSTS
+# more than the 4× gather-byte saving on this host class; the win
+# appears when the matrix dwarfs the cache hierarchy (≳1 GB).
+_QUANT_MIN_ELEMS = int(
+    _os_mod.environ.get("ANNDB_QUANT_MIN_ELEMS", str(1 << 28))
+)
+
 _GRAPH_CACHE: dict = {}
 _GRAPH_CACHE_MAX_BYTES = int(
     _os_mod.environ.get("ANNDB_GRAPH_CACHE_BYTES", str(1 << 30))
@@ -2186,6 +2199,26 @@ def _shm_store(key, ids, g: "HnswGraph") -> str | None:
         return None
     if _os_mod.path.exists(_os_mod.path.join(d, "_COMPLETE")):
         return d
+    # single-storer lock: without it every cold worker writes its own
+    # multi-hundred-MB copy at once — the tmp dirs blow the byte cap and
+    # the evictor tears down entries (including the winner's) mid-write,
+    # so the cache converges only after several thrashy calls (measured)
+    lock = f"{d}.lock"
+    try:
+        _os_mod.makedirs(_os_mod.path.dirname(d), exist_ok=True)
+        fd = _os_mod.open(lock, _os_mod.O_CREAT | _os_mod.O_EXCL | _os_mod.O_WRONLY)
+        _os_mod.close(fd)
+    except FileExistsError:
+        try:
+            import time as _t
+
+            if _t.time() - _os_mod.path.getmtime(lock) > 600:
+                _os_mod.unlink(lock)  # stale lock from a killed storer
+            return None  # another worker is storing; keep private graph
+        except OSError:
+            return None
+    except OSError:
+        return None
     tmp = f"{d}.tmp.{_os_mod.getpid()}"
     try:
         _os_mod.makedirs(tmp, exist_ok=True)
@@ -2203,7 +2236,7 @@ def _shm_store(key, ids, g: "HnswGraph") -> str | None:
         if (
             g.deleted is None
             and g.cfg.space != "manhattan"
-            and len(g.levels) * g.dim >= 1 << 22
+            and len(g.levels) * g.dim >= _QUANT_MIN_ELEMS
         ):
             g.quantize()  # share the traversal codes host-wide too
         has_quant = getattr(g, "q_codes", None) is not None
@@ -2242,17 +2275,28 @@ def _shm_store(key, ids, g: "HnswGraph") -> str | None:
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         return None
+    finally:
+        try:
+            _os_mod.unlink(lock)
+        except OSError:
+            pass
 
 
 def _shm_evict() -> None:
     """Drop oldest cached graphs once the root exceeds the byte cap."""
     import shutil
 
+    import time as _t
+
     try:
+        now = _t.time()
         dirs = []
         for name in _os_mod.listdir(_SHM_ROOT):
             p = _os_mod.path.join(_SHM_ROOT, name)
-            if not _os_mod.path.isdir(p):
+            # in-flight tmp dirs belong to a concurrent storer; deleting
+            # them mid-write corrupts its store (and they vanish on
+            # rename anyway)
+            if not _os_mod.path.isdir(p) or ".tmp." in name:
                 continue
             size = sum(
                 _os_mod.path.getsize(_os_mod.path.join(p, f))
@@ -2260,9 +2304,11 @@ def _shm_evict() -> None:
             )
             dirs.append((_os_mod.path.getmtime(p), size, p))
         total = sum(s for _, s, _ in dirs)
-        for _, size, p in sorted(dirs):
+        for mtime, size, p in sorted(dirs):
             if total <= _SHM_CACHE_MAX_BYTES:
                 break
+            if now - mtime < 120:
+                continue  # grace: never evict a just-stored graph
             shutil.rmtree(p, ignore_errors=True)
             total -= size
     except OSError:
@@ -2715,106 +2761,115 @@ def search_index_path(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from anndb_spark.sources import fsutil as _fsu
 
-        for b in batches:
-            for pid, chunk in zip(b["pid"].tolist(), b["chunk"].tolist()):
-                if by_pid is None:
-                    qsel = list(range(chunk * qpt, min((chunk + 1) * qpt, n_q)))
-                else:
-                    qsel = by_pid.get(int(pid), [])[chunk * qpt : (chunk + 1) * qpt]
-                if not qsel:
-                    continue
-                sub, sub_qids = qmat[qsel], qid_arr[qsel]
-                # a full-graph cache entry serves both strategies; a
-                # brute-only (adjacency-free) one is keyed separately
-                full_key = (
-                    (cache_token, index_ver, pid)
-                    if cache_token is not None
-                    else None
+        # drain the input stream BEFORE yielding: a pandas-UDF that
+        # yields interleaved with unconsumed input gets its python
+        # worker KILLED by the runner instead of reused (measured —
+        # worker pids churn every job), which destroys the
+        # worker-resident graph cache this whole path is built around
+        work = [
+            (pid, chunk)
+            for b in batches
+            for pid, chunk in zip(b["pid"].tolist(), b["chunk"].tolist())
+        ]
+        for pid, chunk in work:
+            if by_pid is None:
+                qsel = list(range(chunk * qpt, min((chunk + 1) * qpt, n_q)))
+            else:
+                qsel = by_pid.get(int(pid), [])[chunk * qpt : (chunk + 1) * qpt]
+            if not qsel:
+                continue
+            sub, sub_qids = qmat[qsel], qid_arr[qsel]
+            # a full-graph cache entry serves both strategies; a
+            # brute-only (adjacency-free) one is keyed separately
+            full_key = (
+                (cache_token, index_ver, pid)
+                if cache_token is not None
+                else None
+            )
+            hit = _cache_get(full_key)
+            if hit is None and full_key is not None:
+                # L2: host-shared mmap copy (one physical page set
+                # for every worker on this host)
+                d = _shm_dir_for(full_key)
+                if d is not None:
+                    got = _shm_load(d, cfg)
+                    if got is not None:
+                        _cache_put(full_key, *got)
+                        hit = got
+            use_brute = strategy == "brute"
+            if hit is not None:
+                ids, g = hit
+                use_brute = use_brute or (
+                    strategy == "auto"
+                    and len(ids) * sub.shape[0] * g.dim <= brute_flops_threshold
                 )
-                hit = _cache_get(full_key)
-                if hit is None and full_key is not None:
-                    # L2: host-shared mmap copy (one physical page set
-                    # for every worker on this host)
-                    d = _shm_dir_for(full_key)
-                    if d is not None:
-                        got = _shm_load(d, cfg)
-                        if got is not None:
-                            _cache_put(full_key, *got)
-                            hit = got
-                use_brute = strategy == "brute"
-                if hit is not None:
-                    ids, g = hit
-                    use_brute = use_brute or (
-                        strategy == "auto"
-                        and len(ids) * sub.shape[0] * g.dim <= brute_flops_threshold
+            else:
+                idx_pdf = _fsu.read_parquet_dir(
+                    _fsu.join(path, f"partition_id={pid}")
+                ).to_pandas()
+                n_vert = int((idx_pdf["kind"] == "vertex").sum())
+                dim = (
+                    len(idx_pdf.loc[idx_pdf["kind"] == "vertex", "vec"].iloc[0])
+                    if n_vert
+                    else 0
+                )
+                use_brute = use_brute or (
+                    strategy == "auto"
+                    and n_vert * sub.shape[0] * dim <= brute_flops_threshold
+                )
+                if use_brute:
+                    bkey = (
+                        (cache_token, index_ver, pid, "brute")
+                        if cache_token is not None
+                        else None
                     )
-                else:
-                    idx_pdf = _fsu.read_parquet_dir(
-                        _fsu.join(path, f"partition_id={pid}")
-                    ).to_pandas()
-                    n_vert = int((idx_pdf["kind"] == "vertex").sum())
-                    dim = (
-                        len(idx_pdf.loc[idx_pdf["kind"] == "vertex", "vec"].iloc[0])
-                        if n_vert
-                        else 0
-                    )
-                    use_brute = use_brute or (
-                        strategy == "auto"
-                        and n_vert * sub.shape[0] * dim <= brute_flops_threshold
-                    )
-                    if use_brute:
-                        bkey = (
-                            (cache_token, index_ver, pid, "brute")
-                            if cache_token is not None
-                            else None
-                        )
-                        hit = _cache_get(bkey)
-                        if hit is not None:
-                            ids, g = hit
-                        else:
-                            ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
-                            _cache_put(bkey, ids, g)
+                    hit = _cache_get(bkey)
+                    if hit is not None:
+                        ids, g = hit
                     else:
-                        ids, g = _graph_from_index(idx_pdf, cfg)
-                        if full_key is not None:
-                            # publish to L2, then serve from the SHARED
-                            # pages (drops this worker's private copy)
-                            d = _shm_store(full_key, ids, g)
-                            if d is not None:
-                                got = _shm_load(d, cfg)
-                                if got is not None:
-                                    ids, g = got
-                        _cache_put(full_key, ids, g)
-                res = (
-                    g.search_brute(sub, k)
-                    if use_brute
-                    else g.search_fast_batch(sub, k, ef)
+                        ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
+                        _cache_put(bkey, ids, g)
+                else:
+                    ids, g = _graph_from_index(idx_pdf, cfg)
+                    if full_key is not None:
+                        # publish to L2, then serve from the SHARED
+                        # pages (drops this worker's private copy)
+                        d = _shm_store(full_key, ids, g)
+                        if d is not None:
+                            got = _shm_load(d, cfg)
+                            if got is not None:
+                                ids, g = got
+                    _cache_put(full_key, ids, g)
+            res = (
+                g.search_brute(sub, k)
+                if use_brute
+                else g.search_fast_batch(sub, k, ef)
+            )
+            counts = [len(h) for h in res]
+            total = sum(counts)
+            nid = np.fromiter(
+                (i for h in res for _, i in h), dtype=np.int64, count=total
+            )
+            dist = np.fromiter(
+                (d for h in res for d, _ in h), dtype=np.float32, count=total
+            )
+            ids_arr = np.asarray(ids, dtype=object)
+            data = {
+                "query_id": np.repeat(sub_qids, counts),
+                "id": ids_arr[nid],
+                "score": dist,
+            }
+            if single_graph:
+                # hit lists are ascending → positional ranks are final
+                data["rank"] = np.concatenate(
+                    [np.arange(1, c + 1, dtype=np.int32) for c in counts]
+                ) if total else np.empty(0, dtype=np.int32)
+            if with_metadata:
+                meta = g.item_meta
+                data["metadata"] = (
+                    [meta[i] for i in nid] if meta is not None else [None] * total
                 )
-                counts = [len(h) for h in res]
-                total = sum(counts)
-                nid = np.fromiter(
-                    (i for h in res for _, i in h), dtype=np.int64, count=total
-                )
-                dist = np.fromiter(
-                    (d for h in res for d, _ in h), dtype=np.float32, count=total
-                )
-                ids_arr = np.asarray(ids, dtype=object)
-                data = {
-                    "query_id": np.repeat(sub_qids, counts),
-                    "id": ids_arr[nid],
-                    "score": dist,
-                }
-                if single_graph:
-                    # hit lists are ascending → positional ranks are final
-                    data["rank"] = np.concatenate(
-                        [np.arange(1, c + 1, dtype=np.int32) for c in counts]
-                    ) if total else np.empty(0, dtype=np.int32)
-                if with_metadata:
-                    meta = g.item_meta
-                    data["metadata"] = (
-                        [meta[i] for i in nid] if meta is not None else [None] * total
-                    )
-                yield pd.DataFrame(data, columns=out_cols)
+            yield pd.DataFrame(data, columns=out_cols)
 
     partials = plan.mapInPandas(run, schema=out_schema)
     if single_graph:
@@ -2888,9 +2943,10 @@ def search_index_broadcast(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_l, g_l = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
+        # drain before yielding (worker-reuse contract; see run() in
+        # search_index_path)
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        for pdf in pdfs:
             qmat = np.array(pdf["query_vector"].tolist(), dtype=np.float32)
             res = g_l.search_fast_batch(qmat, k, ef)
             out = []

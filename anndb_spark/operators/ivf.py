@@ -372,38 +372,45 @@ def search_ivf_path(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from anndb_spark.sources import fsutil as _fsu
 
-        for b in batches:
-            for cid, chunk in zip(b["cid"].tolist(), b["chunk"].tolist()):
-                if cid < 0:
-                    continue
-                qsel = by_cid.get(int(cid), [])[chunk * qpt : (chunk + 1) * qpt]
-                if not qsel:
-                    continue
-                key = (cache_token, int(cid)) if cache_token is not None else None
-                hit = _ccache_get(key)
-                if hit is not None:
-                    ids, vmat = hit
-                else:
-                    tbl = _fsu.read_parquet_dir(
-                        _fsu.join(path, f"cluster_id={cid}"),
-                        columns=[id_col, vec_col],
-                    ).to_pandas()
-                    ids = tbl[id_col].to_numpy()
-                    vmat = np.array(tbl[vec_col].tolist(), dtype=np.float64)
-                    _ccache_put(key, ids, vmat)
-                if not len(ids):
-                    continue
-                dm = _pairwise(qmat[qsel], vmat, space)
-                kk = min(k, vmat.shape[0])
-                part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
-                sel = part.reshape(-1)
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qid_arr[qsel], kk),
-                        "id": ids[sel],
-                        "score": np.take_along_axis(dm, part, axis=1).reshape(-1),
-                    }
-                )
+        # drain before yielding — interleaved yield gets the python
+        # worker killed instead of reused, losing the resident cluster
+        # cache (see hnsw.search_index_path)
+        work = [
+            (cid, chunk)
+            for b in batches
+            for cid, chunk in zip(b["cid"].tolist(), b["chunk"].tolist())
+        ]
+        for cid, chunk in work:
+            if cid < 0:
+                continue
+            qsel = by_cid.get(int(cid), [])[chunk * qpt : (chunk + 1) * qpt]
+            if not qsel:
+                continue
+            key = (cache_token, int(cid)) if cache_token is not None else None
+            hit = _ccache_get(key)
+            if hit is not None:
+                ids, vmat = hit
+            else:
+                tbl = _fsu.read_parquet_dir(
+                    _fsu.join(path, f"cluster_id={cid}"),
+                    columns=[id_col, vec_col],
+                ).to_pandas()
+                ids = tbl[id_col].to_numpy()
+                vmat = np.array(tbl[vec_col].tolist(), dtype=np.float64)
+                _ccache_put(key, ids, vmat)
+            if not len(ids):
+                continue
+            dm = _pairwise(qmat[qsel], vmat, space)
+            kk = min(k, vmat.shape[0])
+            part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
+            sel = part.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid_arr[qsel], kk),
+                    "id": ids[sel],
+                    "score": np.take_along_axis(dm, part, axis=1).reshape(-1),
+                }
+            )
 
     partial = plan.mapInPandas(
         run, schema=f"query_id STRING, id {id_type}, score DOUBLE"

@@ -453,7 +453,9 @@ def main():
             json.dump({"build_s": round(single_build_s, 1)}, _f)
         os.makedirs(os.path.dirname(_sdir), exist_ok=True)
         for _old in os.listdir(os.path.dirname(_sdir)):
-            if _old.startswith("fm_single_") and _old != f"fm_single_{_skey}":
+            if _old.startswith("fm_single_") and not _old.startswith(
+                f"fm_single_{_skey}"  # keep the live dir AND our .tmp
+            ):
                 shutil.rmtree(
                     os.path.join(os.path.dirname(_sdir), _old),
                     ignore_errors=True,
@@ -462,6 +464,8 @@ def main():
             os.rename(_tmp, _sdir)
         except OSError:
             shutil.rmtree(_tmp, ignore_errors=True)
+        if not os.path.isdir(_sdir):
+            raise RuntimeError(f"single-graph artifact missing: {_sdir}")
         del g_single
         extra["fm_single_build_cached"] = False
     fm_single_path = _sdir

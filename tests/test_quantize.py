@@ -1,0 +1,63 @@
+"""Row-wise SQ8 columnar codec: encode/decode/error expressions."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from anndb_spark.functions.quantize import (
+    _rmin,
+    _scale,
+    sq8_decode,
+    sq8_encode,
+    sq8_max_error,
+)
+
+
+def test_sq8_roundtrip_error_bound(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(0, 1, 16).astype(float).tolist()) for i in range(50)]
+    rows.append((50, [3.25] * 16))  # constant vector edge case
+    df = spark.createDataFrame(rows, "id long, vector array<float>")
+    v = F.col("vector")
+    out = df.select(
+        "id",
+        "vector",
+        sq8_encode(v).alias("codes"),
+        _rmin(v).alias("rmin"),
+        _scale(v).alias("scale"),
+        sq8_max_error(v).alias("max_err"),
+    ).collect()
+    for r in out:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        # reconstruction error bounded by scale/2 (+ float32 read noise)
+        assert r["max_err"] <= r["scale"] / 2 + 1e-9
+        # numpy replication of the exact arithmetic
+        x = np.array(r["vector"], dtype=np.float32).astype(np.float64)
+        rmin = float(np.min(x.astype(np.float32)))
+        s = (float(np.max(x.astype(np.float32))) - rmin) / 255.0
+        s = s if s > 0 else 1.0
+        codes = np.floor((x - rmin) / s + 0.5).astype(int)
+        assert codes.tolist() == list(r["codes"])
+
+
+def test_sq8_decode_matches(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.uniform(-5, 5, 8).astype(float).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, vector array<float>")
+    v = F.col("vector")
+    enc = df.select(
+        "id",
+        "vector",
+        sq8_encode(v).alias("codes"),
+        _rmin(v).alias("rmin"),
+        _scale(v).alias("scale"),
+    )
+    dec = enc.select(
+        "id",
+        "vector",
+        sq8_decode(F.col("codes"), F.col("rmin"), F.col("scale")).alias("rec"),
+    ).collect()
+    for r in dec:
+        x = np.array(r["vector"], dtype=np.float32)
+        rec = np.array(r["rec"])
+        span = float(x.max() - x.min()) or 1.0
+        assert np.abs(rec - x).max() <= span / 255 / 2 + 1e-9
