@@ -376,11 +376,13 @@ def _sq8_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     v = F.col("embedding")
+    # codes emitted as a comma-joined scalar: the driver's canonicalizer
+    # (pandas sort_values before hashing) cannot hash list columns.
     return (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select(
             F.col("vec_id").alias("id"),
-            sq8_encode(v).alias("codes"),
+            F.array_join(sq8_encode(v), ",").alias("codes"),
             _rmin(v).alias("rmin"),
             _scale(v).alias("scale"),
             sq8_max_error(v).alias("max_err"),
@@ -692,7 +694,7 @@ def _sq8_oracle() -> str:
     o = sq8_oracle_sql("embedding")
     return f"""
         SELECT vec_id AS id,
-               {o['codes']} AS codes,
+               array_to_string({o['codes']}, ',') AS codes,
                {o['rmin']} AS rmin,
                {o['scale']} AS scale,
                {o['max_err']} AS max_err
