@@ -1511,11 +1511,23 @@ class HnswGraph:
                         gemm_pool = ctx.Pool(
                             workers, initializer=_limit_blas_threads
                         )
+                    def _shm_free_bytes() -> int:
+                        try:
+                            st = _os_mod.statvfs("/dev/shm")
+                            return st.f_bavail * st.f_frsize
+                        except OSError:
+                            return 0
+
                     if (
                         shm_path is None
                         and space != "manhattan"
                         and _os_mod.path.isdir("/dev/shm")
                         and _maxw * n * 4 <= 8e9
+                        # tmpfs defaults to RAM/2 — check ACTUAL free
+                        # space (with 25% headroom) so pool children
+                        # writing the memmap can't SIGBUS on ENOSPC
+                        # (ADVICE r5); too small → non-shm fallback
+                        and _maxw * n * 4 <= 0.75 * _shm_free_bytes()
                     ):
                         import tempfile as _tf
 
@@ -2204,20 +2216,32 @@ def _shm_store(key, ids, g: "HnswGraph") -> str | None:
     # the evictor tears down entries (including the winner's) mid-write,
     # so the cache converges only after several thrashy calls (measured)
     lock = f"{d}.lock"
-    try:
-        _os_mod.makedirs(_os_mod.path.dirname(d), exist_ok=True)
-        fd = _os_mod.open(lock, _os_mod.O_CREAT | _os_mod.O_EXCL | _os_mod.O_WRONLY)
-        _os_mod.close(fd)
-    except FileExistsError:
+    acquired = False
+    for _attempt in range(2):
         try:
-            import time as _t
+            _os_mod.makedirs(_os_mod.path.dirname(d), exist_ok=True)
+            fd = _os_mod.open(
+                lock, _os_mod.O_CREAT | _os_mod.O_EXCL | _os_mod.O_WRONLY
+            )
+            _os_mod.close(fd)
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                import time as _t
 
-            if _t.time() - _os_mod.path.getmtime(lock) > 600:
-                _os_mod.unlink(lock)  # stale lock from a killed storer
-            return None  # another worker is storing; keep private graph
+                if _t.time() - _os_mod.path.getmtime(lock) > 600:
+                    # stale lock from a killed storer: unlink and retry
+                    # the O_CREAT|O_EXCL acquisition once, so the first
+                    # batch after a crash still stores (ADVICE r5)
+                    _os_mod.unlink(lock)
+                    continue
+                return None  # live storer in progress; keep private graph
+            except OSError:
+                return None
         except OSError:
             return None
-    except OSError:
+    if not acquired:
         return None
     tmp = f"{d}.tmp.{_os_mod.getpid()}"
     try:
@@ -2682,7 +2706,9 @@ def search_index_path(
     # PREVIOUS index version under the same token (measured: a
     # cluster-routed index re-trained across runs answered probes with
     # the prior run's cells — recall degraded to ~nprobe/n_cells)
-    index_ver = fsutil.index_fingerprint(path) if cache_token else None
+    index_ver = (
+        fsutil.index_fingerprint(path) if cache_token is not None else None
+    )
     if isinstance(queries, tuple):
         # (ids, matrix) — zero-copy for large query batches
         qids_in, qmat = queries

@@ -342,6 +342,13 @@ def search_ivf_path(
     # s3://, hdfs:// — no shared-local-FS assumption, ADVICE r4)
     avail = set(fsutil.list_partition_values(path, "cluster_id="))
     cids = sorted(set(by_cid) & avail)
+    # cache keys carry the index CONTENT fingerprint — warm python
+    # workers outlive jobs (drain-before-yield), so a cluster table
+    # rebuilt at the same path+token would otherwise serve stale rows
+    # (same staleness class search_index_path fixed; ADVICE r5 medium)
+    index_ver = (
+        fsutil.index_fingerprint(path) if cache_token is not None else None
+    )
     # result id column keeps the table's native type (one footer read)
     id_type = "string"
     for cid0 in sorted(avail):
@@ -386,7 +393,11 @@ def search_ivf_path(
             qsel = by_cid.get(int(cid), [])[chunk * qpt : (chunk + 1) * qpt]
             if not qsel:
                 continue
-            key = (cache_token, int(cid)) if cache_token is not None else None
+            key = (
+                (cache_token, index_ver, int(cid))
+                if cache_token is not None
+                else None
+            )
             hit = _ccache_get(key)
             if hit is not None:
                 ids, vmat = hit

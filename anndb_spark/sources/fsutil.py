@@ -87,21 +87,35 @@ def index_fingerprint(path: str) -> str:
     graphs by (token, FINGERPRINT, pid) — a host-shared cache entry can
     outlive the Spark session AND the index version that produced it
     (e.g. a rebuilt index saved under the same logical name), and an
-    unversioned token then serves a stale graph silently."""
+    unversioned token then serves a stale graph silently.
+
+    Returns ``"empty"`` when the directory has no files (missing or
+    brand-new index) and ``"unknown"`` when the filesystem itself errors
+    — the latter disables staleness protection, so it is logged loudly
+    rather than swallowed (ADVICE r5)."""
     import hashlib
+    import logging
 
     from pyarrow import fs as pafs
 
-    f, p = resolve_fs(path)
     try:
+        f, p = resolve_fs(path)
         infos = f.get_file_info(
             pafs.FileSelector(p, recursive=True, allow_not_found=True)
         )
-    except Exception:
+    except Exception as e:
+        logging.getLogger(__name__).warning(
+            "index_fingerprint(%r) failed (%s); falling back to 'unknown' "
+            "- stale-cache protection is DISABLED for this path",
+            path,
+            e,
+        )
         return "unknown"
     items = sorted(
         (i.path, int(i.size or 0), int(getattr(i, "mtime_ns", 0) or 0))
         for i in infos
         if i.type == pafs.FileType.File
     )
+    if not items:
+        return "empty"
     return hashlib.sha1(repr(items).encode()).hexdigest()[:16]

@@ -662,3 +662,40 @@ def test_serving_cache_tracks_index_content(spark, tmp_path):
         spark, path, q, 5, config=cfg, strategy="beam", cache_token="stale-t"
     ).collect()
     assert all(r["id"].startswith("b") for r in r2), [r["id"] for r in r2]
+
+
+def test_shm_store_retries_after_stale_lock(tmp_path, monkeypatch):
+    """A pre-planted stale (>600 s) lock must not block the next storer:
+    _shm_store unlinks it and retries acquisition in the same call
+    (ADVICE r5 / VERDICT r5 Wrong #4)."""
+    import os
+    import time
+
+    import anndb_spark.operators.hnsw as H
+
+    monkeypatch.setattr(H, "_SHM_ROOT", str(tmp_path))
+    rng = np.random.default_rng(3)
+    mat = rng.normal(0, 1, (50, 8)).astype(np.float32)
+    cfg = HnswConfig(m=4, ef_construction=16)
+    levels = [0] * 50
+    g = HnswGraph.build(mat, levels, cfg)
+    g.finalize()  # _shm_store writes the finalized (padded) layout
+    key = ("tok", "ver", 0)
+    d = H._shm_dir_for(key)
+    lock = f"{d}.lock"
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    open(lock, "w").close()
+    old = time.time() - 3600
+    os.utime(lock, (old, old))  # stale: crashed storer 1 h ago
+    ids = [str(i) for i in range(50)]
+    stored = H._shm_store(key, ids, g)
+    assert stored is not None and os.path.exists(
+        os.path.join(stored, "_COMPLETE")
+    )
+    hit = H._shm_load(stored, cfg)
+    assert hit is not None and list(hit[0]) == ids
+    # and a FRESH lock (live storer) still yields graceful None
+    key2 = ("tok", "ver", 1)
+    d2 = H._shm_dir_for(key2)
+    open(f"{d2}.lock", "w").close()
+    assert H._shm_store(key2, ids, g) is None
