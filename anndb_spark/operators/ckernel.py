@@ -1,0 +1,464 @@
+"""Compiled level-0 beam-search kernel for the HNSW serving path.
+
+The lock-step NumPy kernel (`hnsw._search_batch_chunk`) is
+bandwidth-efficient but pays ~2 argpartition merges plus several
+fancy-gathers of interpreter-dispatched work per step per chunk; at
+fashion-mnist scale it tops out around 1.4k q/s/core while the
+reference's native engine does ~1.6k q/s/core (26,112 q/s on 16 vCPU,
+`/root/reference/results.txt:22-28`, concurrent searchers
+`/root/reference/cmd/benchmark/ann-benchmark/main.go:279-307`).  This
+module closes the constant factor the same way the reference does — a
+native per-query beam loop — without adding any dependency: a ~150-line
+C file is embedded here, compiled ONCE per host with the system cc into
+a content-addressed shared object under /tmp, and loaded via ctypes.
+If no compiler is present (or compilation fails) everything silently
+falls back to the NumPy kernel; results are identical modulo
+floating-point tie order.
+
+Parallelism comes from Spark, not threads: the serving plans emit
+(partition, query-chunk) tasks and each task calls this kernel on its
+chunk single-threaded, so 32 local cores (or 1000 executors) scale
+without any C-side threading.
+
+The search itself is the canonical HNSW layer-0 loop (candidates
+min-heap + bounded results max-heap over one visited-epoch array) as
+published in Malkov & Yashunin (arXiv:1603.09320, Alg. 2) and mirrored
+by the reference's searchLevel (`/root/reference/index/hnsw.go`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+#include <float.h>
+
+typedef struct { float d; int32_t id; } pair_t;
+
+/* binary heaps over (d, id); min-heap orders ascending d, max-heap the
+   inverse -- results keep the ef CLOSEST, candidates pop the closest. */
+static inline void push_min(pair_t* h, int* sz, float d, int32_t id) {
+    int i = (*sz)++;
+    while (i > 0) {
+        int p = (i - 1) >> 1;
+        if (h[p].d <= d) break;
+        h[i] = h[p]; i = p;
+    }
+    h[i].d = d; h[i].id = id;
+}
+static inline pair_t pop_min(pair_t* h, int* sz) {
+    pair_t top = h[0];
+    pair_t v = h[--(*sz)];
+    int i = 0, n = *sz;
+    for (;;) {
+        int l = 2 * i + 1;
+        if (l >= n) break;
+        if (l + 1 < n && h[l + 1].d < h[l].d) l++;
+        if (h[l].d >= v.d) break;
+        h[i] = h[l]; i = l;
+    }
+    h[i] = v;
+    return top;
+}
+static inline void push_max(pair_t* h, int* sz, float d, int32_t id) {
+    int i = (*sz)++;
+    while (i > 0) {
+        int p = (i - 1) >> 1;
+        if (h[p].d >= d) break;
+        h[i] = h[p]; i = p;
+    }
+    h[i].d = d; h[i].id = id;
+}
+static inline void pop_max(pair_t* h, int* sz) {
+    pair_t v = h[--(*sz)];
+    int i = 0, n = *sz;
+    for (;;) {
+        int l = 2 * i + 1;
+        if (l >= n) break;
+        if (l + 1 < n && h[l + 1].d > h[l].d) l++;
+        if (h[l].d <= v.d) break;
+        h[i] = h[l]; i = l;
+    }
+    h[i] = v;
+}
+
+static inline float dotf(const float* restrict a, const float* restrict b,
+                         int32_t d) {
+    float s = 0.f;
+    for (int32_t i = 0; i < d; i++) s += a[i] * b[i];
+    return s;
+}
+static inline float l1f(const float* restrict a, const float* restrict b,
+                        int32_t d) {
+    float s = 0.f;
+    for (int32_t i = 0; i < d; i++) s += fabsf(a[i] - b[i]);
+    return s;
+}
+
+/* space: 0 = euclidean (SQUARED internally; sqrt at emit), 1 = cosine
+   (|1 - cos|, the reference's abs wrapper), 2 = manhattan. */
+static inline float dist_one(int32_t space, const float* v, const float* q,
+                             int32_t dim, float vn2, float vn,
+                             float qn2, float qn) {
+    if (space == 2) return l1f(v, q, dim);
+    float dot = dotf(v, q, dim);
+    if (space == 0) {
+        float d = vn2 - 2.0f * dot + qn2;
+        return d > 0.f ? d : 0.f;
+    }
+    float den = vn * qn;
+    if (den <= 0.f) den = 1e-30f;
+    return fabsf(1.0f - dot / den);
+}
+
+/* cmp for the final ascending sort: (d, id) -- id tiebreak keeps the
+   output deterministic. */
+static int cmp_pair(const void* pa, const void* pb) {
+    const pair_t* a = (const pair_t*)pa;
+    const pair_t* b = (const pair_t*)pb;
+    if (a->d < b->d) return -1;
+    if (a->d > b->d) return 1;
+    return (a->id > b->id) - (a->id < b->id);
+}
+
+int hnsw_search_level0(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms,
+    int64_t n, int32_t dim,
+    const int32_t* restrict pad0, int32_t cap,
+    const float* restrict queries, int64_t nq,
+    const int64_t* restrict entries,
+    int32_t ef, int32_t k, int32_t space,
+    const uint8_t* restrict deleted,
+    int64_t* restrict out_ids, float* restrict out_d)
+{
+    int32_t* visited = (int32_t*)calloc((size_t)n, sizeof(int32_t));
+    /* every push into cand is gated by the result bound, so cand never
+       holds more than visited vertices; n+ef is a safe upper bound */
+    pair_t* cand = (pair_t*)malloc(sizeof(pair_t) * ((size_t)n + ef + 1));
+    pair_t* res = (pair_t*)malloc(sizeof(pair_t) * ((size_t)ef + 1));
+    if (!visited || !cand || !res) {
+        free(visited); free(cand); free(res);
+        return -1;
+    }
+    for (int64_t qi = 0; qi < nq; qi++) {
+        const float* q = queries + qi * dim;
+        float qn2 = dotf(q, q, dim);
+        float qn = sqrtf(qn2);
+        int32_t epoch = (int32_t)qi + 1;
+        int csz = 0, rsz = 0;
+        int32_t e = (int32_t)entries[qi];
+        float ed = dist_one(space, vectors + (int64_t)e * dim, q, dim,
+                            norms2[e], norms[e], qn2, qn);
+        visited[e] = epoch;
+        push_min(cand, &csz, ed, e);
+        if (!(deleted && deleted[e])) push_max(res, &rsz, ed, e);
+        while (csz > 0) {
+            pair_t c = pop_min(cand, &csz);
+            if (rsz >= ef && c.d > res[0].d) break;
+            const int32_t* nb = pad0 + (int64_t)c.id * cap;
+            for (int32_t j = 0; j < cap; j++) {
+                int32_t id = nb[j];
+                if (id < 0) continue;
+                if (visited[id] == epoch) continue;
+                visited[id] = epoch;
+                float d = dist_one(space, vectors + (int64_t)id * dim, q,
+                                   dim, norms2[id], norms[id], qn2, qn);
+                if (rsz < ef || d < res[0].d) {
+                    push_min(cand, &csz, d, id);
+                    if (!(deleted && deleted[id])) {
+                        push_max(res, &rsz, d, id);
+                        if (rsz > ef) pop_max(res, &rsz);
+                    }
+                }
+            }
+        }
+        qsort(res, rsz, sizeof(pair_t), cmp_pair);
+        int kk = k < rsz ? k : rsz;
+        for (int32_t j = 0; j < kk; j++) {
+            out_ids[qi * k + j] = res[j].id;
+            out_d[qi * k + j] =
+                space == 0 ? sqrtf(res[j].d) : res[j].d;
+        }
+        for (int32_t j = kk; j < k; j++) {
+            out_ids[qi * k + j] = -1;
+            out_d[qi * k + j] = FLT_MAX;
+        }
+    }
+    free(visited); free(cand); free(res);
+    return 0;
+}
+
+/* Lock-step greedy descent L..1 is cheap (few vertices), but doing it
+   here too keeps the whole search native.  pads: concatenated per-level
+   matrices, lvl_off[l] row offset into pads for level l (levels 1..L
+   share one buffer, each n x lvl_cap[l]). */
+int hnsw_descend(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms,
+    int64_t n, int32_t dim,
+    const int32_t* restrict pads, const int64_t* restrict lvl_off,
+    const int32_t* restrict lvl_cap, int32_t max_level,
+    const float* restrict queries, int64_t nq,
+    int64_t entrypoint, int32_t space,
+    int64_t* restrict out_entry, float* restrict out_d)
+{
+    for (int64_t qi = 0; qi < nq; qi++) {
+        const float* q = queries + qi * dim;
+        float qn2 = dotf(q, q, dim);
+        float qn = sqrtf(qn2);
+        int64_t cur = entrypoint;
+        float cur_d = dist_one(space, vectors + cur * dim, q, dim,
+                               norms2[cur], norms[cur], qn2, qn);
+        for (int32_t lvl = max_level; lvl >= 1; lvl--) {
+            int32_t cp = lvl_cap[lvl];
+            const int32_t* mat = pads + lvl_off[lvl];
+            int changed = 1;
+            while (changed) {
+                changed = 0;
+                const int32_t* nb = mat + cur * cp;
+                for (int32_t j = 0; j < cp; j++) {
+                    int32_t id = nb[j];
+                    if (id < 0) continue;
+                    float d = dist_one(space, vectors + (int64_t)id * dim,
+                                       q, dim, norms2[id], norms[id],
+                                       qn2, qn);
+                    if (d < cur_d) { cur_d = d; cur = id; changed = 1; }
+                }
+            }
+        }
+        out_entry[qi] = cur;
+        out_d[qi] = space == 0 ? sqrtf(cur_d) : cur_d;
+    }
+    return 0;
+}
+"""
+
+_CACHE_ROOT = os.environ.get(
+    "ANNDB_CKERNEL_DIR", os.path.join(tempfile.gettempdir(), "anndb_ckernel")
+)
+_DISABLED = os.environ.get("ANNDB_CKERNEL", "1") in ("0", "false", "no")
+
+_lib = None
+_lib_tried = False
+
+
+def _compile() -> str | None:
+    """Compile the kernel once per host; content-addressed so a source
+    change never reuses a stale binary.  Atomic rename publishes the
+    .so; concurrent compilers race benignly (same bytes)."""
+    h = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
+    so = os.path.join(_CACHE_ROOT, f"hnswk_{h}.so")
+    if os.path.exists(so):
+        return so
+    try:
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        src = os.path.join(_CACHE_ROOT, f"hnswk_{h}.c")
+        with open(src, "w") as f:
+            f.write(_C_SRC)
+        tmp = f"{so}.tmp.{os.getpid()}"
+        # NOTE -ffast-math is safe here: the kernel never relies on
+        # NaN/Inf semantics (FLT_MAX sentinels, clamped distances)
+        cmd = [
+            "cc", "-O3", "-march=native", "-ffast-math", "-fPIC",
+            "-shared", "-o", tmp, src, "-lm",
+        ]
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        if r.returncode != 0:
+            return None
+        os.replace(tmp, so)
+        return so
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if _DISABLED:
+        return None
+    so = _compile()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        p_f32 = ctypes.POINTER(ctypes.c_float)
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.hnsw_search_level0.restype = ctypes.c_int
+        lib.hnsw_search_level0.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int64, ctypes.c_int32,
+            p_i32, ctypes.c_int32,
+            p_f32, ctypes.c_int64,
+            p_i64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            p_u8,
+            p_i64, p_f32,
+        ]
+        lib.hnsw_descend.restype = ctypes.c_int
+        lib.hnsw_descend.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int64, ctypes.c_int32,
+            p_i32, p_i64, p_i32, ctypes.c_int32,
+            p_f32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+            p_i64, p_f32,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_SPACE_CODE = {"euclidean": 0, "cosine": 1, "manhattan": 2}
+
+
+def _as_c(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _graph_buffers(g):
+    """Contiguous float32/int32 views of the graph, cached on the graph
+    object (mmap-backed arrays pass through zero-copy when already
+    contiguous float32)."""
+    bufs = getattr(g, "_ck_bufs", None)
+    if bufs is not None and bufs["n"] == len(g.levels):
+        return bufs
+    vec = np.ascontiguousarray(g.vectors, dtype=np.float32)
+    n2 = np.ascontiguousarray(g.norms2, dtype=np.float32)
+    nm = np.ascontiguousarray(g.norms, dtype=np.float32)
+    pad0 = np.ascontiguousarray(g.adj_pad[0], dtype=np.int32)
+    bufs = {"n": len(g.levels), "vec": vec, "n2": n2, "nm": nm, "pad0": pad0}
+    g._ck_bufs = bufs
+    return bufs
+
+
+def search_level0(
+    g,
+    Q: np.ndarray,
+    k: int,
+    ef: int,
+    entries: np.ndarray,
+    deleted: np.ndarray | None = None,
+):
+    """C beam search over the finalized graph; returns (ids, dists)
+    arrays of shape (nq, k), -1/FLT_MAX padded.  None if the native
+    kernel is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    space = _SPACE_CODE.get(g.cfg.space)
+    if space is None:
+        return None
+    b = _graph_buffers(g)
+    Qf = np.ascontiguousarray(Q, dtype=np.float32)
+    nq = Qf.shape[0]
+    ent = np.ascontiguousarray(entries, dtype=np.int64)
+    out_ids = np.empty((nq, k), dtype=np.int64)
+    out_d = np.empty((nq, k), dtype=np.float32)
+    del_arr = None
+    if deleted is not None:
+        del_arr = np.ascontiguousarray(deleted, dtype=np.uint8)
+    rc = lib.hnsw_search_level0(
+        _as_c(b["vec"], ctypes.c_float),
+        _as_c(b["n2"], ctypes.c_float),
+        _as_c(b["nm"], ctypes.c_float),
+        ctypes.c_int64(b["n"]),
+        ctypes.c_int32(Qf.shape[1]),
+        _as_c(b["pad0"], ctypes.c_int32),
+        ctypes.c_int32(b["pad0"].shape[1]),
+        _as_c(Qf, ctypes.c_float),
+        ctypes.c_int64(nq),
+        _as_c(ent, ctypes.c_int64),
+        ctypes.c_int32(ef),
+        ctypes.c_int32(k),
+        ctypes.c_int32(space),
+        (
+            _as_c(del_arr, ctypes.c_uint8)
+            if del_arr is not None
+            else ctypes.POINTER(ctypes.c_uint8)()
+        ),
+        _as_c(out_ids, ctypes.c_int64),
+        _as_c(out_d, ctypes.c_float),
+    )
+    if rc != 0:
+        return None
+    return out_ids, out_d
+
+
+def descend(g, Q: np.ndarray):
+    """Native greedy descent L..1; returns (entry_ids, entry_dists) or
+    None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    space = _SPACE_CODE.get(g.cfg.space)
+    if space is None or g.entrypoint < 0:
+        return None
+    max_level = max(g.adj_pad) if g.adj_pad else 0
+    if max_level == 0:
+        ent = np.full(Q.shape[0], g.entrypoint, dtype=np.int64)
+        return ent, None
+    cached = getattr(g, "_ck_upper", None)
+    if cached is None or cached["n"] != len(g.levels):
+        n = len(g.levels)
+        caps = np.zeros(max_level + 1, dtype=np.int32)
+        offs = np.zeros(max_level + 1, dtype=np.int64)
+        mats = []
+        off = 0
+        for lvl in range(1, max_level + 1):
+            m = np.ascontiguousarray(g.adj_pad[lvl], dtype=np.int32)
+            caps[lvl] = m.shape[1]
+            offs[lvl] = off
+            off += m.size
+            mats.append(m.reshape(-1))
+        pads = (
+            np.concatenate(mats)
+            if mats
+            else np.zeros(1, dtype=np.int32)
+        )
+        cached = {"n": n, "pads": pads, "caps": caps, "offs": offs}
+        g._ck_upper = cached
+    b = _graph_buffers(g)
+    Qf = np.ascontiguousarray(Q, dtype=np.float32)
+    nq = Qf.shape[0]
+    out_e = np.empty(nq, dtype=np.int64)
+    out_d = np.empty(nq, dtype=np.float32)
+    rc = lib.hnsw_descend(
+        _as_c(b["vec"], ctypes.c_float),
+        _as_c(b["n2"], ctypes.c_float),
+        _as_c(b["nm"], ctypes.c_float),
+        ctypes.c_int64(b["n"]),
+        ctypes.c_int32(Qf.shape[1]),
+        _as_c(cached["pads"], ctypes.c_int32),
+        _as_c(cached["offs"], ctypes.c_int64),
+        _as_c(cached["caps"], ctypes.c_int32),
+        ctypes.c_int32(max_level),
+        _as_c(Qf, ctypes.c_float),
+        ctypes.c_int64(nq),
+        ctypes.c_int64(g.entrypoint),
+        ctypes.c_int32(space),
+        _as_c(out_e, ctypes.c_int64),
+        _as_c(out_d, ctypes.c_float),
+    )
+    if rc != 0:
+        return None
+    return out_e, out_d
