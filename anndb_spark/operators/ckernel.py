@@ -131,6 +131,241 @@ static int cmp_pair(const void* pa, const void* pb) {
     return (a->id > b->id) - (a->id < b->id);
 }
 
+static int cmp_i32(const void* pa, const void* pb) {
+    int32_t a = *(const int32_t*)pa, b = *(const int32_t*)pb;
+    return (a > b) - (a < b);
+}
+
+/* one query's layer-0 walk; results left in the res max-heap (raw
+   metric: SQUARED l2).  scratch is owned by the calling thread, epoch
+   distinguishes queries within a thread.  Returns result count. */
+static int walk_level0(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms,
+    int32_t dim,
+    const int32_t* restrict pad0, int32_t cap,
+    const float* restrict q, int64_t entry,
+    int32_t ef, int32_t space,
+    const uint8_t* restrict deleted,
+    int32_t* restrict visited, int32_t epoch,
+    pair_t* restrict cand, pair_t* restrict res)
+{
+    float qn2 = dotf(q, q, dim);
+    float qn = sqrtf(qn2);
+    int csz = 0, rsz = 0;
+    int32_t e = (int32_t)entry;
+    float ed = dist_one(space, vectors + (int64_t)e * dim, q, dim,
+                        norms2[e], norms[e], qn2, qn);
+    visited[e] = epoch;
+    push_min(cand, &csz, ed, e);
+    if (!(deleted && deleted[e])) push_max(res, &rsz, ed, e);
+    while (csz > 0) {
+        pair_t c = pop_min(cand, &csz);
+        if (rsz >= ef && c.d > res[0].d) break;
+        const int32_t* nb = pad0 + (int64_t)c.id * cap;
+        for (int32_t j = 0; j < cap; j++) {
+            int32_t id = nb[j];
+            if (id < 0) continue;
+            if (visited[id] == epoch) continue;
+            visited[id] = epoch;
+            float d = dist_one(space, vectors + (int64_t)id * dim, q,
+                               dim, norms2[id], norms[id], qn2, qn);
+            if (rsz < ef || d < res[0].d) {
+                push_min(cand, &csz, d, id);
+                if (!(deleted && deleted[id])) {
+                    push_max(res, &rsz, d, id);
+                    if (rsz > ef) pop_max(res, &rsz);
+                }
+            }
+        }
+    }
+    return rsz;
+}
+
+static void search_one(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms,
+    int64_t n, int32_t dim,
+    const int32_t* restrict pad0, int32_t cap,
+    const float* restrict q, int64_t entry,
+    int32_t ef, int32_t k, int32_t space,
+    const uint8_t* restrict deleted,
+    int32_t* restrict visited, int32_t epoch,
+    pair_t* restrict cand, pair_t* restrict res,
+    int64_t* restrict out_ids, float* restrict out_d)
+{
+    int rsz = walk_level0(vectors, norms2, norms, dim, pad0, cap, q,
+                          entry, ef, space, deleted, visited, epoch,
+                          cand, res);
+    qsort(res, rsz, sizeof(pair_t), cmp_pair);
+    int kk = k < rsz ? k : rsz;
+    for (int32_t j = 0; j < kk; j++) {
+        out_ids[j] = res[j].id;
+        out_d[j] = space == 0 ? sqrtf(res[j].d) : res[j].d;
+    }
+    for (int32_t j = kk; j < k; j++) {
+        out_ids[j] = -1;
+        out_d[j] = FLT_MAX;
+    }
+}
+
+/* Greedy diversification (Malkov & Yashunin Alg. 4; the reference's
+   selectNeighborsHeuristic, index/hnsw.go:361-417) over a pool sorted
+   ascending by (d-to-q, id).  dq must be the SAME raw metric used for
+   pool-member pair distances (squared l2 / cosine / l1) — the
+   domination test d(s,c) <= d(q,c) is monotonic-invariant.  state is
+   caller scratch (>= W bytes); out gets POOL INDICES of the selected,
+   ascending.  Returns the selected count. */
+static int select_greedy(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms, int32_t dim, int32_t space,
+    const int32_t* restrict ids, const float* restrict dq,
+    int32_t W, int32_t m, int32_t keep_pruned,
+    char* restrict state, int32_t* restrict out)
+{
+    memset(state, 0, W);
+    int nsel = 0;
+    for (int32_t i = 0; i < W; i++) {
+        if (state[i]) continue;
+        state[i] = 1;
+        out[nsel++] = i;
+        if (nsel >= m) break;
+        const float* vi = vectors + (int64_t)ids[i] * dim;
+        float in2 = norms2[ids[i]], in_ = norms[ids[i]];
+        for (int32_t j = i + 1; j < W; j++) {
+            if (state[j]) continue;
+            float d = dist_one(space, vectors + (int64_t)ids[j] * dim,
+                               vi, dim, norms2[ids[j]], norms[ids[j]],
+                               in2, in_);
+            if (d <= dq[j]) state[j] = 2;
+        }
+    }
+    if (keep_pruned) {
+        for (int32_t i = 0; i < W && nsel < m; i++)
+            if (state[i] == 2) out[nsel++] = i;
+    }
+    /* ascending pool index == ascending (d, id): matches the python
+       selection's final sorted() */
+    qsort(out, nsel, sizeof(int32_t), cmp_i32);
+    return nsel;
+}
+
+/* Fused wave-build candidate stage: per item, one beam walk at
+   ef=efConstruction plus neighbor selection, all native — the arrays
+   never round-trip through python tuples. */
+int hnsw_build_candidates(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms,
+    int64_t n, int32_t dim,
+    const int32_t* restrict pad0, int32_t cap,
+    const float* restrict queries, int64_t nq,
+    const int64_t* restrict entries,
+    int32_t efc, int32_t m, int32_t space,
+    int32_t heuristic, int32_t keep_pruned, int32_t pool_cap,
+    int32_t* restrict out_ids, float* restrict out_d,
+    int32_t nthreads)
+{
+    int err = 0;
+    #pragma omp parallel num_threads(nthreads > 1 ? nthreads : 1) reduction(|:err)
+    {
+        int32_t* visited = (int32_t*)calloc((size_t)n, sizeof(int32_t));
+        pair_t* cand =
+            (pair_t*)malloc(sizeof(pair_t) * ((size_t)n + efc + 1));
+        pair_t* res = (pair_t*)malloc(sizeof(pair_t) * ((size_t)efc + 1));
+        int32_t* pids = (int32_t*)malloc(sizeof(int32_t) * (efc + 1));
+        float* pdq = (float*)malloc(sizeof(float) * (efc + 1));
+        char* state = (char*)malloc((size_t)efc + 1);
+        int32_t* sel = (int32_t*)malloc(sizeof(int32_t) * (m + 1));
+        if (!visited || !cand || !res || !pids || !pdq || !state || !sel) {
+            err = 1;
+        } else {
+            int32_t epoch = 0;
+            #pragma omp for schedule(dynamic, 16)
+            for (int64_t qi = 0; qi < nq; qi++) {
+                epoch++;
+                const float* q = queries + qi * dim;
+                int rsz = walk_level0(vectors, norms2, norms, dim, pad0,
+                                      cap, q, entries[qi], efc, space,
+                                      NULL, visited, epoch, cand, res);
+                qsort(res, rsz, sizeof(pair_t), cmp_pair);
+                int W = rsz;
+                if (pool_cap > 0 && W > pool_cap) W = pool_cap;
+                int ns;
+                if (!heuristic) {
+                    ns = W < m ? W : m;
+                    for (int32_t j = 0; j < ns; j++) sel[j] = j;
+                } else {
+                    for (int32_t j = 0; j < W; j++) {
+                        pids[j] = res[j].id;
+                        pdq[j] = res[j].d;
+                    }
+                    ns = select_greedy(vectors, norms2, norms, dim,
+                                       space, pids, pdq, W, m,
+                                       keep_pruned, state, sel);
+                }
+                for (int32_t j = 0; j < ns; j++) {
+                    out_ids[qi * m + j] = res[sel[j]].id;
+                    out_d[qi * m + j] = space == 0
+                        ? sqrtf(res[sel[j]].d) : res[sel[j]].d;
+                }
+                for (int32_t j = ns; j < m; j++) {
+                    out_ids[qi * m + j] = -1;
+                    out_d[qi * m + j] = FLT_MAX;
+                }
+            }
+        }
+        free(visited); free(cand); free(res);
+        free(pids); free(pdq); free(state); free(sel);
+    }
+    return err ? -1 : 0;
+}
+
+/* Backlink-prune selection: distances from one vertex to its (small)
+   over-cap pool, sort, select.  out gets selected VERTEX ids.
+   Returns count (or -1). */
+int hnsw_select_from_pool(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms, int32_t dim, int32_t space,
+    const int64_t* restrict pool, int32_t W, int64_t node,
+    int32_t m, int32_t heuristic, int32_t keep_pruned, int32_t pool_cap,
+    int64_t* restrict out)
+{
+    pair_t* pr = (pair_t*)malloc(sizeof(pair_t) * (W + 1));
+    int32_t* pids = (int32_t*)malloc(sizeof(int32_t) * (W + 1));
+    float* pdq = (float*)malloc(sizeof(float) * (W + 1));
+    char* state = (char*)malloc((size_t)W + 1);
+    int32_t* sel = (int32_t*)malloc(sizeof(int32_t) * (m + 1));
+    if (!pr || !pids || !pdq || !state || !sel) {
+        free(pr); free(pids); free(pdq); free(state); free(sel);
+        return -1;
+    }
+    const float* q = vectors + node * dim;
+    float qn2 = norms2[node], qn = norms[node];
+    for (int32_t j = 0; j < W; j++) {
+        int32_t id = (int32_t)pool[j];
+        pr[j].id = id;
+        pr[j].d = dist_one(space, vectors + (int64_t)id * dim, q, dim,
+                           norms2[id], norms[id], qn2, qn);
+    }
+    qsort(pr, W, sizeof(pair_t), cmp_pair);
+    if (pool_cap > 0 && W > pool_cap) W = pool_cap;
+    int ns;
+    if (!heuristic) {
+        ns = W < m ? W : m;
+        for (int32_t j = 0; j < ns; j++) out[j] = pr[j].id;
+    } else {
+        for (int32_t j = 0; j < W; j++) {
+            pids[j] = pr[j].id;
+            pdq[j] = pr[j].d;
+        }
+        ns = select_greedy(vectors, norms2, norms, dim, space, pids,
+                           pdq, W, m, keep_pruned, state, sel);
+        for (int32_t j = 0; j < ns; j++) out[j] = pr[sel[j]].id;
+    }
+    free(pr); free(pids); free(pdq); free(state); free(sel);
+    return ns;
+}
+
 int hnsw_search_level0(
     const float* restrict vectors, const float* restrict norms2,
     const float* restrict norms,
@@ -152,51 +387,120 @@ int hnsw_search_level0(
         return -1;
     }
     for (int64_t qi = 0; qi < nq; qi++) {
-        const float* q = queries + qi * dim;
-        float qn2 = dotf(q, q, dim);
-        float qn = sqrtf(qn2);
-        int32_t epoch = (int32_t)qi + 1;
-        int csz = 0, rsz = 0;
-        int32_t e = (int32_t)entries[qi];
-        float ed = dist_one(space, vectors + (int64_t)e * dim, q, dim,
-                            norms2[e], norms[e], qn2, qn);
-        visited[e] = epoch;
-        push_min(cand, &csz, ed, e);
-        if (!(deleted && deleted[e])) push_max(res, &rsz, ed, e);
-        while (csz > 0) {
-            pair_t c = pop_min(cand, &csz);
-            if (rsz >= ef && c.d > res[0].d) break;
-            const int32_t* nb = pad0 + (int64_t)c.id * cap;
-            for (int32_t j = 0; j < cap; j++) {
-                int32_t id = nb[j];
-                if (id < 0) continue;
-                if (visited[id] == epoch) continue;
-                visited[id] = epoch;
-                float d = dist_one(space, vectors + (int64_t)id * dim, q,
-                                   dim, norms2[id], norms[id], qn2, qn);
-                if (rsz < ef || d < res[0].d) {
-                    push_min(cand, &csz, d, id);
-                    if (!(deleted && deleted[id])) {
-                        push_max(res, &rsz, d, id);
-                        if (rsz > ef) pop_max(res, &rsz);
-                    }
-                }
-            }
-        }
-        qsort(res, rsz, sizeof(pair_t), cmp_pair);
-        int kk = k < rsz ? k : rsz;
-        for (int32_t j = 0; j < kk; j++) {
-            out_ids[qi * k + j] = res[j].id;
-            out_d[qi * k + j] =
-                space == 0 ? sqrtf(res[j].d) : res[j].d;
-        }
-        for (int32_t j = kk; j < k; j++) {
-            out_ids[qi * k + j] = -1;
-            out_d[qi * k + j] = FLT_MAX;
-        }
+        search_one(vectors, norms2, norms, n, dim, pad0, cap,
+                   queries + qi * dim, entries[qi], ef, k, space, deleted,
+                   visited, (int32_t)qi + 1, cand, res,
+                   out_ids + qi * k, out_d + qi * k);
     }
     free(visited); free(cand); free(res);
     return 0;
+}
+
+/* OpenMP fan-out over queries: per-thread scratch, dynamic schedule
+   (beam walks have a long tail).  Used by the driver-side wave build's
+   candidate search (one process, all cores); serving tasks stay on the
+   serial entry (Spark supplies their parallelism). */
+int hnsw_search_level0_mt(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms,
+    int64_t n, int32_t dim,
+    const int32_t* restrict pad0, int32_t cap,
+    const float* restrict queries, int64_t nq,
+    const int64_t* restrict entries,
+    int32_t ef, int32_t k, int32_t space,
+    const uint8_t* restrict deleted,
+    int64_t* restrict out_ids, float* restrict out_d,
+    int32_t nthreads)
+{
+    if (nthreads <= 1) {
+        return hnsw_search_level0(vectors, norms2, norms, n, dim, pad0,
+                                  cap, queries, nq, entries, ef, k, space,
+                                  deleted, out_ids, out_d);
+    }
+    int err = 0;
+    #pragma omp parallel num_threads(nthreads) reduction(|:err)
+    {
+        int32_t* visited = (int32_t*)calloc((size_t)n, sizeof(int32_t));
+        pair_t* cand =
+            (pair_t*)malloc(sizeof(pair_t) * ((size_t)n + ef + 1));
+        pair_t* res = (pair_t*)malloc(sizeof(pair_t) * ((size_t)ef + 1));
+        if (!visited || !cand || !res) {
+            err = 1;
+        } else {
+            int32_t epoch = 0;
+            #pragma omp for schedule(dynamic, 16)
+            for (int64_t qi = 0; qi < nq; qi++) {
+                epoch++;
+                search_one(vectors, norms2, norms, n, dim, pad0, cap,
+                           queries + qi * dim, entries[qi], ef, k, space,
+                           deleted, visited, epoch, cand, res,
+                           out_ids + qi * k, out_d + qi * k);
+            }
+        }
+        free(visited); free(cand); free(res);
+    }
+    return err ? -1 : 0;
+}
+
+/* Upper-level wave selection: every item in the wave shares ONE
+   candidate pool (that level's pre-wave vertices), so distances, sort
+   and greedy run per item over the shared id list — OMP over items. */
+int hnsw_select_pool_batch(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms, int32_t dim, int32_t space,
+    const int64_t* restrict pool, int32_t W,
+    const int64_t* restrict nodes, int64_t nq,
+    int32_t m, int32_t heuristic, int32_t keep_pruned, int32_t pool_cap,
+    int64_t* restrict out, int32_t nthreads)
+{
+    int err = 0;
+    #pragma omp parallel num_threads(nthreads > 1 ? nthreads : 1) reduction(|:err)
+    {
+        pair_t* pr = (pair_t*)malloc(sizeof(pair_t) * ((size_t)W + 1));
+        int32_t* pids = (int32_t*)malloc(sizeof(int32_t) * (W + 1));
+        float* pdq = (float*)malloc(sizeof(float) * (W + 1));
+        char* state = (char*)malloc((size_t)W + 1);
+        int32_t* sel = (int32_t*)malloc(sizeof(int32_t) * (m + 1));
+        if (!pr || !pids || !pdq || !state || !sel) {
+            err = 1;
+        } else {
+            #pragma omp for schedule(dynamic, 4)
+            for (int64_t qi = 0; qi < nq; qi++) {
+                int64_t node = nodes[qi];
+                const float* q = vectors + node * dim;
+                float qn2 = norms2[node], qn = norms[node];
+                for (int32_t j = 0; j < W; j++) {
+                    int32_t id = (int32_t)pool[j];
+                    pr[j].id = id;
+                    pr[j].d = dist_one(space,
+                                       vectors + (int64_t)id * dim, q,
+                                       dim, norms2[id], norms[id],
+                                       qn2, qn);
+                }
+                qsort(pr, W, sizeof(pair_t), cmp_pair);
+                int32_t Wc = W;
+                if (pool_cap > 0 && Wc > pool_cap) Wc = pool_cap;
+                int ns;
+                int64_t* o = out + qi * m;
+                if (!heuristic) {
+                    ns = Wc < m ? Wc : m;
+                    for (int32_t j = 0; j < ns; j++) o[j] = pr[j].id;
+                } else {
+                    for (int32_t j = 0; j < Wc; j++) {
+                        pids[j] = pr[j].id;
+                        pdq[j] = pr[j].d;
+                    }
+                    ns = select_greedy(vectors, norms2, norms, dim,
+                                       space, pids, pdq, Wc, m,
+                                       keep_pruned, state, sel);
+                    for (int32_t j = 0; j < ns; j++) o[j] = pr[sel[j]].id;
+                }
+                for (int32_t j = ns; j < m; j++) o[j] = -1;
+            }
+        }
+        free(pr); free(pids); free(pdq); free(state); free(sel);
+    }
+    return err ? -1 : 0;
 }
 
 /* Lock-step greedy descent L..1 is cheap (few vertices), but doing it
@@ -270,8 +574,8 @@ def _compile() -> str | None:
         # NOTE -ffast-math is safe here: the kernel never relies on
         # NaN/Inf semantics (FLT_MAX sentinels, clamped distances)
         cmd = [
-            "cc", "-O3", "-march=native", "-ffast-math", "-fPIC",
-            "-shared", "-o", tmp, src, "-lm",
+            "cc", "-O3", "-march=native", "-ffast-math", "-fopenmp",
+            "-fPIC", "-shared", "-o", tmp, src, "-lm",
         ]
         r = subprocess.run(cmd, capture_output=True, timeout=120)
         if r.returncode != 0:
@@ -308,6 +612,41 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             p_u8,
             p_i64, p_f32,
+        ]
+        lib.hnsw_search_level0_mt.restype = ctypes.c_int
+        lib.hnsw_search_level0_mt.argtypes = (
+            lib.hnsw_search_level0.argtypes + [ctypes.c_int32]
+        )
+        lib.hnsw_build_candidates.restype = ctypes.c_int
+        lib.hnsw_build_candidates.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int64, ctypes.c_int32,
+            p_i32, ctypes.c_int32,
+            p_f32, ctypes.c_int64,
+            p_i64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            p_i32, p_f32,
+            ctypes.c_int32,
+        ]
+        lib.hnsw_select_from_pool.restype = ctypes.c_int
+        lib.hnsw_select_from_pool.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int32, ctypes.c_int32,
+            p_i64, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            p_i64,
+        ]
+        lib.hnsw_select_pool_batch.restype = ctypes.c_int
+        lib.hnsw_select_pool_batch.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int32, ctypes.c_int32,
+            p_i64, ctypes.c_int32,
+            p_i64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            p_i64, ctypes.c_int32,
         ]
         lib.hnsw_descend.restype = ctypes.c_int
         lib.hnsw_descend.argtypes = [
@@ -358,10 +697,14 @@ def search_level0(
     ef: int,
     entries: np.ndarray,
     deleted: np.ndarray | None = None,
+    threads: int = 1,
 ):
     """C beam search over the finalized graph; returns (ids, dists)
     arrays of shape (nq, k), -1/FLT_MAX padded.  None if the native
-    kernel is unavailable (caller falls back to NumPy)."""
+    kernel is unavailable (caller falls back to NumPy).  ``threads``
+    > 1 fans queries across OpenMP threads — for driver-side callers
+    that own the whole machine (the wave build); Spark tasks keep the
+    default 1."""
     lib = _load()
     if lib is None:
         return None
@@ -377,7 +720,7 @@ def search_level0(
     del_arr = None
     if deleted is not None:
         del_arr = np.ascontiguousarray(deleted, dtype=np.uint8)
-    rc = lib.hnsw_search_level0(
+    args = [
         _as_c(b["vec"], ctypes.c_float),
         _as_c(b["n2"], ctypes.c_float),
         _as_c(b["nm"], ctypes.c_float),
@@ -398,7 +741,11 @@ def search_level0(
         ),
         _as_c(out_ids, ctypes.c_int64),
         _as_c(out_d, ctypes.c_float),
-    )
+    ]
+    if threads > 1:
+        rc = lib.hnsw_search_level0_mt(*args, ctypes.c_int32(threads))
+    else:
+        rc = lib.hnsw_search_level0(*args)
     if rc != 0:
         return None
     return out_ids, out_d
@@ -462,3 +809,160 @@ def descend(g, Q: np.ndarray):
     if rc != 0:
         return None
     return out_e, out_d
+
+
+def build_candidates(
+    g,
+    Q: np.ndarray,
+    entries: np.ndarray,
+    efc: int,
+    m: int,
+    threads: int = 1,
+):
+    """Fused walk+selection for one build wave: per item a beam walk at
+    ef=efConstruction followed by neighbor selection (simple or
+    heuristic per g.cfg), entirely native — no per-candidate python
+    tuples.  Returns (ids (nq, m) int32, dists (nq, m) float32), -1
+    padded, or None when unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    space = _SPACE_CODE.get(g.cfg.space)
+    if space is None or g.cfg.extend_candidates:
+        return None  # extend-candidates reads adjacency: python path
+    b = _graph_buffers(g)
+    Qf = np.ascontiguousarray(Q, dtype=np.float32)
+    nq = Qf.shape[0]
+    ent = np.ascontiguousarray(entries, dtype=np.int64)
+    out_ids = np.empty((nq, m), dtype=np.int32)
+    out_d = np.empty((nq, m), dtype=np.float32)
+    rc = lib.hnsw_build_candidates(
+        _as_c(b["vec"], ctypes.c_float),
+        _as_c(b["n2"], ctypes.c_float),
+        _as_c(b["nm"], ctypes.c_float),
+        ctypes.c_int64(b["n"]),
+        ctypes.c_int32(Qf.shape[1]),
+        _as_c(b["pad0"], ctypes.c_int32),
+        ctypes.c_int32(b["pad0"].shape[1]),
+        _as_c(Qf, ctypes.c_float),
+        ctypes.c_int64(nq),
+        _as_c(ent, ctypes.c_int64),
+        ctypes.c_int32(efc),
+        ctypes.c_int32(m),
+        ctypes.c_int32(space),
+        ctypes.c_int32(1 if g.cfg.heuristic else 0),
+        ctypes.c_int32(1 if g.cfg.keep_pruned else 0),
+        ctypes.c_int32(int(g.cfg.heuristic_pool or 0)),
+        _as_c(out_ids, ctypes.c_int32),
+        _as_c(out_d, ctypes.c_float),
+        ctypes.c_int32(threads),
+    )
+    if rc != 0:
+        return None
+    return out_ids, out_d
+
+
+def _sel_ctx(g):
+    """Cached (lib, pointers, flags) for the per-call selection entries
+    — ctypes pointer construction is ~half the cost of a small prune
+    call, so it is done once per (graph, vectors identity)."""
+    lib = _load()
+    if lib is None:
+        return None
+    space = _SPACE_CODE.get(g.cfg.space)
+    if space is None or g.cfg.extend_candidates:
+        return None
+    ctx = getattr(g, "_ck_sel_ctx", None)
+    if ctx is not None and ctx[0] is g.vectors:
+        return ctx[1]
+    vec, n2, nm = g.vectors, g.norms2, g.norms
+    if not (
+        isinstance(vec, np.ndarray)
+        and vec.dtype == np.float32
+        and vec.flags.c_contiguous
+        and isinstance(n2, np.ndarray)
+        and n2.dtype == np.float32
+        and n2.flags.c_contiguous
+        and nm.dtype == np.float32
+        and nm.flags.c_contiguous
+    ):
+        return None  # would copy per call: python path instead
+    payload = (
+        lib,
+        _as_c(vec, ctypes.c_float),
+        _as_c(n2, ctypes.c_float),
+        _as_c(nm, ctypes.c_float),
+        ctypes.c_int32(vec.shape[1]),
+        ctypes.c_int32(space),
+        ctypes.c_int32(1 if g.cfg.heuristic else 0),
+        ctypes.c_int32(1 if g.cfg.keep_pruned else 0),
+    )
+    g._ck_sel_ctx = (vec, payload)
+    return payload
+
+
+def select_from_pool(
+    g, pool: list[int], node: int, m: int, pool_cap: int | None = None
+):
+    """Native backlink-prune selection (the build's flush_overflow hot
+    call): distances node→pool, sort, simple-or-heuristic select.
+    Returns the kept vertex ids (list[int]) or None when unavailable.
+    Caller guarantees g.norms2/g.norms cover every pool id (true during
+    build — they are precomputed full-length)."""
+    ctx = _sel_ctx(g)
+    if ctx is None:
+        return None
+    lib, vp, n2p, nmp, dim_c, space_c, heur_c, keep_c = ctx
+    pl = np.asarray(pool, dtype=np.int64)
+    out = np.empty(m + 1, dtype=np.int64)
+    ns = lib.hnsw_select_from_pool(
+        vp, n2p, nmp, dim_c, space_c,
+        _as_c(pl, ctypes.c_int64),
+        ctypes.c_int32(len(pl)),
+        ctypes.c_int64(int(node)),
+        ctypes.c_int32(m),
+        heur_c, keep_c,
+        ctypes.c_int32(
+            int(g.cfg.heuristic_pool or 0) if pool_cap is None else pool_cap
+        ),
+        _as_c(out, ctypes.c_int64),
+    )
+    if ns < 0:
+        return None
+    return out[:ns].tolist()
+
+
+def select_pool_batch(
+    g,
+    pool: np.ndarray,
+    nodes: np.ndarray,
+    m: int,
+    pool_cap: int,
+    threads: int = 1,
+):
+    """Shared-pool selection for a wave's upper-level commits: all
+    ``nodes`` select their m neighbors from the SAME candidate pool
+    (that level's pre-wave vertex set), OMP over nodes.  Returns
+    (len(nodes), m) int64 ids (-1 padded) or None."""
+    ctx = _sel_ctx(g)
+    if ctx is None:
+        return None
+    lib, vp, n2p, nmp, dim_c, space_c, heur_c, keep_c = ctx
+    pl = np.ascontiguousarray(pool, dtype=np.int64)
+    nd = np.ascontiguousarray(nodes, dtype=np.int64)
+    out = np.empty((len(nd), m), dtype=np.int64)
+    rc = lib.hnsw_select_pool_batch(
+        vp, n2p, nmp, dim_c, space_c,
+        _as_c(pl, ctypes.c_int64),
+        ctypes.c_int32(len(pl)),
+        _as_c(nd, ctypes.c_int64),
+        ctypes.c_int64(len(nd)),
+        ctypes.c_int32(m),
+        heur_c, keep_c,
+        ctypes.c_int32(pool_cap),
+        _as_c(out, ctypes.c_int64),
+        ctypes.c_int32(threads),
+    )
+    if rc != 0:
+        return None
+    return out

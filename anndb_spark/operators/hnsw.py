@@ -535,11 +535,23 @@ class HnswGraph:
         nbrs = list(self.adj[node].get(level, ()))
         if len(nbrs) <= cap:
             return
-        ds = self._d_batch(nbrs, self.vectors[node])
-        keep = self._select_neighbors(
-            sorted(zip(ds.tolist(), nbrs)), cap, level, self.vectors[node]
-        )
-        keep_set = {n for _, n in keep}
+        keep_set = None
+        if getattr(self, "_ck_prune_ok", False):
+            # build-time fast path: the wave build precomputes
+            # full-length norms2/norms, so the native distance+select
+            # runs without any python-side gather (~10× per call over
+            # the ~10⁵ backlink prunes a 60k build issues)
+            from anndb_spark.operators import ckernel as _ckm
+
+            kept = _ckm.select_from_pool(self, nbrs, node, cap)
+            if kept is not None:
+                keep_set = set(kept)
+        if keep_set is None:
+            ds = self._d_batch(nbrs, self.vectors[node])
+            keep = self._select_neighbors(
+                sorted(zip(ds.tolist(), nbrs)), cap, level, self.vectors[node]
+            )
+            keep_set = {n for _, n in keep}
         for n in nbrs:
             if n not in keep_set:
                 self.adj[node][level].discard(n)
@@ -835,7 +847,12 @@ class HnswGraph:
         return np.where(mask, d, np.float32(np.inf))
 
     def search_fast_batch(
-        self, Q: np.ndarray, k: int, ef: int | None = None, chunk: int | None = None
+        self,
+        Q: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        chunk: int | None = None,
+        threads: int = 1,
     ):
         """Batched search_fast: all queries walk the graph in lock-step.
 
@@ -892,6 +909,7 @@ class HnswGraph:
                         max(ef or self.cfg.ef, k),
                         ent[0],
                         deleted=self.deleted if has_tomb else None,
+                        threads=threads,
                     )
                     if res is not None:
                         return _ck_rows(res)
@@ -913,36 +931,7 @@ class HnswGraph:
         # drops from the whole matrix to a cluster's worth, which is
         # what the (bandwidth-bound) kernel actually pays for.
         Qf = np.ascontiguousarray(Q, dtype=np.float32)
-        seeds = self._seed_set()
-        qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
-        sv = self.vectors[seeds]
-        dot = Qf @ sv.T
-        if self.cfg.space == "manhattan":
-            d = np.stack(
-                [np.abs(sv - row).sum(axis=1, dtype=np.float32) for row in Qf]
-            ) if Qf.shape[0] <= 64 else None
-            if d is None:
-                # blocked to bound the (q × S × dim) broadcast
-                d = np.empty((Qf.shape[0], len(seeds)), dtype=np.float32)
-                for s0 in range(0, Qf.shape[0], 64):
-                    d[s0 : s0 + 64] = np.abs(
-                        sv[None, :, :] - Qf[s0 : s0 + 64, None, :]
-                    ).sum(axis=2, dtype=np.float32)
-        elif self.cfg.space == "euclidean":
-            d = np.sqrt(
-                np.maximum(self.norms2[seeds][None, :] - 2.0 * dot + qn2[:, None], 0.0)
-            )
-        else:
-            d = np.abs(
-                np.float32(1.0)
-                - dot / (self.norms[seeds][None, :] * np.sqrt(qn2)[:, None])
-            )
-        best = d.argmin(axis=1)
-        entry = seeds[best]
-        entry_d = d[np.arange(Qf.shape[0]), best]
-        order = np.argsort(best, kind="stable")  # locality sort
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
+        entry, entry_d, order, inv = self._seed_entries(Qf)
         if use_ck:
             res = _ck.search_level0(
                 self,
@@ -951,6 +940,7 @@ class HnswGraph:
                 max(ef or self.cfg.ef, k),
                 entry[order],
                 deleted=self.deleted if has_tomb else None,
+                threads=threads,
             )
             if res is not None:
                 return _ck_rows(res, inv=inv)
@@ -971,6 +961,78 @@ class HnswGraph:
                 )
             )
         return [out_sorted[inv[i]] for i in range(Qf.shape[0])]
+
+    def _seed_entries(self, Qf: np.ndarray):
+        """Seed-GEMM entry selection + locality sort for a query batch:
+        one (q × S) BLAS pass against the graph's own upper-level
+        vertices replaces the greedy descent; sorting by assigned seed
+        makes concurrent beams walk the SAME region of the vector
+        matrix.  Returns (entry, entry_d, order, inv)."""
+        seeds = self._seed_set()
+        qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
+        sv = self.vectors[seeds]
+        dot = Qf @ sv.T
+        if self.cfg.space == "manhattan":
+            d = np.stack(
+                [np.abs(sv - row).sum(axis=1, dtype=np.float32) for row in Qf]
+            ) if Qf.shape[0] <= 64 else None
+            if d is None:
+                # blocked to bound the (q × S × dim) broadcast
+                d = np.empty((Qf.shape[0], len(seeds)), dtype=np.float32)
+                for s0 in range(0, Qf.shape[0], 64):
+                    d[s0 : s0 + 64] = np.abs(
+                        sv[None, :, :] - Qf[s0 : s0 + 64, None, :]
+                    ).sum(axis=2, dtype=np.float32)
+        elif self.cfg.space == "euclidean":
+            d = np.sqrt(
+                np.maximum(
+                    self.norms2[seeds][None, :] - 2.0 * dot + qn2[:, None], 0.0
+                )
+            )
+        else:
+            d = np.abs(
+                np.float32(1.0)
+                - dot / (self.norms[seeds][None, :] * np.sqrt(qn2)[:, None])
+            )
+        best = d.argmin(axis=1)
+        entry = seeds[best]
+        entry_d = d[np.arange(Qf.shape[0]), best]
+        order = np.argsort(best, kind="stable")  # locality sort
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return entry, entry_d, order, inv
+
+    def _build_wave_candidates_ck(
+        self, Q: np.ndarray, efc: int, m: int, threads: int = 1
+    ):
+        """Native fused candidate stage for one build wave: entry
+        selection (seed-GEMM on big graphs, native descent otherwise),
+        then ckernel.build_candidates — beam walk + neighbor selection
+        per item with no python tuple round-trip.  Returns the
+        {pool-position: [(d, id), ...]} rows as (ids, dists) arrays in
+        WAVE order, or None when the native kernel is unavailable."""
+        from anndb_spark.operators import ckernel as _ck
+
+        n = len(self.levels)
+        Qf = np.ascontiguousarray(Q, dtype=np.float32)
+        if n >= 4096 and max(self.levels) > 0:
+            entry, _, order, inv = self._seed_entries(Qf)
+            res = _ck.build_candidates(
+                self,
+                np.ascontiguousarray(Qf[order]),
+                entry[order],
+                efc,
+                m,
+                threads=threads,
+            )
+            if res is None:
+                return None
+            ids, ds = res
+            return ids[inv], ds[inv]
+        ent = _ck.descend(self, Qf)
+        if ent is None:
+            return None
+        return _ck.build_candidates(self, Qf, ent[0], efc, m, threads=threads)
 
     def _seed_set(self) -> np.ndarray:
         """Entry-seed vertex ids: all vertices at the highest level L
@@ -1400,8 +1462,23 @@ class HnswGraph:
         import multiprocessing as _mp
 
         can_fork = workers > 1 and "fork" in _mp.get_all_start_methods()
+        from anndb_spark.operators import ckernel as _ckm
+
+        ck_ok = _ckm.available() and config.space in (
+            "euclidean",
+            "cosine",
+            "manhattan",
+        )
         if brute_threshold is None:
-            if can_fork:
+            if ck_ok:
+                # compiled beam candidate search: a GEMM candidate row
+                # costs O(prefix · dim) while the native beam visits
+                # ~efC·cap rows regardless of prefix, so the crossover
+                # is prefix ≈ efC·cap — dimension-independent.  MUST
+                # not depend on `workers` (the workers>1 build is
+                # asserted bit-identical to serial).
+                brute_threshold = max(4 * config.ef_construction, 2_000)
+            elif can_fork:
                 # with a fork pool the GEMM path parallelizes perfectly
                 # (BLAS block per slice + per-row argpartition across
                 # workers) while staying EXACT — it beats the beam path
@@ -1419,6 +1496,10 @@ class HnswGraph:
                 )
         g.norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
         g.norms = np.sqrt(g.norms2)
+        # full-length norms are live for the whole build → _prune may
+        # use the native selection (cleared before return: insert()
+        # mutates vectors without maintaining them)
+        g._ck_prune_ok = ck_ok
         space = config.space
         efc = config.ef_construction
         by_level: dict[int, list[int]] = {}
@@ -1486,17 +1567,82 @@ class HnswGraph:
             for l in range(1, L + 1):
                 by_level.setdefault(l, []).append(x)
 
-        def flush_overflow(dirty: set[int] | None) -> None:
+        def flush_overflow(
+            dirty: set[int] | None, strict: bool = True
+        ) -> None:
             """Prune every over-cap vertex once (wave-granular): the
             selection sees the union of the wave's backlinks, candidate
-            generation never read adjacency mid-wave."""
+            generation never read adjacency mid-wave.  Order stays
+            sequential (reciprocal drops can take later vertices back
+            under cap — see flush_final); the selection itself runs
+            through a hoisted native-call loop when the kernel is
+            available.  With ``strict=False`` a vertex is only pruned
+            once it exceeds cap by 50% — a popular vertex otherwise
+            re-prunes every wave it gains a backlink (a 60k build
+            issued 136k prunes, the single largest cost; measured) —
+            and under-slack vertices CARRY in the overflow set; the
+            build closes with one strict pass, so returned degrees
+            always respect the caps."""
+            ctx = _ckm._sel_ctx(g) if getattr(g, "_ck_prune_ok", False) else None
+            carried: set[tuple[int, int]] = set()
+            if ctx is None:
+                for nb, l in sorted(overflow):
+                    adj_l = g.adj[nb].get(l, ())
+                    cap = g._cap(l)
+                    if not strict and len(adj_l) <= cap + (cap >> 1):
+                        if len(adj_l) > cap:
+                            carried.add((nb, l))
+                        continue
+                    before = set(adj_l)
+                    g._prune(nb, l)
+                    if dirty is not None:
+                        dirty.add(nb)
+                        dirty.update(before - g.adj[nb][l])
+                overflow.clear()
+                overflow.update(carried)
+                return
+            import ctypes as _ct
+
+            lib, vp, n2p, nmp, dim_c, space_c, heur_c, keep_c = ctx
+            hp_c = _ct.c_int32(int(config.heuristic_pool or 0))
+            cap_max = max(g._cap(0), g._cap(1))
+            out = np.empty(cap_max + 1, dtype=np.int64)
+            out_p = out.ctypes.data_as(_ct.POINTER(_ct.c_int64))
+            i64p = _ct.POINTER(_ct.c_int64)
             for nb, l in sorted(overflow):
-                before = set(g.adj[nb].get(l, ()))
-                g._prune(nb, l)
+                adj_l = g.adj[nb].get(l)
+                cap = g._cap(l)
+                if adj_l is None or len(adj_l) <= cap:
+                    continue
+                if not strict and len(adj_l) <= cap + (cap >> 1):
+                    carried.add((nb, l))
+                    continue
+                nbrs = list(adj_l)
+                pl = np.asarray(nbrs, dtype=np.int64)
+                ns = lib.hnsw_select_from_pool(
+                    vp, n2p, nmp, dim_c, space_c,
+                    pl.ctypes.data_as(i64p), _ct.c_int32(len(pl)),
+                    _ct.c_int64(nb), _ct.c_int32(cap),
+                    heur_c, keep_c, hp_c, out_p,
+                )
+                if ns < 0:  # allocation failure in C: python fallback
+                    before = set(adj_l)
+                    g._prune(nb, l)
+                    if dirty is not None:
+                        dirty.add(nb)
+                        dirty.update(before - g.adj[nb][l])
+                    continue
+                keep = set(out[:ns].tolist())
+                g.adj[nb][l] = keep
                 if dirty is not None:
                     dirty.add(nb)
-                    dirty.update(before - g.adj[nb][l])
+                for x in nbrs:
+                    if x not in keep:
+                        g.adj[x].get(l, set()).discard(nb)
+                        if dirty is not None:
+                            dirty.add(x)
             overflow.clear()
+            overflow.update(carried)
 
         # bootstrap sequentially (exact candidates, one gemv per item):
         # tiny graphs change too fast for stale pre-wave candidates
@@ -1714,7 +1860,35 @@ class HnswGraph:
             ids = list(range(i, j))
             g._refresh_pads(dirty, len(g.levels))
             dirty.clear()
-            if can_fork and len(ids) >= 8 * workers:
+            nbrs0 = None
+            if ck_ok:
+                # native fused candidate beams + neighbor selection,
+                # OpenMP fan-out across the machine's cores IN-PROCESS —
+                # no per-wave fork pool (32 forks + teardown per wave
+                # cost more than the searches) and no per-candidate
+                # python tuples (500-wide lists per item dominated the
+                # first cut, measured).  Per-item walks are
+                # deterministic, so workers>1 stays bit-identical to
+                # workers=1.
+                _t0 = _time_mod.perf_counter()
+                r = g._build_wave_candidates_ck(
+                    v[ids], efc, config.m, threads=max(workers, 1)
+                )
+                if r is not None:
+                    sel_ids, sel_d = r
+                    idl, dl = sel_ids.tolist(), sel_d.tolist()
+                    nbrs0 = {
+                        x: [
+                            (d, nid)
+                            for d, nid in zip(drow, irow)
+                            if nid >= 0
+                        ]
+                        for x, drow, irow in zip(ids, dl, idl)
+                    }
+                _t["fork"] += _time_mod.perf_counter() - _t0
+            if nbrs0 is not None:
+                pass
+            elif can_fork and len(ids) >= 8 * workers:
                 # fork AFTER the pads refresh: children inherit the
                 # committed pre-wave graph copy-on-write and search
                 # their slice; only (id, selected-neighbor) pairs come
@@ -1733,11 +1907,52 @@ class HnswGraph:
                 nbrs0 = {x: nb for part in parts for x, nb in part}
             else:
                 nbrs0 = dict(cand_work(ids))
+            _t0 = _time_mod.perf_counter()
+            upper_sel = None
+            if ck_ok:
+                # batch the wave's upper-level selections natively: all
+                # items share the SAME pre-wave pool per level (intra-
+                # wave items are invisible by contract), so one OMP
+                # pass per populated level replaces a python
+                # _dist_many + greedy per item
+                hp = config.heuristic_pool or 0
+                eff_cap = min(efc, hp) if hp else efc
+                pre_ep_level = g.levels[g.entrypoint]
+                upper_sel = {}
+                for l in range(1, pre_ep_level + 1):
+                    pool = np.asarray(by_level.get(l, ()), dtype=np.int64)
+                    pool = pool[pool < i]
+                    if not pool.size:
+                        continue
+                    nodes = np.asarray(
+                        [x for x in ids if levels[x] >= l], dtype=np.int64
+                    )
+                    if not nodes.size:
+                        continue
+                    selmat = _ckm.select_pool_batch(
+                        g, pool, nodes, config.m, eff_cap,
+                        threads=max(workers, 1),
+                    )
+                    if selmat is None:
+                        upper_sel = None
+                        break
+                    for xi, x in enumerate(nodes.tolist()):
+                        upper_sel[(x, l)] = [
+                            int(t) for t in selmat[xi] if t >= 0
+                        ]
             for x in ids:
                 g._commit_wave_item(
-                    x, levels[x], nbrs0[x], by_level, i, dirty, overflow
+                    x, levels[x], nbrs0[x], by_level, i, dirty, overflow,
+                    upper_sel=upper_sel,
                 )
-            flush_overflow(dirty)
+            _t["serial"] += _time_mod.perf_counter() - _t0
+            _t0 = _time_mod.perf_counter()
+            _t.setdefault("prunes", 0)
+            _t["prunes"] += len(overflow)
+            flush_overflow(dirty, strict=False)
+            _t["flush"] += _time_mod.perf_counter() - _t0
+            if _prof:
+                print(f"beam wave {i}->{j}: {_t}", flush=True)
             i = j
         if gemm_pool is not None:
             gemm_pool.terminate()
@@ -1750,8 +1965,15 @@ class HnswGraph:
             shm_path = None
         if not finalized:
             flush_final()  # GEMM-only build: one deferred prune pass
+        elif overflow:
+            # slack-deferred beam-regime prunes: one closing strict
+            # pass so returned degrees respect the caps
+            flush_overflow(dirty, strict=True)
+            g._refresh_pads(dirty, len(g.levels))
+            dirty.clear()
         if hasattr(g, "vectors_h"):
             del g.vectors_h  # build-time only (searches never touch it)
+        g._ck_prune_ok = False
         return g
 
     def _commit_exact_pre(
@@ -1796,11 +2018,15 @@ class HnswGraph:
         upto: int,
         dirty: set[int],
         overflow: set[tuple[int, int]],
+        upper_sel: dict[tuple[int, int], list[int]] | None = None,
     ):
         """Apply one wave insert: pre-selected level-0 neighbors, EXACT
         upper-level candidates (distance row against that level's pre-wave
         node set — n/16^l nodes, cheaper and better than beaming), edges
-        both ways; backlink prunes are deferred to the wave boundary."""
+        both ways; backlink prunes are deferred to the wave boundary.
+        ``upper_sel`` carries wave-precomputed upper-level selections
+        (the pre-wave pools are identical for every item in the wave,
+        so the build batches them through the native kernel)."""
         assert idx == len(self.levels)
         self.levels.append(level)
         self.adj.append({l: set() for l in range(level + 1)})
@@ -1813,21 +2039,24 @@ class HnswGraph:
             if len(self.adj[nb][0]) > self._cap(0):
                 overflow.add((nb, 0))
         for l in range(1, min(level, ep_level) + 1):
-            nodes = by_level.get(l)
-            if not nodes:
-                continue
-            pool = np.asarray(nodes, dtype=np.int64)
-            pool = pool[pool < upto]  # intra-wave items invisible
-            if not pool.size:
-                continue
-            ds = _dist_many(self.cfg.space, self.vectors[pool], q)
-            k_eff = min(self.cfg.ef_construction, len(pool))
-            if len(pool) > k_eff:
-                sel = np.argpartition(ds, k_eff - 1)[:k_eff]
+            if upper_sel is not None:
+                nbrs = [(0.0, nb) for nb in upper_sel.get((idx, l), ())]
             else:
-                sel = np.arange(len(pool))
-            cand = sorted(zip(ds[sel].tolist(), pool[sel].tolist()))
-            nbrs = self._select_neighbors(cand, self.cfg.m, l, q)
+                nodes = by_level.get(l)
+                if not nodes:
+                    continue
+                pool = np.asarray(nodes, dtype=np.int64)
+                pool = pool[pool < upto]  # intra-wave items invisible
+                if not pool.size:
+                    continue
+                ds = _dist_many(self.cfg.space, self.vectors[pool], q)
+                k_eff = min(self.cfg.ef_construction, len(pool))
+                if len(pool) > k_eff:
+                    sel = np.argpartition(ds, k_eff - 1)[:k_eff]
+                else:
+                    sel = np.arange(len(pool))
+                cand = sorted(zip(ds[sel].tolist(), pool[sel].tolist()))
+                nbrs = self._select_neighbors(cand, self.cfg.m, l, q)
             for _, nb in nbrs:
                 self.adj[idx][l].add(nb)
                 self.adj[nb].setdefault(l, set()).add(idx)
