@@ -348,19 +348,23 @@ def _pq_adc_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     are approximations of true distances by construction, so there is
     no SQL oracle; the driver checks deterministic rows, and
     tests/test_pq.py checks recall against exact kNN."""
-    from anndb_spark.operators.pq import pq_encode, pq_search, train_pq
+    from anndb_spark.operators.pq import pq_encode, pq_search_batch, train_pq
 
     emb = _embeddings_df(spark, sf_dir)
     books = train_pq(emb, m=8, n_centroids=64, sample_n=20_000)
     codes = pq_encode(emb, books)
-    q = (
-        emb.orderBy("id").limit(1).collect()[0]["vector"]
-    )  # deterministic probe vector
-    res = pq_search(
-        codes, q, books, k=10, rerank_with=emb, shortlist=50
+    # 5 deterministic probe vectors through the BATCH fan-out (the
+    # query-batch serving shape, r5 task 4)
+    probes = emb.orderBy("id").limit(5).collect()
+    qs = [(str(r["id"]), list(r["vector"])) for r in probes]
+    res = pq_search_batch(
+        codes, qs, books, k=10, rerank_with=emb, shortlist=50
     )  # ADC shortlist + exact rerank (the standard PQ serving shape)
     return res.select(
-        "id", F.round(F.col("score").cast("double"), 4).alias("score")
+        "query_id",
+        "rank",
+        "id",
+        F.round(F.col("score").cast("double"), 4).alias("score"),
     )
 
 

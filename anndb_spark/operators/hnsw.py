@@ -3072,14 +3072,27 @@ def search_index_path(
     for p in pids:
         n_chunks = max(1, -(-per_pid[p] // queries_per_task))
         plan_rows.extend((p, c) for c in range(n_chunks))
-    plan = spark.createDataFrame(plan_rows, "pid INT, chunk INT").repartition(
-        max(len(plan_rows), 1)
+    # one plan row per partition, NO repartition: createDataFrame +
+    # repartition is a 2-stage shuffle that cost ~0.2 s of fixed wall
+    # per search call (measured); parallelize with numSlices places
+    # each (pid, chunk) row in its own partition shuffle-free
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize(plan_rows, max(len(plan_rows), 1)),
+        "pid INT, chunk INT",
     )
     qpt = queries_per_task
+    # the query batch travels as a BROADCAST, not in the task closure:
+    # a closure is serialized into every task description, so a 10k×784
+    # float32 batch (31 MB) would cross the wire once PER TASK (32
+    # tasks → ~1 GB); the broadcast ships once per executor and python
+    # workers read it from the local block file (measured: the warm
+    # single-graph leg was spending most of its wall on closure bytes)
+    bq = spark.sparkContext.broadcast((qid_arr, qmat, by_pid))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from anndb_spark.sources import fsutil as _fsu
 
+        qid_arr, qmat, by_pid = bq.value
         # drain the input stream BEFORE yielding: a pandas-UDF that
         # yields interleaved with unconsumed input gets its python
         # worker KILLED by the runner instead of reused (measured —

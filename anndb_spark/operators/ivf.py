@@ -372,8 +372,14 @@ def search_ivf_path(
     for c in cids:
         n_chunks = max(1, -(-len(by_cid[c]) // qpt))
         plan_rows.extend((c, i) for i in range(n_chunks))
-    plan = spark.createDataFrame(plan_rows or [(-1, 0)], "cid INT, chunk INT").repartition(
-        max(len(plan_rows), 1)
+    # shuffle-free plan: one (cid, chunk) row per partition via
+    # parallelize numSlices (createDataFrame + repartition costs a
+    # 2-stage shuffle of fixed wall per call — see hnsw serving plan)
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            plan_rows or [(-1, 0)], max(len(plan_rows), 1)
+        ),
+        "cid INT, chunk INT",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

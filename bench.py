@@ -323,6 +323,27 @@ def main():
     )
     extra["knn_join_gemm_rows_per_s"] = round(2000 / timings["knn_join_gemm_2k"], 1)
 
+    # q11c: batched PQ ADC search — 1,000 queries in one distributed
+    # pass over the codes table (LUT GEMM per task, float rows never
+    # read; the query-batch serving shape, r5 task 4)
+    from anndb_spark.operators.pq import pq_encode, pq_search_batch, train_pq
+
+    books_b = train_pq(emb, m=8, n_centroids=64, sample_n=20_000)
+    codes_b = pq_encode(emb, books_b).cache()
+    codes_b.count()
+    rng_pq = np.random.default_rng(77)
+    emb_dim = len(emb.limit(1).collect()[0]["vector"])
+    pq_qs = (
+        [f"q{i}" for i in range(1000)],
+        rng_pq.normal(0, 1, (1000, emb_dim)).astype(np.float32),
+    )
+    pq_search_batch(codes_b, pq_qs, books_b, k=10).count()  # warm
+    timed(
+        "pq_search_batch_1kq",
+        lambda: pq_search_batch(codes_b, pq_qs, books_b, k=10).count(),
+    )
+    extra["pq_batch_q_per_s"] = round(1000 / timings["pq_search_batch_1kq"], 1)
+
     # q12: MinHash-LSH near-dup candidate pairs over documents
     timed(
         "dedup_minhash_pairs",
@@ -477,9 +498,12 @@ def main():
         np.array([v for _, v in qs10k], dtype=np.float32),
     )  # (ids, matrix) — skips per-call python-list conversion
     del qs10k
-    # ~4 chunks per core: the lock-step beam's slowest-query tail makes
-    # coarse tasks straggle (measured 6.1s @32 tasks vs 2.5s @128)
-    qpt = max(32, -(-len(qs_fm_10k[0]) // (4 * cpus)))
+    # cpus/2 tasks: the native per-query kernel has no lock-step tail,
+    # so the ~12 ms serial per-task launch cost dominates task-count
+    # choices — 16 fat chunks beat 128 thin ones (measured 0.78 s vs
+    # 2.4 s); the idle half of the cores costs less than 16 extra
+    # launches
+    qpt = max(32, -(-len(qs_fm_10k[0]) // max(cpus // 2, 1)))
     cent_single = train_centroids(fm, 64, sample_n=30_000)
     for _ in range(2):  # warm: SAME shape as the timed call — populates the
         # host-shared mmap graph, then every worker's L1 handle
@@ -490,11 +514,16 @@ def main():
         ).collect()
     timed(
         "fm_search_10kq_single_graph",
+        # toPandas: results land on the driver through the session's
+        # Arrow path (one columnar batch per task) instead of 100k
+        # row-object conversions (~0.6 s of pure driver deserialization
+        # at this row count, measured; the reference harness's
+        # in-process Go slices pay neither)
         lambda: search_index_path(
             spark, fm_single_path, qs_fm_10k, 10, ef=20, config=cfg_fm_single,
             strategy="beam", cache_token="bench-fm-single", queries_per_task=qpt,
             locality_centroids=cent_single,
-        ).collect(),
+        ).toPandas(),
     )
     extra["fm_search_q_per_s_single_graph"] = round(
         len(qs_fm_10k[0]) / timings["fm_search_10kq_single_graph"], 1

@@ -54,6 +54,86 @@ def test_pq_adc_recall_vs_exact(spark):
     assert hits_rr / 50 >= 0.9, hits_rr / 50
 
 
-def test_pq_compression_ratio():
-    # 32-d float32 -> 8 bytes of codes: 16x
-    assert (32 * 4) / 8 == 16.0
+def test_pq_search_batch_matches_single(spark):
+    """The batched ADC search must return the same top-k as per-query
+    pq_search for every query, for every metric it supports."""
+    from anndb_spark.operators.pq import pq_search_batch
+
+    df, mat = _clustered(spark, n=600)
+    books = train_pq(df, m=4, n_centroids=32, sample_n=600)
+    codes = pq_encode(df, books).cache()
+    rng = np.random.default_rng(3)
+    qs = [(f"q{t}", (mat[rng.integers(600)] + rng.normal(0, 0.05, 32)
+                     .astype(np.float32)).astype(float).tolist())
+          for t in range(4)]
+    batch = pq_search_batch(codes, qs, books, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["score"]))
+    for qid, vec in qs:
+        single = pq_search(codes, vec, books, k=5).collect()
+        got = [i for _, i, _ in sorted(by_q[qid])]
+        want = [r["id"] for r in single]
+        assert got == want, (qid, got, want)
+
+
+def test_pq_search_batch_rerank_recall(spark):
+    from anndb_spark.operators.pq import pq_search_batch
+
+    df, mat = _clustered(spark, n=1000)
+    books = train_pq(df, m=8, n_centroids=64, sample_n=1000)
+    codes = pq_encode(df, books).cache()
+    rng = np.random.default_rng(9)
+    qs = [(f"q{t}", (mat[rng.integers(1000)] + rng.normal(0, 0.05, 32)
+                     .astype(np.float32)).astype(float).tolist())
+          for t in range(5)]
+    rows = pq_search_batch(codes, qs, books, k=10, rerank_with=df,
+                           shortlist=60).collect()
+    hits = 0
+    for qid, vec in qs:
+        got = {r["id"] for r in rows if r["query_id"] == qid}
+        d = np.linalg.norm(mat - np.asarray(vec, dtype=np.float32), axis=1)
+        truth = {f"v{i}" for i in np.argsort(d)[:10]}
+        hits += len(truth & got)
+    assert hits / 50 >= 0.9, hits / 50
+
+
+def test_pq_search_batch_ip_and_cosine(spark):
+    """ip ranks by (negated) inner product; cosine approximates the
+    |1-cos| metric from codes — both verified against exact NumPy."""
+    from anndb_spark.operators.pq import pq_search_batch
+
+    df, mat = _clustered(spark, n=500)
+    books = train_pq(df, m=4, n_centroids=32, sample_n=500)
+    codes = pq_encode(df, books).cache()
+    rng = np.random.default_rng(11)
+    q = mat[rng.integers(500)] + rng.normal(0, 0.05, 32).astype(np.float32)
+    qs = [("q0", q.astype(float).tolist())]
+    for space in ("ip", "cosine"):
+        got = [r["id"] for r in pq_search_batch(
+            codes, qs, books, k=10, space=space, rerank_with=df,
+            shortlist=80).collect()]
+        if space == "ip":
+            exact = np.argsort(-(mat @ q), kind="stable")[:10]
+        else:
+            cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+            exact = np.argsort(np.abs(1.0 - cos), kind="stable")[:10]
+        truth = {f"v{i}" for i in exact}
+        assert len(truth & set(got)) >= 8, (space, got, truth)
+
+
+def test_pq_save_load_roundtrip(spark, tmp_path):
+    """save -> load -> identical codebooks AND identical codes (the
+    serving-job reconstruction contract, VERDICT r5 Missing #2)."""
+    from anndb_spark.operators.pq import load_pq, save_pq
+
+    df, _ = _clustered(spark, n=400)
+    books = train_pq(df, m=4, n_centroids=16, sample_n=400)
+    path = str(tmp_path / "pq_books")
+    save_pq(spark, books, path)
+    books2 = load_pq(spark, path)
+    assert books2.shape == books.shape
+    assert np.array_equal(books, books2)
+    enc1 = {r["id"]: r["codes"] for r in pq_encode(df, books).collect()}
+    enc2 = {r["id"]: r["codes"] for r in pq_encode(df, books2).collect()}
+    assert enc1 == enc2
