@@ -91,3 +91,40 @@ def sq8_oracle_sql(vec: str = "vector") -> dict[str, str]:
         f" + {rmin}))))"
     )
     return {"rmin": rmin, "scale": scale, "codes": codes, "max_err": err}
+
+
+def sq8_encode_table(
+    df, vec_col: str = "vector", keep_vector: bool = False
+):
+    """Encode a vector table into its SQ8 columnar form: ``vec_col`` is
+    replaced by (``{vec}_codes``, ``{vec}_rmin``, ``{vec}_scale``)
+    columns.  The per-row range params travel WITH the rows, so the
+    table is self-describing — any later session (or engine) can decode
+    with no side-channel artifact, which is the catalog story for this
+    codec (contrast PQ, whose trained codebooks need
+    ``operators.pq.save_pq``).  Pure column expressions; write the
+    result with plain ``.write.parquet``."""
+    v = F.col(vec_col)
+    out = df.withColumns(
+        {
+            f"{vec_col}_codes": sq8_encode(v),
+            f"{vec_col}_rmin": _rmin(v),
+            f"{vec_col}_scale": _scale(v),
+        }
+    )
+    return out if keep_vector else out.drop(vec_col)
+
+
+def sq8_decode_table(df, vec_col: str = "vector"):
+    """Inverse of `sq8_encode_table`: reconstructs ``vec_col`` (float64
+    within scale/2 of the original) from the codes+params columns and
+    drops them."""
+    out = df.withColumn(
+        vec_col,
+        sq8_decode(
+            F.col(f"{vec_col}_codes"),
+            F.col(f"{vec_col}_rmin"),
+            F.col(f"{vec_col}_scale"),
+        ),
+    )
+    return out.drop(f"{vec_col}_codes", f"{vec_col}_rmin", f"{vec_col}_scale")

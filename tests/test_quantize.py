@@ -61,3 +61,35 @@ def test_sq8_decode_matches(spark):
         rec = np.array(r["rec"])
         span = float(x.max() - x.min()) or 1.0
         assert np.abs(rec - x).max() <= span / 255 / 2 + 1e-9
+
+
+def test_sq8_table_roundtrip_through_parquet(spark, tmp_path):
+    """encode_table -> write parquet -> NEW read -> decode_table: every
+    reconstructed component within scale/2 of the original (the
+    self-describing-table catalog contract)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anndb_spark.functions.quantize import (
+        sq8_decode_table,
+        sq8_encode_table,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, (rng.normal(0, 5, 16) * (1 + i % 3)).astype(float).tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id INT, vector ARRAY<FLOAT>")
+    path = str(tmp_path / "sq8_table")
+    sq8_encode_table(df).write.parquet(path)
+    dec = sq8_decode_table(spark.read.parquet(path))
+    got = {r["id"]: r["vector"] for r in dec.collect()}
+    scale_by_id = {
+        r["id"]: r["vector_scale"]
+        for r in sq8_encode_table(df).select("id", "vector_scale").collect()
+    }
+    for i, vec in rows:
+        orig = np.asarray(vec)
+        rec = np.asarray(got[i])
+        assert np.abs(orig - rec).max() <= scale_by_id[i] / 2 + 1e-9
