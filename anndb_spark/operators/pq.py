@@ -164,18 +164,34 @@ def pq_search(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # drain-then-yield: interleaved yield kills the python worker
-        # (see hnsw.search_index_path)
-        pdfs = [b for b in batches if len(b)]
-        for b in pdfs:
+        # (see hnsw.search_index_path).  Per-batch partial top-n is
+        # folded DURING the drain, so worker memory holds one batch
+        # plus a top_n shortlist — not the whole partition (ADVICE r5)
+        best_ids: np.ndarray | None = None
+        best_s: np.ndarray | None = None
+        for b in batches:
+            if not len(b):
+                continue
             C = np.array(b[codes_col].tolist(), dtype=np.int64)  # (n, m)
             s = np.zeros(C.shape[0], dtype=np.float32)
             for j in range(m):
                 s += lut[j][C[:, j]]
             top = np.argsort(s, kind="stable")[:top_n]
+            bid = b[id_col].iloc[top].astype(str).to_numpy()
+            bs = s[top]
+            if best_ids is None:
+                best_ids, best_s = bid, bs
+            else:
+                best_ids = np.concatenate([best_ids, bid])
+                best_s = np.concatenate([best_s, bs])
+                keep = np.argsort(best_s, kind="stable")[:top_n]
+                best_ids, best_s = best_ids[keep], best_s[keep]
+        if best_ids is not None:
+            order = np.argsort(best_s, kind="stable")[:top_n]
             yield pd.DataFrame(
                 {
-                    "id": b[id_col].iloc[top].astype(str),
-                    "score": np.sqrt(np.maximum(s[top], 0.0)),
+                    "id": best_ids[order],
+                    "score": np.sqrt(np.maximum(best_s[order], 0.0)),
                 }
             )
 
