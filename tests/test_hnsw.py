@@ -699,3 +699,54 @@ def test_shm_store_retries_after_stale_lock(tmp_path, monkeypatch):
     d2 = H._shm_dir_for(key2)
     open(f"{d2}.lock", "w").close()
     assert H._shm_store(key2, ids, g) is None
+
+
+def test_ckernel_matches_numpy_kernel():
+    """The compiled beam kernel and the NumPy lock-step kernel must
+    agree on result SETS (identical beams are not guaranteed — FP tie
+    order differs — but ≥9/10 overlap at a generous ef) for every
+    space, with and without tombstones."""
+    from anndb_spark.operators import ckernel
+
+    if not ckernel.available():
+        import pytest as _pt
+
+        _pt.skip("no C compiler on this host")
+    rng = np.random.default_rng(17)
+    n, dim = 4000, 32
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    Q = rng.normal(0, 1, (50, dim)).astype(np.float32)
+    for space in ("euclidean", "cosine", "manhattan"):
+        cfg = HnswConfig(m=8, ef_construction=64, space=space)
+        lr = np.random.default_rng(5)
+        levels = np.floor(
+            -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12))
+            * cfg.level_multiplier
+        ).astype(int).tolist()
+        g = HnswGraph.build(mat, levels, cfg).finalize()
+        res_c = g.search_fast_batch(Q, 10, ef=80)
+        import anndb_spark.operators.ckernel as ck
+
+        old = ck._lib
+        try:
+            ck._lib = None  # force the NumPy path without recompiling
+            res_np = g.search_fast_batch(Q, 10, ef=80)
+        finally:
+            ck._lib = old
+        total = 0
+        for qi in range(Q.shape[0]):
+            got = {i for _, i in res_c[qi]}
+            want = {i for _, i in res_np[qi]}
+            inter = len(got & want)
+            assert inter >= 7, (space, qi, got, want)
+            total += inter
+        # near-boundary FP ties may swap individual members; aggregate
+        # agreement must stay ≥95%
+        assert total / (10 * Q.shape[0]) >= 0.95, (space, total)
+        # tombstones: C path must never return deleted ids
+        g.deleted = np.zeros(n, dtype=bool)
+        g.deleted[list({i for r in res_c for _, i in r})] = True
+        res_t = g.search_fast_batch(Q, 10, ef=80)
+        for row in res_t:
+            assert all(not g.deleted[i] for _, i in row)
+        g.deleted = None
