@@ -15,15 +15,23 @@ If no compiler is present (or compilation fails) everything silently
 falls back to the NumPy kernel; results are identical modulo
 floating-point tie order.
 
-Parallelism comes from Spark, not threads: the serving plans emit
-(partition, query-chunk) tasks and each task calls this kernel on its
-chunk single-threaded, so 32 local cores (or 1000 executors) scale
-without any C-side threading.
+SERVING parallelism comes from Spark, not threads: the serving plans
+emit (partition, query-chunk) tasks and each task calls this kernel on
+its chunk single-threaded, so 32 local cores (or 1000 executors) scale
+without any C-side threading.  The driver-side single-graph BUILD is
+the one caller that owns a whole machine, so it uses the `_mt` entries
+— OpenMP fan-out over wave items with per-thread scratch — plus fused
+walk+selection (`hnsw_build_candidates`) and native backlink-prune
+selection (`hnsw_select_from_pool` / `hnsw_select_pool_batch`), which
+replace per-candidate python tuples and per-prune numpy calls (both
+measured dominant in the 60k fm build).
 
 The search itself is the canonical HNSW layer-0 loop (candidates
 min-heap + bounded results max-heap over one visited-epoch array) as
 published in Malkov & Yashunin (arXiv:1603.09320, Alg. 2) and mirrored
-by the reference's searchLevel (`/root/reference/index/hnsw.go`).
+by the reference's searchLevel (`/root/reference/index/hnsw.go`);
+neighbor selection is the same paper's Alg. 4 (the reference's
+selectNeighborsHeuristic, `index/hnsw.go:361-417`).
 """
 
 from __future__ import annotations
