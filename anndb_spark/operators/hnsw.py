@@ -3067,7 +3067,14 @@ def search_index_path(
     if queries_per_task is None:
         total = sum(per_pid.values())
         par = spark.sparkContext.defaultParallelism
-        queries_per_task = max(64, -(-total // max(3 * par, 1)))
+        # aim for ~one chunk per partition once partitions cover half
+        # the cores: each task launch costs ~12 ms of serial scheduler
+        # wall (measured), which dwarfs the native kernel's per-query
+        # cost — 3 chunks/partition turned a 0.5 s scatter leg into
+        # 1.5 s.  Single-partition (or few-partition) indexes still
+        # split queries across cores.
+        target_tasks = max(len(pids), par // 2, 1)
+        queries_per_task = max(64, -(-total // target_tasks))
     plan_rows = []
     for p in pids:
         n_chunks = max(1, -(-per_pid[p] // queries_per_task))

@@ -366,7 +366,11 @@ def search_ivf_path(
     if queries_per_task is None:
         total = sum(len(by_cid[c]) for c in cids)
         par = spark.sparkContext.defaultParallelism
-        queries_per_task = max(64, -(-total // max(3 * par, 1)))
+        # ~one chunk per probed cluster once clusters cover half the
+        # cores — task-launch wall dominates the per-query cost (see
+        # hnsw.search_index_path)
+        target_tasks = max(len(cids), par // 2, 1)
+        queries_per_task = max(64, -(-total // target_tasks))
     qpt = queries_per_task
     plan_rows = []
     for c in cids:
