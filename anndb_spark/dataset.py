@@ -93,6 +93,9 @@ class Dataset:
         self.changes_path = os.path.join(base, "_changes")
         self.base_path = os.path.join(base, "_base")
         self.index_path = os.path.join(base, "_index")
+        self.pq_books_path = os.path.join(base, "_pq_books")
+        self.pq_codes_path = os.path.join(base, "_pq_codes")
+        self._pq_cache: tuple[str, object] | None = None
         # cached state-table row count for the planner's auto-mode size
         # check: computed at most once per compaction epoch, so a serving
         # workload of N searches pays ZERO count jobs after the first
@@ -295,6 +298,42 @@ class Dataset:
             return None
         return f"{self.index_path}@{fp}"
 
+    def build_pq(
+        self, m: int = 8, n_centroids: int = 256, sample_n: int = 50_000
+    ) -> None:
+        """Train PQ codebooks on the state table and persist BOTH
+        artifacts under the dataset directory — codebooks (with config
+        header, `operators.pq.save_pq`) and the encoded codes table —
+        so a serving job in a new session reconstructs the encoder from
+        the catalog alone (r5 Missing #2)."""
+        from anndb_spark.operators.pq import pq_encode, save_pq, train_pq
+
+        state = self.state().select("id", "vector")
+        books = train_pq(
+            state, m=m, n_centroids=n_centroids, sample_n=sample_n
+        )
+        save_pq(self.spark, books, self.pq_books_path)
+        pq_encode(state, books).write.mode("overwrite").parquet(
+            self.pq_codes_path
+        )
+        self._pq_cache = None
+
+    def _pq_artifacts(self):
+        """(codes DataFrame, codebooks ndarray) or None; codebooks are
+        cached per books-dir content fingerprint so a rebuild
+        invalidates the cached copy."""
+        from anndb_spark.sources.fsutil import index_fingerprint
+
+        fp = index_fingerprint(self.pq_books_path)
+        if fp in ("empty", "unknown"):
+            return None
+        if self._pq_cache is None or self._pq_cache[0] != fp:
+            from anndb_spark.operators.pq import load_pq
+
+            self._pq_cache = (fp, load_pq(self.spark, self.pq_books_path))
+        codes = self.spark.read.parquet(self.pq_codes_path)
+        return codes, self._pq_cache[1]
+
     def search(self, query, k: int, mode: str = "auto", with_metadata: bool = False, **kw):
         """Top-k search; single vector or [(query_id, vector)].  Returns
         (query_id, rank, id, score) ascending — `services/search.go:20-46`
@@ -312,6 +351,14 @@ class Dataset:
         ) else query
         index_df = kw.pop("index", None)
         index_path = None
+        if mode == "pq" and "pq_codes" not in kw:
+            art = self._pq_artifacts()
+            if art is None:
+                raise ValueError(
+                    f"dataset {self.meta.name!r} has no PQ artifacts — "
+                    "run build_pq() first"
+                )
+            kw["pq_codes"], kw["pq_books"] = art
         if index_df is None and mode in ("auto", "ann"):
             # saved index → serving path with an auto-versioned cache
             # token (rebuilds/tombstones invalidate it)

@@ -45,6 +45,8 @@ def knn(
     ef: int | None = None,
     exact_max_rows: int = EXACT_MAX_ROWS_DEFAULT,
     approx_row_count: int | None = None,
+    pq_codes: DataFrame | None = None,
+    pq_books=None,
 ) -> tuple[str, DataFrame]:
     """Route a kNN request to its physical path; returns (plan, result).
 
@@ -65,12 +67,35 @@ def knn(
     from anndb_spark.operators.ivf import search_ivf
     from anndb_spark.operators.knn import knn_exact
 
-    if mode not in ("auto", "exact", "ann", "ivf"):
+    if mode not in ("auto", "exact", "ann", "ivf", "pq"):
         raise ValueError(f"unknown mode {mode!r}")
     if mode == "ann" and index is None and index_path is None:
         raise ValueError("mode='ann' requires a materialized index (DataFrame or path)")
     if mode == "ivf" and centroids is None:
         raise ValueError("mode='ivf' requires trained centroids")
+    if mode == "pq":
+        # trained-compression path: ADC scan over the codes table +
+        # exact rerank against the float table (never chosen by auto —
+        # PQ trades accuracy for scan bytes, an explicit opt-in)
+        if pq_codes is None or pq_books is None:
+            raise ValueError(
+                "mode='pq' requires pq_codes (DataFrame) and pq_books "
+                "(ndarray) — train with operators.pq.train_pq or "
+                "Dataset.build_pq()"
+            )
+        if space == "manhattan":
+            raise ValueError("PQ ADC supports euclidean/cosine/ip only")
+        from anndb_spark.operators.pq import pq_search_batch
+
+        qitems = [(str(qid), [float(x) for x in vec]) for qid, vec in queries]
+        return "pq", pq_search_batch(
+            pq_codes,
+            qitems,
+            pq_books,
+            k,
+            space=space,
+            rerank_with=vectors.select("id", "vector"),
+        )
 
     have_index = index is not None or index_path is not None
     if mode == "auto":

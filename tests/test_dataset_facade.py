@@ -255,3 +255,35 @@ def test_index_version_token_tracks_mutations(spark, db):
     ds.remove([rows[0][0]])  # tombstone append mutates the index dir
     v2 = ds._index_version()
     assert v2 is not None and v2 != v1
+
+
+def test_facade_pq_mode_roundtrip(spark, tmp_path):
+    """build_pq persists codebooks + codes under the dataset dir; a
+    FRESH Dataset handle (new catalog object — the new-session shape)
+    serves mode='pq' searches from the artifacts alone, and the
+    reranked top-k matches exact search."""
+    import numpy as np
+
+    from anndb_spark.dataset import AnnDB
+
+    db = AnnDB(spark, str(tmp_path / "db"))
+    ds = db.create_dataset("pqd", dimension=16, partition_count=2)
+    rng = np.random.default_rng(8)
+    centers = rng.normal(0, 1, (5, 16)).astype(np.float32)
+    mat = centers[np.arange(300) % 5] + rng.normal(0, 0.05, (300, 16)).astype(
+        np.float32
+    )
+    rows = [(f"v{i}", mat[i].astype(float).tolist(), None) for i in range(300)]
+    ds.insert(
+        spark.createDataFrame(
+            rows, "id STRING, vector ARRAY<FLOAT>, metadata MAP<STRING,STRING>"
+        )
+    )
+    ds.compact()
+    ds.build_pq(m=4, n_centroids=16, sample_n=300)
+    q = (mat[7] + rng.normal(0, 0.02, 16).astype(np.float32)).astype(float).tolist()
+    fresh = db.get_dataset("pqd")  # new handle: artifacts only
+    got = [r["id"] for r in fresh.search(q, 5, mode="pq").collect()]
+    exact = [r["id"] for r in fresh.search(q, 5, mode="exact").collect()]
+    assert len(got) == 5
+    assert len(set(got) & set(exact)) >= 4, (got, exact)
