@@ -106,6 +106,58 @@ static inline float dotf(const float* restrict a, const float* restrict b,
     for (int32_t i = 0; i < d; i++) s += a[i] * b[i];
     return s;
 }
+
+/* float16-row x float32-query dot via F16C: halves the gather bytes of
+   the (bandwidth-bound) build candidate walk.  Gated at runtime: the
+   python side only passes an f16 shadow when hnsw_has_f16() says so. */
+#if defined(__x86_64__) && defined(__F16C__)
+#include <immintrin.h>
+static inline float doth(const uint16_t* restrict a,
+                         const float* restrict b, int32_t d) {
+    __m256 acc = _mm256_setzero_ps();
+    int32_t i = 0;
+    for (; i + 8 <= d; i += 8) {
+        __m256 av = _mm256_cvtph_ps(
+            _mm_loadu_si128((const __m128i*)(a + i)));
+        acc = _mm256_fmadd_ps(av, _mm256_loadu_ps(b + i), acc);
+    }
+    __m128 lo = _mm256_castps256_ps128(acc);
+    __m128 hi = _mm256_extractf128_ps(acc, 1);
+    __m128 s4 = _mm_add_ps(lo, hi);
+    s4 = _mm_hadd_ps(s4, s4);
+    s4 = _mm_hadd_ps(s4, s4);
+    float out = _mm_cvtss_f32(s4);
+    for (; i < d; i++) {
+        __m128i v = _mm_cvtsi32_si128(a[i]);
+        out += _mm_cvtss_f32(_mm_cvtph_ps(v)) * b[i];
+    }
+    return out;
+}
+int hnsw_has_f16(void) { return 1; }
+#else
+static inline float doth(const uint16_t* restrict a,
+                         const float* restrict b, int32_t d) {
+    (void)a; (void)b; (void)d;
+    return 0.f; /* unreachable: callers gate on hnsw_has_f16() */
+}
+int hnsw_has_f16(void) { return 0; }
+#endif
+
+/* f16-row distance (euclidean SQUARED / cosine); norms are the
+   f32-derived tables — the ~1e-3 relative blur matches the python
+   build's f16 selection shadow (recall unchanged, measured there). */
+static inline float dist_one_h(int32_t space, const uint16_t* vh,
+                               const float* q, int32_t dim, float vn2,
+                               float vn, float qn2, float qn) {
+    float dot = doth(vh, q, dim);
+    if (space == 0) {
+        float d = vn2 - 2.0f * dot + qn2;
+        return d > 0.f ? d : 0.f;
+    }
+    float den = vn * qn;
+    if (den <= 0.f) den = 1e-30f;
+    return fabsf(1.0f - dot / den);
+}
 static inline float l1f(const float* restrict a, const float* restrict b,
                         int32_t d) {
     float s = 0.f;
@@ -156,7 +208,8 @@ static int walk_level0(
     int32_t ef, int32_t space,
     const uint8_t* restrict deleted,
     int32_t* restrict visited, int32_t epoch,
-    pair_t* restrict cand, pair_t* restrict res)
+    pair_t* restrict cand, pair_t* restrict res,
+    const uint16_t* restrict vectors_h)
 {
     float qn2 = dotf(q, q, dim);
     float qn = sqrtf(qn2);
@@ -176,8 +229,11 @@ static int walk_level0(
             if (id < 0) continue;
             if (visited[id] == epoch) continue;
             visited[id] = epoch;
-            float d = dist_one(space, vectors + (int64_t)id * dim, q,
-                               dim, norms2[id], norms[id], qn2, qn);
+            float d = vectors_h
+                ? dist_one_h(space, vectors_h + (int64_t)id * dim, q,
+                             dim, norms2[id], norms[id], qn2, qn)
+                : dist_one(space, vectors + (int64_t)id * dim, q,
+                           dim, norms2[id], norms[id], qn2, qn);
             if (rsz < ef || d < res[0].d) {
                 push_min(cand, &csz, d, id);
                 if (!(deleted && deleted[id])) {
@@ -204,7 +260,7 @@ static void search_one(
 {
     int rsz = walk_level0(vectors, norms2, norms, dim, pad0, cap, q,
                           entry, ef, space, deleted, visited, epoch,
-                          cand, res);
+                          cand, res, NULL);
     qsort(res, rsz, sizeof(pair_t), cmp_pair);
     int kk = k < rsz ? k : rsz;
     for (int32_t j = 0; j < kk; j++) {
@@ -229,7 +285,8 @@ static int select_greedy(
     const float* restrict norms, int32_t dim, int32_t space,
     const int32_t* restrict ids, const float* restrict dq,
     int32_t W, int32_t m, int32_t keep_pruned,
-    char* restrict state, int32_t* restrict out)
+    char* restrict state, int32_t* restrict out,
+    const uint16_t* restrict vectors_h)
 {
     memset(state, 0, W);
     int nsel = 0;
@@ -242,9 +299,13 @@ static int select_greedy(
         float in2 = norms2[ids[i]], in_ = norms[ids[i]];
         for (int32_t j = i + 1; j < W; j++) {
             if (state[j]) continue;
-            float d = dist_one(space, vectors + (int64_t)ids[j] * dim,
-                               vi, dim, norms2[ids[j]], norms[ids[j]],
-                               in2, in_);
+            float d = vectors_h
+                ? dist_one_h(space, vectors_h + (int64_t)ids[j] * dim,
+                             vi, dim, norms2[ids[j]], norms[ids[j]],
+                             in2, in_)
+                : dist_one(space, vectors + (int64_t)ids[j] * dim,
+                           vi, dim, norms2[ids[j]], norms[ids[j]],
+                           in2, in_);
             if (d <= dq[j]) state[j] = 2;
         }
     }
@@ -271,7 +332,8 @@ int hnsw_build_candidates(
     int32_t efc, int32_t m, int32_t space,
     int32_t heuristic, int32_t keep_pruned, int32_t pool_cap,
     int32_t* restrict out_ids, float* restrict out_d,
-    int32_t nthreads)
+    int32_t nthreads,
+    const uint16_t* restrict vectors_h)
 {
     int err = 0;
     #pragma omp parallel num_threads(nthreads > 1 ? nthreads : 1) reduction(|:err)
@@ -294,7 +356,8 @@ int hnsw_build_candidates(
                 const float* q = queries + qi * dim;
                 int rsz = walk_level0(vectors, norms2, norms, dim, pad0,
                                       cap, q, entries[qi], efc, space,
-                                      NULL, visited, epoch, cand, res);
+                                      NULL, visited, epoch, cand, res,
+                                      vectors_h);
                 qsort(res, rsz, sizeof(pair_t), cmp_pair);
                 int W = rsz;
                 if (pool_cap > 0 && W > pool_cap) W = pool_cap;
@@ -309,7 +372,8 @@ int hnsw_build_candidates(
                     }
                     ns = select_greedy(vectors, norms2, norms, dim,
                                        space, pids, pdq, W, m,
-                                       keep_pruned, state, sel);
+                                       keep_pruned, state, sel,
+                                       vectors_h);
                 }
                 for (int32_t j = 0; j < ns; j++) {
                     out_ids[qi * m + j] = res[sel[j]].id;
@@ -367,7 +431,7 @@ int hnsw_select_from_pool(
             pdq[j] = pr[j].d;
         }
         ns = select_greedy(vectors, norms2, norms, dim, space, pids,
-                           pdq, W, m, keep_pruned, state, sel);
+                           pdq, W, m, keep_pruned, state, sel, NULL);
         for (int32_t j = 0; j < ns; j++) out[j] = pr[sel[j]].id;
     }
     free(pr); free(pids); free(pdq); free(state); free(sel);
@@ -500,7 +564,7 @@ int hnsw_select_pool_batch(
                     }
                     ns = select_greedy(vectors, norms2, norms, dim,
                                        space, pids, pdq, Wc, m,
-                                       keep_pruned, state, sel);
+                                       keep_pruned, state, sel, NULL);
                     for (int32_t j = 0; j < ns; j++) o[j] = pr[sel[j]].id;
                 }
                 for (int32_t j = ns; j < m; j++) o[j] = -1;
@@ -625,6 +689,9 @@ def _load():
         lib.hnsw_search_level0_mt.argtypes = (
             lib.hnsw_search_level0.argtypes + [ctypes.c_int32]
         )
+        p_u16 = ctypes.POINTER(ctypes.c_uint16)
+        lib.hnsw_has_f16.restype = ctypes.c_int
+        lib.hnsw_has_f16.argtypes = []
         lib.hnsw_build_candidates.restype = ctypes.c_int
         lib.hnsw_build_candidates.argtypes = [
             p_f32, p_f32, p_f32,
@@ -636,6 +703,7 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             p_i32, p_f32,
             ctypes.c_int32,
+            p_u16,
         ]
         lib.hnsw_select_from_pool.restype = ctypes.c_int
         lib.hnsw_select_from_pool.argtypes = [
@@ -844,6 +912,22 @@ def build_candidates(
     ent = np.ascontiguousarray(entries, dtype=np.int64)
     out_ids = np.empty((nq, m), dtype=np.int32)
     out_d = np.empty((nq, m), dtype=np.float32)
+    # f16 shadow walk: the build already maintains a float16 copy for
+    # selection gathers; F16C hosts walk candidates on it too (half
+    # the gather bytes on the bandwidth-bound stage).  manhattan and
+    # non-F16C hosts stay on float32.
+    vh = getattr(g, "vectors_h", None)
+    vh_ptr = ctypes.POINTER(ctypes.c_uint16)()
+    if (
+        vh is not None
+        and g.cfg.space != "manhattan"
+        and vh.dtype == np.float16
+        and vh.flags.c_contiguous
+        and lib.hnsw_has_f16()
+    ):
+        vh_ptr = vh.view(np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16)
+        )
     rc = lib.hnsw_build_candidates(
         _as_c(b["vec"], ctypes.c_float),
         _as_c(b["n2"], ctypes.c_float),
@@ -864,6 +948,7 @@ def build_candidates(
         _as_c(out_ids, ctypes.c_int32),
         _as_c(out_d, ctypes.c_float),
         ctypes.c_int32(threads),
+        vh_ptr,
     )
     if rc != 0:
         return None
