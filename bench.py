@@ -444,8 +444,14 @@ def main():
     # is input PREP for the search legs, which are always timed live.
     # fm_single_build_s reports the measured build time recorded when
     # the artifact was actually built on this machine+kernel.
+    from anndb_spark.operators import ckernel as _ck_mod
+
+    # key the artifact by BOTH kernel files: the compiled kernel is
+    # half the build path, and a cached artifact must not mask a kernel
+    # change's build cost (VERDICT r5 Wrong #2)
     _kern = hashlib.sha1(
         open(_hnsw_mod.__file__, "rb").read()
+        + open(_ck_mod.__file__, "rb").read()
     ).hexdigest()[:12]
     _skey = hashlib.sha1(
         f"{config_to_json(cfg_fm_single)}|{FM_N}|{FM_SEED}|{_kern}".encode()
