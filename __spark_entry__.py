@@ -368,6 +368,39 @@ def _pq_adc_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (coarse cells × residual product codes, Jégou et al. 2011)
+    over the embeddings table: build artifacts to a scratch dir, then
+    the serving-shape search (per probed-cell tasks, worker-cached
+    codes) with exact rerank for 5 deterministic probes.  Approximate
+    by construction → no SQL oracle; rows checked, recall bounded in
+    tests/test_ivfpq.py."""
+    import os
+    import tempfile
+
+    from anndb_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+
+    emb = _embeddings_df(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "anndb_entry_ivfpq", os.path.basename(sf_dir)
+    )
+    cent, books = build_ivfpq(
+        emb, path, n_cells=16, m=8, n_centroids=64, sample_n=10_000
+    )
+    probes = emb.orderBy("id").limit(5).collect()
+    qs = [(str(r["id"]), list(r["vector"])) for r in probes]
+    res = search_ivfpq(
+        spark, path, qs, k=10, nprobe=4, centroids=cent, codebooks=books,
+        rerank_with=emb, shortlist=50,
+    )
+    return res.select(
+        "query_id",
+        "rank",
+        "id",
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    )
+
+
 def _sq8_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-range uint8 scalar quantization of the embedding column —
     the user-facing columnar codec (the serving-side per-dimension
@@ -688,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
+        "ivfpq_embeddings_top10": _ivfpq_embeddings_top10,
     }
 
 

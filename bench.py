@@ -344,6 +344,32 @@ def main():
     )
     extra["pq_batch_q_per_s"] = round(1000 / timings["pq_search_batch_1kq"], 1)
 
+    # q11d: IVFPQ (coarse cells × residual product codes, the IVFADC
+    # billion-scale layout) — serving-shape search over hive-partitioned
+    # codes, worker-cached cells, per-cell residual LUTs
+    from anndb_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+
+    ivfpq_path = os.path.join(scratch, "idx_ivfpq")
+    cent_pq, books_pq = build_ivfpq(
+        emb, ivfpq_path, n_cells=16, m=8, n_centroids=64, sample_n=20_000
+    )
+    ivfpq_qs = (
+        [f"q{i}" for i in range(1000)],
+        rng_pq.normal(0, 1, (1000, emb_dim)).astype(np.float32),
+    )
+    search_ivfpq(  # warm: populates every worker's codes cache
+        spark, ivfpq_path, ivfpq_qs, k=10, nprobe=4, centroids=cent_pq,
+        codebooks=books_pq, cache_token="bench-ivfpq",
+    ).count()
+    timed(
+        "ivfpq_search_1kq",
+        lambda: search_ivfpq(
+            spark, ivfpq_path, ivfpq_qs, k=10, nprobe=4, centroids=cent_pq,
+            codebooks=books_pq, cache_token="bench-ivfpq",
+        ).count(),
+    )
+    extra["ivfpq_q_per_s"] = round(1000 / timings["ivfpq_search_1kq"], 1)
+
     # q12: MinHash-LSH near-dup candidate pairs over documents
     timed(
         "dedup_minhash_pairs",
