@@ -290,6 +290,20 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, block_col="label", threshold=0.65)
 
 
+def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free embedding near-dup via random-hyperplane LSH
+    (Charikar 2002): seeded 32-bit sign signatures, pigeonhole-banded
+    candidate join, exact cosine verify on candidates only — the 100 TB
+    embedding-dedup shape (no blocking column, no O(N²)).  The oracle
+    reproduces signatures, banding and the verify bit-exactly."""
+    from anndb_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # raw double dist: the dual-dialect fold is bit-exact (knn-leg
+    # contract), no rounding needed
+    return embedding_lsh_pairs(emb, bits=32, max_hamming=2, threshold=0.8)
+
+
 def _knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self similarity join: each embedding's 5 nearest *other* embeddings."""
     from anndb_spark.operators.knn import knn_join
@@ -711,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _simhash_documents,
         "simhash_pairs_documents": _simhash_pairs_documents,
         "simhash64_pairs_documents": _simhash64_pairs_documents,
+        "embedding_lsh_pairs": _embedding_lsh_pairs,
         "embedding_neardup": _embedding_neardup,
         "knn_join_embeddings": _knn_join_embeddings,
         "random_vectors_orders": _random_vectors_orders,
@@ -803,6 +818,41 @@ def _simhash_pairs_oracle(
                    ON a.band = b2.band AND a.val = b2.val AND a.id < b2.id)
         SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+def _embedding_lsh_oracle(
+    bits: int = 32, max_hamming: int = 2, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of `dedup.embedding_lsh_pairs`: same seeded
+    hyperplanes, same double-fold sign bits, same pigeonhole bands,
+    same exact cosine verify — candidate generation and filter both
+    reproduced, so the result set matches bit-for-bit."""
+    from anndb_spark.functions.spaces import pair_distance_sql
+    from anndb_spark.operators.dedup import (
+        lsh_hyperplanes,
+        lsh_signature_sql,
+        simhash_band_bounds,
+    )
+
+    planes = lsh_hyperplanes(bits, 64)
+    sig = lsh_signature_sql("embedding", planes)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, (sig >> {off}) & {(1 << width) - 1} AS val FROM s"
+        for b, (off, width) in enumerate(simhash_band_bounds(bits, max_hamming))
+    )
+    dist = pair_distance_sql("ea.embedding", "eb.embedding", 64, space="cosine")
+    return f"""
+        WITH s AS (SELECT vec_id AS id, {sig} AS sig FROM embeddings),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                 FROM bands a JOIN bands b2
+                   ON a.band = b2.band AND a.val = b2.val AND a.id < b2.id)
+        SELECT id_a, id_b, {dist} AS dist
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE {dist} < {threshold}
     """
 
 
@@ -1131,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             max_hamming=1, where="doc_id % 8 = 0"
         ),
         "simhash64_pairs_documents": _simhash64_pairs_oracle(),
+        "embedding_lsh_pairs": _embedding_lsh_oracle(),
         "token_counts_documents": """
             SELECT doc_id AS id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

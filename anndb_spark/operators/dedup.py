@@ -546,3 +546,140 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH near-dup (random-hyperplane signatures, label-free)
+# ---------------------------------------------------------------------------
+
+def lsh_hyperplanes(bits: int, dim: int, seed: int = 42) -> "np.ndarray":
+    """Seeded (bits, dim) float64 hyperplane matrix — the random
+    projection family of Charikar's SimHash for real vectors (STOC
+    2002): sign(v·r) bits preserve angular similarity."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, 1.0, (bits, dim))
+
+
+def _lsh_dot(vec: Column, plane) -> Column:
+    """v·r as a strict left fold in double — operation-for-operation
+    the SQL emitted by `lsh_signature_sql`, so the SIGN (hence every
+    signature bit) is bit-identical across engines."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(
+            F.transform(vec, lambda x: x.cast("double")),
+            arr,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_signature_col(vec: Column, planes) -> Column:
+    """BIGINT signature: bit i set iff v·r_i > 0."""
+    sig = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        sig = sig + F.when(
+            _lsh_dot(vec, p) > F.lit(0.0).cast("double"),
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def lsh_signature_sql(vec_expr: str, planes, dialect: str = "duckdb") -> str:
+    """The DuckDB (or Spark-SQL) twin of `lsh_signature_col` — same
+    double casts, same left fold, same strict `> 0.0` sign test."""
+    from anndb_spark.functions.spaces import _elem, _fold_sql, _lit
+
+    bits = []
+    for i, p in enumerate(planes):
+        terms = [
+            f"({_elem(vec_expr, j + 1, dialect)} * {_lit(p[j])})"
+            for j in range(len(p))
+        ]
+        dot = _fold_sql(terms)
+        bits.append(
+            f"(CASE WHEN {dot} > CAST(0.0 AS DOUBLE) "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = f"({out} + {b})"
+    return out
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    max_hamming: int = 2,
+    threshold: float = 0.2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Label-free embedding near-duplicates at scale: random-hyperplane
+    signatures → pigeonhole bit-banded candidate join → exact cosine
+    verify, vectors fetched for CANDIDATES only.
+
+    This is the 100 TB shape `embedding_neardup_pairs` lacks: no
+    blocking column required and no O(N²) self-join — candidate work is
+    O(Σ band collisions), and the verify join touches only candidate
+    rows.  Like any LSH, recall is bounded by the banding (pairs whose
+    signatures differ in > max_hamming bits are not considered); the
+    SQL oracle replicates the banding exactly, so the operator is
+    hash-checkable end to end.
+
+    → (id_a, id_b, dist) with dist = |1 − cos| < threshold.
+    """
+    from anndb_spark.functions.spaces import distance_col
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = lsh_hyperplanes(bits, dim, seed)
+    bounds = simhash_band_bounds(bits, max_hamming)
+    df = ensure_parallelism(df)
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("sig", off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for b, (off, width) in enumerate(bounds)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            distance_col(F.col("_va"), F.col("_vb"), space="cosine").alias(
+                "dist"
+            ),
+        )
+        .filter(F.col("dist") < F.lit(float(threshold)))
+    )

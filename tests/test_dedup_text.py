@@ -272,3 +272,29 @@ def test_dedup_clusters_chain_converges_fast(spark):
     }
     assert {out[f"c{i:04d}"] for i in range(301)} == {"c0000"}
     assert {out[f"k{x}"] for x in "012345"} == {"k0"}
+
+
+def test_embedding_lsh_pairs_finds_near_dups(spark):
+    """Near-identical embeddings (tiny perturbations → hamming ≈ 0)
+    must be found without any blocking column; far pairs must not
+    appear; every returned dist respects the threshold."""
+    import numpy as np
+
+    from anndb_spark.operators.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(12)
+    base = rng.normal(0, 1, (40, 64)).astype(np.float32)
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, base[i].astype(float).tolist()))
+        dup = base[i] + rng.normal(0, 1e-4, 64).astype(np.float32)
+        rows.append((2 * i + 1, dup.astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = embedding_lsh_pairs(df, threshold=0.05).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    for i in range(40):
+        assert (2 * i, 2 * i + 1) in found, i
+    assert all(r["dist"] < 0.05 for r in got)
+    # distinct base vectors are ~orthogonal at 64-d: no cross pairs
+    cross = [p for p in found if p[1] - p[0] != 1]
+    assert not cross, cross
