@@ -104,6 +104,30 @@ def build_ivfpq(
     ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
     # one pass: assign + residual-encode (no shuffle before the
     # partitioned write)
+    (
+        ivfpq_encode(vectors, cent, books, id_col=id_col, vec_col=vec_col)
+        .write.mode(mode)
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+    return cent, books
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """→ (id, cluster_id, codes): assign the coarse cell and
+    residual-encode, one Arrow pass, no shuffle.  Deterministic given
+    (centroids, codebooks) — the streaming maintainer re-encodes
+    micro-batches with the SAME artifacts, so appended codes are
+    indistinguishable from build-time codes."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float32)
+    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    m, kc, sub = books.shape
     bn2 = np.einsum("mkd,mkd->mk", books, books, dtype=np.float32)
     cn2 = np.einsum("ij,ij->i", cent, cent, dtype=np.float32)
 
@@ -128,13 +152,9 @@ def build_ivfpq(
                 }
             )
 
-    (
-        vectors.mapInPandas(enc, "id STRING, cluster_id INT, codes ARRAY<INT>")
-        .write.mode(mode)
-        .partitionBy("cluster_id")
-        .parquet(f"{path}/codes")
+    return vectors.mapInPandas(
+        enc, "id STRING, cluster_id INT, codes ARRAY<INT>"
     )
-    return cent, books
 
 
 def load_ivfpq_meta(spark, path: str) -> tuple[np.ndarray, np.ndarray]:

@@ -416,3 +416,69 @@ def test_insert_many_extends_loaded_graph_kernel():
     assert res[0][1] == 1100  # the freshly inserted vector finds itself
     truth = g.search_brute(q.reshape(1, -1), 5)[0]
     assert {i for _, i in res} == {i for _, i in truth}
+
+
+def test_stream_maintain_ivfpq(spark, tmp_path):
+    """Insert → append to cells; update → old cell rewritten, new row
+    re-routed; delete → gone.  Search results track each micro-batch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+    from anndb_spark.streaming.changelog import stream_maintain_ivfpq
+
+    rng = np.random.default_rng(6)
+    centers = rng.normal(0, 1, (4, 16)).astype(np.float32)
+    mat = centers[np.arange(200) % 4] + rng.normal(0, 0.05, (200, 16)).astype(
+        np.float32
+    )
+    rows = [(f"v{i}", mat[i].astype(float).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, vector array<float>")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq(df, path, n_cells=4, m=4, n_centroids=16, sample_n=200)
+
+    changelog = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    far = (centers[0] * 10).astype(np.float32)  # distinct probe target
+    c1 = spark.createDataFrame(
+        [
+            (1, "new0", "insert", (far + 0.01).astype(float).tolist(), None),
+            (2, "v3", "delete", None, None),
+        ],
+        "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, "
+        "metadata MAP<STRING,STRING>",
+    )
+    c1.write.mode("append").parquet(changelog)
+    stream_maintain_ivfpq(spark, changelog, path, ckpt).awaitTermination(120)
+
+    codes = spark.read.parquet(f"{path}/codes")
+    ids = {r["id"] for r in codes.select("id").collect()}
+    assert "new0" in ids and "v3" not in ids and len(ids) == 200
+
+    got = [
+        r["id"]
+        for r in search_ivfpq(
+            spark, path, [("q", far.astype(float).tolist())], k=1, nprobe=4
+        ).collect()
+    ]
+    assert got == ["new0"]
+
+    # update moves new0 near a different center: it must leave its old
+    # cell and be found at the new location
+    far2 = (centers[1] * 10).astype(np.float32)
+    c2 = spark.createDataFrame(
+        [(3, "new0", "update", (far2 + 0.01).astype(float).tolist(), None)],
+        "seq LONG, id STRING, op STRING, vector ARRAY<DOUBLE>, "
+        "metadata MAP<STRING,STRING>",
+    )
+    c2.write.mode("append").parquet(changelog)
+    stream_maintain_ivfpq(spark, changelog, path, ckpt).awaitTermination(120)
+    codes2 = spark.read.parquet(f"{path}/codes")
+    assert codes2.filter(F.col("id") == "new0").count() == 1
+    got2 = [
+        r["id"]
+        for r in search_ivfpq(
+            spark, path, [("q", far2.astype(float).tolist())], k=1, nprobe=4
+        ).collect()
+    ]
+    assert got2 == ["new0"]
