@@ -280,6 +280,10 @@ def knn_join(
     broadcast_left: bool = True,
     two_stage: bool = True,
     gemm_collect_cap: int = GEMM_COLLECT_CAP,
+    pq_codebooks=None,
+    pq_codes: DataFrame | None = None,
+    pq_m: int = 8,
+    pq_centroids: int = 256,
 ) -> DataFrame:
     """Top-k similarity join: for every row of ``left``, its k nearest
     rows of ``right``.
@@ -309,6 +313,12 @@ def knn_join(
       centroids and score only those clusters of right (see
       `operators/ivf.py`): O(|L|·nprobe·cluster_size) scores, the 100 TB
       path.  Requires ``centroids`` (train via `ivf.train_centroids`).
+    - ``'pq'`` — product-code the right side once (m bytes/row) and
+      ADC-score the codes, exact-reranking a per-left-row shortlist
+      against the float rows (see `operators/pq.py`): the inner scan
+      reads dim·4/m× fewer bytes than 'gemm' at the same output
+      contract; approximate only in which rows REACH the shortlist.
+      Reuse artifacts across calls via ``pq_codebooks``/``pq_codes``.
 
     Exact mode is bit-identical to the SQL cross-join formulation
     (`pair_distance_sql`), so it is oracle-checkable; ivf mode is
@@ -332,6 +342,66 @@ def knn_join(
             centroids,
             nprobe=nprobe,
             space=space,
+        ).select(
+            F.col("query_id").alias("left_id"),
+            F.col("id").alias("right_id"),
+            F.col("score"),
+        )
+        if exclude_self:
+            res = res.filter(F.col("left_id") != F.col("right_id"))
+        w = Window.partitionBy("left_id").orderBy(
+            F.col("score").asc(), F.col("right_id").asc()
+        )
+        return (
+            res.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("left_id", "rank", "right_id", "score")
+        )
+    if mode == "pq":
+        # compressed inner scan: right is product-coded ONCE (m bytes a
+        # row instead of dim·4) and every left row ADC-scores the codes
+        # — the scan-byte lever for big similarity joins; exactness is
+        # restored on a per-query shortlist rerank against the float
+        # rows.  Pass ``pq_codes``/``pq_codebooks`` to amortize the
+        # encode across calls (the artifacts round-trip via pq.save_pq).
+        import numpy as np
+
+        from anndb_spark.operators.pq import (
+            pq_encode,
+            pq_search_batch,
+            train_pq,
+        )
+
+        if space not in ("euclidean", "cosine"):
+            raise ValueError("mode='pq' supports euclidean/cosine")
+        n_left = left.count()
+        if n_left > gemm_collect_cap:
+            raise ValueError(
+                f"mode='pq' routes the left side driver-side "
+                f"({n_left:,} rows > {gemm_collect_cap:,}); chunk the "
+                "left side or use mode='ivf'"
+            )
+        rvecs = right.select(
+            F.col(right_id_col).alias("id"),
+            F.col(right_vec_col).alias("vector"),
+        )
+        books = pq_codebooks
+        if books is None:
+            books = train_pq(rvecs, m=pq_m, n_centroids=pq_centroids)
+        codes = pq_codes if pq_codes is not None else pq_encode(rvecs, books)
+        lrows = left.select(left_id_col, left_vec_col).collect()
+        inner_k = k + 1 if exclude_self else k
+        res = pq_search_batch(
+            codes,
+            (
+                [r[0] for r in lrows],
+                np.array([r[1] for r in lrows], dtype=np.float32),
+            ),
+            books,
+            inner_k,
+            space=space,
+            rerank_with=rvecs,
+            shortlist=max(5 * inner_k, 32),
         ).select(
             F.col("query_id").alias("left_id"),
             F.col("id").alias("right_id"),

@@ -239,3 +239,40 @@ def test_gemm_collect_guard_knn_join(spark, join_sides):
     for ranks in by_left.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_knn_join_pq_mode_matches_exact(spark):
+    """mode='pq' (coded inner scan + exact rerank) must recover ≥90% of
+    the exact join's neighbor sets and respect the (rank, score)
+    ordering contract."""
+    import numpy as np
+
+    from anndb_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(0, 1, (6, 32)).astype(np.float32)
+    mat = centers[np.arange(240) % 6] + rng.normal(0, 0.08, (240, 32)).astype(
+        np.float32
+    )
+    rows = [(f"v{i}", mat[i].astype(float).tolist()) for i in range(240)]
+    df = spark.createDataFrame(rows, "id string, vector array<float>")
+    left = df.limit(40)
+    exact = knn_join(left, df, 5, mode="exact", exclude_self=True).collect()
+    pq = knn_join(
+        left, df, 5, mode="pq", exclude_self=True, pq_m=4, pq_centroids=32
+    ).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["left_id"], set()).add(r["right_id"])
+    hits = total = 0
+    by_left = {}
+    for r in pq:
+        by_left.setdefault(r["left_id"], []).append((r["rank"], r["score"]))
+        total += 1
+        hits += r["right_id"] in ex.get(r["left_id"], ())
+    assert total == 40 * 5
+    assert hits / total >= 0.9, hits / total
+    for rs in by_left.values():
+        rs.sort()
+        assert [x for x, _ in rs] == list(range(1, 6))
+        assert [s for _, s in rs] == sorted(s for _, s in rs)
