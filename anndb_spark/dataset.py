@@ -95,6 +95,7 @@ class Dataset:
         self.index_path = os.path.join(base, "_index")
         self.pq_books_path = os.path.join(base, "_pq_books")
         self.pq_codes_path = os.path.join(base, "_pq_codes")
+        self.ivfpq_path = os.path.join(base, "_ivfpq")
         self._pq_cache: tuple[str, object] | None = None
         # cached state-table row count for the planner's auto-mode size
         # check: computed at most once per compaction epoch, so a serving
@@ -318,6 +319,27 @@ class Dataset:
         )
         self._pq_cache = None
 
+    def build_ivfpq(
+        self,
+        n_cells: int = 32,
+        m: int = 8,
+        n_centroids: int = 256,
+        sample_n: int = 50_000,
+    ) -> None:
+        """Train + persist the IVFPQ layout (coarse cells × residual
+        codes) under the dataset directory — the compressed serving
+        index for datasets whose float rows dominate scan cost."""
+        from anndb_spark.operators.ivfpq import build_ivfpq
+
+        build_ivfpq(
+            self.state().select("id", "vector"),
+            self.ivfpq_path,
+            n_cells=n_cells,
+            m=m,
+            n_centroids=n_centroids,
+            sample_n=sample_n,
+        )
+
     def _pq_artifacts(self):
         """(codes DataFrame, codebooks ndarray) or None; codebooks are
         cached per books-dir content fingerprint so a rebuild
@@ -359,6 +381,45 @@ class Dataset:
                     "run build_pq() first"
                 )
             kw["pq_codes"], kw["pq_books"] = art
+        if mode == "ivfpq":
+            # served straight from the dataset's artifact dir (the
+            # planner has no hand in this one: the physical strategy IS
+            # the artifact layout)
+            from anndb_spark.operators.ivfpq import search_ivfpq
+            from anndb_spark.sources.fsutil import index_fingerprint
+
+            if self.meta.space != "euclidean":
+                raise ValueError("mode='ivfpq' supports euclidean only")
+            if index_fingerprint(self.ivfpq_path) in ("empty", "unknown"):
+                raise ValueError(
+                    f"dataset {self.meta.name!r} has no IVFPQ artifacts "
+                    "— run build_ivfpq() first"
+                )
+            res = search_ivfpq(
+                self.spark,
+                self.ivfpq_path,
+                queries,
+                k,
+                nprobe=kw.pop("nprobe", 8),
+                rerank_with=self.state().select("id", "vector"),
+                cache_token=f"{self.ivfpq_path}@"
+                + index_fingerprint(f"{self.ivfpq_path}/codes"),
+                **{
+                    kk: vv
+                    for kk, vv in kw.items()
+                    if kk in ("shortlist", "queries_per_task")
+                },
+            )
+            if with_metadata:
+                meta = self.state().select(
+                    F.col("id").alias("_mid"), "metadata"
+                )
+                res = (
+                    F.broadcast(res)
+                    .join(meta, res["id"] == meta["_mid"])
+                    .select(*res.columns, "metadata")
+                )
+            return res
         if index_df is None and mode in ("auto", "ann"):
             # saved index → serving path with an auto-versioned cache
             # token (rebuilds/tombstones invalidate it)

@@ -287,3 +287,33 @@ def test_facade_pq_mode_roundtrip(spark, tmp_path):
     exact = [r["id"] for r in fresh.search(q, 5, mode="exact").collect()]
     assert len(got) == 5
     assert len(set(got) & set(exact)) >= 4, (got, exact)
+
+
+def test_facade_ivfpq_mode(spark, tmp_path):
+    """build_ivfpq persists the compressed layout; mode='ivfpq' serves
+    from it (fresh handle) and matches exact top-k after rerank."""
+    import numpy as np
+
+    from anndb_spark.dataset import AnnDB
+
+    db = AnnDB(spark, str(tmp_path / "db"))
+    ds = db.create_dataset("ipq", dimension=16, partition_count=2)
+    rng = np.random.default_rng(15)
+    centers = rng.normal(0, 1, (4, 16)).astype(np.float32)
+    mat = centers[np.arange(240) % 4] + rng.normal(0, 0.05, (240, 16)).astype(
+        np.float32
+    )
+    rows = [(f"v{i}", mat[i].astype(float).tolist(), None) for i in range(240)]
+    ds.insert(
+        spark.createDataFrame(
+            rows, "id STRING, vector ARRAY<FLOAT>, metadata MAP<STRING,STRING>"
+        )
+    )
+    ds.compact()
+    ds.build_ivfpq(n_cells=4, m=4, n_centroids=16, sample_n=240)
+    q = (mat[11] + rng.normal(0, 0.02, 16).astype(np.float32)).astype(float).tolist()
+    fresh = db.get_dataset("ipq")
+    got = [r["id"] for r in fresh.search(q, 5, mode="ivfpq", nprobe=2).collect()]
+    exact = [r["id"] for r in fresh.search(q, 5, mode="exact").collect()]
+    assert len(got) == 5
+    assert len(set(got) & set(exact)) >= 4, (got, exact)
