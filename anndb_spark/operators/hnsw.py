@@ -2968,7 +2968,8 @@ def search_index_path(
     warm serving workload pays ZERO index bytes per query batch — the
     same resident-graph contract the reference's nodes have
     (`storage/partition.go`: graphs live in memory, storage is only read
-    on start/restore).  Queries ride the task closure.
+    on start/restore).  The query batch ships as a broadcast (once per
+    executor), never in per-task closures.
 
     With ``centroids`` + ``nprobe`` the query set is routed first (the
     IVF×HNSW hybrid): only probed partitions appear in the plan at all

@@ -385,10 +385,14 @@ def search_ivf_path(
         ),
         "cid INT, chunk INT",
     )
+    # query batch as a broadcast, not a per-task closure payload (see
+    # hnsw.search_index_path — a closure is serialized into every task)
+    bq = spark.sparkContext.broadcast((qid_arr, qmat, by_cid))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from anndb_spark.sources import fsutil as _fsu
 
+        qid_arr, qmat, by_cid = bq.value
         # drain before yielding — interleaved yield gets the python
         # worker killed instead of reused, losing the resident cluster
         # cache (see hnsw.search_index_path)
