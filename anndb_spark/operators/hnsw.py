@@ -962,6 +962,59 @@ class HnswGraph:
             )
         return [out_sorted[inv[i]] for i in range(Qf.shape[0])]
 
+    def search_fast_batch_arrays(
+        self,
+        Q: np.ndarray,
+        k: int,
+        ef: int | None = None,
+        threads: int = 1,
+    ):
+        """Array-native variant of `search_fast_batch` for callers that
+        keep results columnar: returns ``(ids, dists)`` of shape
+        (nq, k), -1 / FLT_MAX padded (pads are a suffix), rows in query
+        order — identical neighbor sets to `search_fast_batch` (same C
+        kernel, same seeding).  Returns None when the native kernel
+        can't serve this graph (caller falls back to the tuple path);
+        the list-of-tuples conversion it skips measured ~0.19 s for a
+        10k×10 result — 3× the 32-thread kernel wall itself."""
+        from anndb_spark.operators import ckernel as _ck
+
+        if not (
+            _ck.available()
+            and self.cfg.space in ("euclidean", "cosine", "manhattan")
+        ):
+            return None
+        if self.entrypoint < 0:
+            return (
+                np.full((Q.shape[0], k), -1, dtype=np.int64),
+                np.full((Q.shape[0], k), np.float32(np.inf)),
+            )
+        has_tomb = self.deleted is not None and self.deleted.any()
+        dele = self.deleted if has_tomb else None
+        Qf = np.ascontiguousarray(Q, dtype=np.float32)
+        ef = max(ef or self.cfg.ef, k)
+        if len(self.levels) < 4096 or max(self.levels) == 0:
+            ent = _ck.descend(self, Qf)
+            if ent is None:
+                return None
+            return _ck.search_level0(
+                self, Qf, k, ef, ent[0], deleted=dele, threads=threads
+            )
+        entry, entry_d, order, inv = self._seed_entries(Qf)
+        res = _ck.search_level0(
+            self,
+            np.ascontiguousarray(Qf[order]),
+            k,
+            ef,
+            entry[order],
+            deleted=dele,
+            threads=threads,
+        )
+        if res is None:
+            return None
+        ids, ds = res
+        return ids[inv], ds[inv]
+
     def _seed_entries(self, Qf: np.ndarray):
         """Seed-GEMM entry selection + locality sort for a query batch:
         one (q × S) BLAS pass against the graph's own upper-level
@@ -2941,6 +2994,140 @@ def search_index(
     )
 
 
+def _serve_single_graph_local(
+    spark,
+    path: str,
+    pid: int,
+    qid_arr: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    ef: int,
+    cfg: "HnswConfig",
+    strategy: str,
+    brute_flops_threshold: float,
+    cache_token: str | None,
+    index_ver,
+    with_metadata: bool,
+    chunk_q: int,
+) -> pd.DataFrame:
+    """Driver-local serving of a ONE-partition saved index.
+
+    When the whole index is a single graph, a Spark job buys nothing:
+    the measured per-job fixed wall on this mode (~0.5-0.65 s noop +
+    ~12 ms/task) is ~10x the compiled kernel's cost for a 10k-query
+    batch (~0.09 ms/query/core).  This is the reference benchmark's own
+    shape — one resident graph searched in-process
+    (`cmd/benchmark/ann-benchmark/main.go:279-307`) — so the facade
+    answers in-process through the same graph kernel the workers run
+    (`HnswGraph.search_fast_batch` -> `ckernel.hnsw_search_level0_mt`
+    with an OpenMP thread per core), reusing the same process-local L1 /
+    host-shared shm L2 caches the task path populates (and publishing to
+    them, so a later multi-partition job finds the graph warm).
+
+    Multi-partition / routed indexes never take this path: there the
+    graphs live on executors by design and the task plan is the scale
+    path.  Results are bit-identical to the task path (same kernel, same
+    per-chunk brute/beam resolution) — pytest-enforced.
+    """
+    from anndb_spark.sources import fsutil as _fsu
+
+    full_key = (
+        (cache_token, index_ver, pid) if cache_token is not None else None
+    )
+    hit = _cache_get(full_key)
+    if hit is None and full_key is not None:
+        d = _shm_dir_for(full_key)
+        if d is not None:
+            got = _shm_load(d, cfg)
+            if got is not None:
+                _cache_put(full_key, *got)
+                hit = got
+    if hit is not None:
+        ids, g = hit
+    else:
+        idx_pdf = _fsu.read_parquet_dir(
+            _fsu.join(path, f"partition_id={pid}")
+        ).to_pandas()
+        ids, g = _graph_from_index(idx_pdf, cfg)
+        if full_key is not None:
+            d = _shm_store(full_key, ids, g)
+            if d is not None:
+                got = _shm_load(d, cfg)
+                if got is not None:
+                    ids, g = got
+            _cache_put(full_key, ids, g)
+    # brute/beam resolution must match the task path, which decides per
+    # query-chunk of (at most) queries_per_task rows — use the same
+    # chunk size so "auto" lands on the same strategy
+    use_brute = strategy == "brute" or (
+        strategy == "auto"
+        and len(ids) * min(chunk_q, qmat.shape[0]) * g.dim
+        <= brute_flops_threshold
+    )
+    threads = _os_mod.cpu_count() or 1
+    cols = ["query_id", "rank", "id", "score"] + (
+        ["metadata"] if with_metadata else []
+    )
+    ids_arr = np.asarray(ids, dtype=object)
+    if not use_brute:
+        arr = g.search_fast_batch_arrays(qmat, k, ef, threads=threads)
+        if arr is not None:
+            # columnar end-to-end: no per-hit python tuples anywhere
+            ids_k, d_k = arr
+            valid = ids_k >= 0  # pads are a row suffix → ranks are col+1
+            counts_v = valid.sum(axis=1)
+            nid = ids_k[valid]
+            data = {
+                "query_id": np.repeat(qid_arr, counts_v),
+                "rank": (
+                    np.broadcast_to(
+                        np.arange(1, ids_k.shape[1] + 1, dtype=np.int32),
+                        ids_k.shape,
+                    )[valid]
+                ),
+                "id": ids_arr[nid],
+                "score": d_k[valid],
+            }
+            if with_metadata:
+                meta = g.item_meta
+                data["metadata"] = (
+                    [meta[i] for i in nid]
+                    if meta is not None
+                    else [None] * int(counts_v.sum())
+                )
+            return pd.DataFrame(data, columns=cols)
+    res = (
+        g.search_brute(qmat, k)
+        if use_brute
+        else g.search_fast_batch(qmat, k, ef, threads=threads)
+    )
+    counts = [len(h) for h in res]
+    total = sum(counts)
+    nid = np.fromiter(
+        (i for h in res for _, i in h), dtype=np.int64, count=total
+    )
+    dist = np.fromiter(
+        (d for h in res for d, _ in h), dtype=np.float32, count=total
+    )
+    ids_arr = np.asarray(ids, dtype=object)
+    data = {
+        "query_id": np.repeat(qid_arr, counts),
+        "rank": np.concatenate(
+            [np.arange(1, c + 1, dtype=np.int32) for c in counts]
+        )
+        if total
+        else np.empty(0, dtype=np.int32),
+        "id": ids_arr[nid] if total else np.empty(0, dtype=object),
+        "score": dist,
+    }
+    if with_metadata:
+        meta = g.item_meta
+        data["metadata"] = (
+            [meta[i] for i in nid] if meta is not None else [None] * total
+        )
+    return pd.DataFrame(data, columns=cols)
+
+
 def search_index_path(
     spark,
     path: str,
@@ -2956,6 +3143,7 @@ def search_index_path(
     nprobe: int = 0,
     queries_per_task: int | None = None,
     locality_centroids=None,
+    local_mode: str = "auto",
 ) -> DataFrame:
     """Serving-shape ANN search over a SAVED index (`save_index` path).
 
@@ -3011,7 +3199,22 @@ def search_index_path(
     else:
         qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
         qmat = np.array([v for _, v in queries], dtype=np.float32)
-    if locality_centroids is not None and (centroids is None or nprobe <= 0):
+    _local_ok = (
+        len(all_pids) == 1
+        and (centroids is None or nprobe <= 0)
+        and (
+            local_mode == "force"
+            or (
+                local_mode == "auto"
+                and _os_mod.environ.get("ANNDB_LOCAL_SERVE", "1") != "0"
+            )
+        )
+    )
+    if (
+        locality_centroids is not None
+        and not _local_ok  # local path seed-sorts internally
+        and (centroids is None or nprobe <= 0)
+    ):
         # order the batch by coarse cell BEFORE chunking: each task's
         # queries then walk the SAME region of the graph, shrinking the
         # random-gather working set (the bandwidth-bound kernel's real
@@ -3076,6 +3279,18 @@ def search_index_path(
         # split queries across cores.
         target_tasks = max(len(pids), par // 2, 1)
         queries_per_task = max(64, -(-total // target_tasks))
+    # ONE-graph indexes skip Spark entirely when allowed: the per-job
+    # fixed wall dwarfs the compiled kernel at any realistic batch size
+    # (see _serve_single_graph_local).  `local_mode`: "auto" (on for
+    # single-graph, overridable via ANNDB_LOCAL_SERVE=0), "force",
+    # "off" (always run the task plan — pytest parity uses this).
+    if _local_ok and single_graph and n_q > 0:
+        pdf = _serve_single_graph_local(
+            spark, path, pids[0], qid_arr, qmat, k, ef, cfg, strategy,
+            brute_flops_threshold, cache_token, index_ver, with_metadata,
+            min(queries_per_task, n_q),
+        )
+        return spark.createDataFrame(pdf, schema=out_schema)
     plan_rows = []
     for p in pids:
         n_chunks = max(1, -(-per_pid[p] // queries_per_task))

@@ -750,3 +750,43 @@ def test_ckernel_matches_numpy_kernel():
         for row in res_t:
             assert all(not g.deleted[i] for _, i in row)
         g.deleted = None
+
+
+def test_local_serve_matches_task_path(spark, tmp_path):
+    """Driver-local single-graph serving (local_mode='force') must return
+    exactly what the Spark task plan (local_mode='off') returns — beam,
+    brute, tombstones, and metadata."""
+    from anndb_spark.operators.hnsw import save_graph_partition, search_index_path
+
+    rng = np.random.default_rng(71)
+    n, dim = 800, 24
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=100, heuristic=True)
+    lr = np.random.default_rng(9)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12)) * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg)
+    ids = [f"v{i:04d}" for i in range(n)]
+    path = str(tmp_path / "local_idx")
+    save_graph_partition(g, ids, path)
+
+    queries = [(str(i), rng.normal(0, 1, dim).tolist()) for i in range(30)]
+    for strategy in ("beam", "brute"):
+        a = search_index_path(
+            spark, path, queries, 6, ef=60, config=cfg, strategy=strategy,
+            cache_token="t-local", local_mode="off",
+        ).collect()
+        b = search_index_path(
+            spark, path, queries, 6, ef=60, config=cfg, strategy=strategy,
+            cache_token="t-local", local_mode="force",
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), strategy
+        assert len(b) == 180
+
+    # the local result is a real DataFrame: column ops compose on it
+    d = search_index_path(
+        spark, path, queries, 6, ef=60, config=cfg, strategy="beam",
+        local_mode="force",
+    )
+    assert d.filter(F.col("rank") == 1).count() == 30
