@@ -415,6 +415,61 @@ def _ivfpq_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_exact_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive-config PQ twin (VERDICT r6 Next #2): with shortlist ≥
+    N the ADC candidate set is the WHOLE table and the exact rerank
+    re-scores every row — the output is exact kNN by construction, so
+    the plain kNN SQL is its oracle (the `ivf_embeddings_top10`
+    full-probe trick).  Ranks/ids only (the float32 rerank-score path
+    differs from the SQL fold); the approximate serving leg
+    `pq_adc_embeddings_top10` is retained alongside."""
+    from anndb_spark.operators.pq import pq_encode, pq_search_batch, train_pq
+
+    emb = _embeddings_df(spark, sf_dir)
+    n = emb.count()
+    books = train_pq(emb, m=8, n_centroids=64, sample_n=20_000)
+    codes = pq_encode(emb, books)
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    res = pq_search_batch(
+        codes, qs, books, k=K, rerank_with=emb, shortlist=n
+    )
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        F.col("id").cast("bigint").alias("id"),
+    )
+
+
+def _ivfpq_full_probe_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive-config IVFPQ twin: nprobe = n_cells probes every cell
+    and shortlist ≥ N makes the exact rerank cover the whole table —
+    output == exact kNN, oracle-checked against the same kNN SQL.  The
+    approximate serving leg `ivfpq_embeddings_top10` is retained."""
+    import os
+    import tempfile
+
+    from anndb_spark.operators.ivfpq import build_ivfpq, search_ivfpq
+
+    emb = _embeddings_df(spark, sf_dir)
+    n = emb.count()
+    path = os.path.join(
+        tempfile.gettempdir(), "anndb_entry_ivfpq_full", os.path.basename(sf_dir)
+    )
+    cent, books = build_ivfpq(
+        emb, path, n_cells=16, m=8, n_centroids=64, sample_n=10_000
+    )
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    res = search_ivfpq(
+        spark, path, qs, k=K, nprobe=16, centroids=cent, codebooks=books,
+        rerank_with=emb, shortlist=n,
+    )
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        F.col("id").cast("bigint").alias("id"),
+    )
+
+
 def _sq8_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-range uint8 scalar quantization of the embedding column —
     the user-facing columnar codec (the serving-side per-dimension
@@ -737,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
         "ivfpq_embeddings_top10": _ivfpq_embeddings_top10,
+        "pq_exact_rerank_top10": _pq_exact_rerank_top10,
+        "ivfpq_full_probe_top10": _ivfpq_full_probe_top10,
     }
 
 
@@ -1000,6 +1057,14 @@ def oracle_sql() -> dict[str, str]:
         "random_vectors_orders": _random_vectors_orders_oracle(),
         # full-probe IVF == exact kNN; ranks/ids only (float path differs)
         "ivf_embeddings_top10": (
+            f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"
+        ),
+        # exhaustive-config PQ/IVFPQ (shortlist >= N, full probe): the
+        # exact rerank covers every row, so exact kNN is the oracle
+        "pq_exact_rerank_top10": (
+            f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"
+        ),
+        "ivfpq_full_probe_top10": (
             f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"
         ),
         # auto-strategy search over sub-threshold partitions routes to the

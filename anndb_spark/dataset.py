@@ -328,7 +328,9 @@ class Dataset:
     ) -> None:
         """Train + persist the IVFPQ layout (coarse cells × residual
         codes) under the dataset directory — the compressed serving
-        index for datasets whose float rows dominate scan cost."""
+        index for datasets whose float rows dominate scan cost.  The
+        dataset's space is baked into the artifacts (cosine runs the
+        normalize-then-L2 contract)."""
         from anndb_spark.operators.ivfpq import build_ivfpq
 
         build_ivfpq(
@@ -338,6 +340,7 @@ class Dataset:
             m=m,
             n_centroids=n_centroids,
             sample_n=sample_n,
+            space=self.meta.space,
         )
 
     def _pq_artifacts(self):
@@ -388,8 +391,11 @@ class Dataset:
             from anndb_spark.operators.ivfpq import search_ivfpq
             from anndb_spark.sources.fsutil import index_fingerprint
 
-            if self.meta.space != "euclidean":
-                raise ValueError("mode='ivfpq' supports euclidean only")
+            if self.meta.space not in ("euclidean", "cosine"):
+                raise ValueError(
+                    "mode='ivfpq' supports euclidean and cosine "
+                    "(normalize-then-L2); use mode='pq' for ip"
+                )
             if index_fingerprint(self.ivfpq_path) in ("empty", "unknown"):
                 raise ValueError(
                     f"dataset {self.meta.name!r} has no IVFPQ artifacts "

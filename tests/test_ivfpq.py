@@ -113,3 +113,99 @@ def test_ivfpq_cache_token_reuse(spark, ivfpq_built):
     a = search_ivfpq(spark, path, q, k=5, nprobe=3, cache_token="t").collect()
     b = search_ivfpq(spark, path, q, k=5, nprobe=3, cache_token="t").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_cosine_normalize_then_l2(spark, tmp_path):
+    """space='cosine' (normalize-then-L2): recall vs exact cosine kNN
+    with rerank, scores are cosine distances, and the space round-trips
+    through the artifact config header (serving picks it up from the
+    path alone)."""
+    from anndb_spark.operators.ivfpq import load_ivfpq_config
+
+    df, mat = _clustered(spark, n=900, dim=32)
+    path = str(tmp_path / "ivfpq_cos")
+    build_ivfpq(
+        df, path, n_cells=8, m=4, n_centroids=32, sample_n=900, space="cosine"
+    )
+    _, _, meta = load_ivfpq_config(spark, path)
+    assert meta["space"] == "cosine"
+    rng = np.random.default_rng(3)
+    qs = []
+    for t in range(5):
+        v = mat[rng.integers(len(mat))] * float(rng.uniform(0.2, 5.0))
+        qs.append((f"q{t}", v.astype(float).tolist()))
+    # space not passed: read from the artifact header
+    rows = search_ivfpq(
+        spark, path, qs, k=10, nprobe=8, rerank_with=df, shortlist=80
+    ).collect()
+    norms = np.linalg.norm(mat, axis=1)
+    hits = 0
+    for qid, vec in qs:
+        q = np.asarray(vec, dtype=np.float32)
+        cos = (mat @ q) / (norms * np.linalg.norm(q))
+        truth = {f"v{i}" for i in np.argsort(np.abs(1.0 - cos), kind="stable")[:10]}
+        got = [r for r in rows if r["query_id"] == qid]
+        hits += len(truth & {r["id"] for r in got})
+        # emitted scores are cosine distances (|1-cos| convention)
+        for r in got:
+            i = int(r["id"][1:])
+            assert abs(r["score"] - abs(1.0 - cos[i])) < 1e-3
+    assert hits / 50 >= 0.9, hits / 50
+
+
+def test_ivfpq_ip_raises(spark, tmp_path):
+    df, _ = _clustered(spark, n=100)
+    with pytest.raises(ValueError, match="ip"):
+        build_ivfpq(df, str(tmp_path / "x"), n_cells=2, m=4, space="ip")
+
+
+def test_ivfpq_codes_are_fixed_width_binary(spark, ivfpq_built):
+    """Codes persist as m-byte BINARY rows — the parquet codes column
+    averages ≤ ~1.5·m bytes/row (VERDICT r6 Wrong #3) — and the idmap
+    sidecar exists, bucket-partitioned, consistent with the codes."""
+    import pyarrow.parquet as pq_mod
+    import glob, os
+
+    df, mat, path, cent, books = ivfpq_built
+    m = books.shape[0]
+    files = glob.glob(f"{path}/codes/cluster_id=*/*.parquet")
+    assert files
+    tot_rows = tot_bytes = 0
+    for f in files:
+        meta = pq_mod.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "codes":
+                    tot_bytes += col.total_uncompressed_size
+            tot_rows += g.num_rows
+    assert tot_rows > 0
+    # uncompressed parquet BYTE_ARRAY adds a 4-byte length prefix
+    assert tot_bytes / tot_rows <= 1.5 * m + 6, (tot_bytes, tot_rows, m)
+    row = spark.read.parquet(f"{path}/codes").first()
+    assert isinstance(row["codes"], (bytes, bytearray)) and len(row["codes"]) == m
+
+    # idmap sidecar: bucket-partitioned, one row per id, matches codes
+    idmap = spark.read.parquet(f"{path}/idmap")
+    assert set(idmap.columns) >= {"id", "cluster_id", "bucket"}
+    codes_map = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{path}/codes").select("id", "cluster_id").collect()
+    }
+    side_map = {r["id"]: r["cluster_id"] for r in idmap.collect()}
+    assert side_map == codes_map
+    # bucket filter reaches the scan as a PartitionFilter (directory
+    # pruning — the property the streaming delete path relies on)
+    import io
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    one = idmap.filter(F.col("bucket") == idmap.first()["bucket"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one.explain(True)
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0], plan[-2000:]

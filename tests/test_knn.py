@@ -276,3 +276,29 @@ def test_knn_join_pq_mode_matches_exact(spark):
         rs.sort()
         assert [x for x, _ in rs] == list(range(1, 6))
         assert [s for _, s in rs] == sorted(s for _, s in rs)
+
+
+def test_knn_join_pq_big_left_reroutes_to_ivf(spark):
+    """mode='pq' over a left side above gemm_collect_cap must NOT raise:
+    it warns and reroutes to the bucketed ivf path, same contract as
+    mode='gemm' (VERDICT r6 Wrong #4 / task 7)."""
+    import warnings as _w
+
+    import numpy as np
+
+    from anndb_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(8)
+    rows = [(f"v{i}", rng.normal(0, 1, 8).astype(float).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id string, vector array<float>")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        res = knn_join(
+            df, df, k=3, mode="pq", exclude_self=True, gemm_collect_cap=50,
+            pq_m=4, pq_centroids=16,
+        ).collect()
+    assert any("falling back" in str(c.message) for c in caught)
+    per = {}
+    for r in res:
+        per.setdefault(r["left_id"], []).append(r)
+    assert len(per) == 120 and all(len(v) == 3 for v in per.values())

@@ -482,3 +482,16 @@ def test_stream_maintain_ivfpq(spark, tmp_path):
         ).collect()
     ]
     assert got2 == ["new0"]
+
+    # the idmap sidecar stayed consistent through insert/delete/update:
+    # exactly one row per live id, mapping to the id's CURRENT cell
+    side = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{path}/idmap").collect()
+    }
+    cmap = {
+        r["id"]: r["cluster_id"]
+        for r in codes2.select("id", "cluster_id").collect()
+    }
+    assert side == cmap and "v3" not in side
+    assert spark.read.parquet(f"{path}/idmap").count() == len(side)

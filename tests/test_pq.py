@@ -137,3 +137,76 @@ def test_pq_save_load_roundtrip(spark, tmp_path):
     enc1 = {r["id"]: r["codes"] for r in pq_encode(df, books).collect()}
     enc2 = {r["id"]: r["codes"] for r in pq_encode(df, books2).collect()}
     assert enc1 == enc2
+
+
+def test_pq_batch_row_chunk_equivalence(spark):
+    """Chunked folding (row_chunk tiny) returns exactly what one-shot
+    scoring returns — the bounded-memory path changes nothing."""
+    from anndb_spark.operators.pq import pq_search_batch
+
+    df, mat = _clustered(spark, n=600)
+    books = train_pq(df, m=8, n_centroids=32, sample_n=600)
+    codes = pq_encode(df, books).coalesce(1).cache()
+    qs = [(f"q{t}", mat[t * 37].astype(float).tolist()) for t in range(4)]
+    a = sorted(
+        map(tuple, pq_search_batch(codes, qs, books, k=8, row_chunk=50).collect())
+    )
+    b = sorted(
+        map(tuple, pq_search_batch(codes, qs, books, k=8, row_chunk=1 << 20).collect())
+    )
+    assert a == b and len(a) == 32
+
+
+def test_adc_partition_scan_memory_bounded():
+    """The per-partition ADC scan folds top-n during the drain: peak
+    allocation stays O(nq·(top_n + row_chunk)), never the full
+    (nq × partition_rows) score matrix (VERDICT r6 Wrong #2 / task 3).
+
+    150k rows × 64 queries one-shot would be a ~38 MB float32 matrix
+    per fold-free scan (and 4 GB at the 1M×1k scale the verdict cites);
+    with row_chunk=4096 the whole drain must stay under 12 MB of peak
+    *new* allocations."""
+    import tracemalloc
+
+    import pandas as pd
+
+    from anndb_spark.operators.pq import _adc_partition_topn, _build_luts
+
+    rng = np.random.default_rng(11)
+    m, kc, nq, top_n = 8, 32, 64, 20
+    books = rng.normal(0, 1, (m, kc, 4)).astype(np.float32)
+    Q = rng.normal(0, 1, (nq, 32)).astype(np.float32)
+    lut, n2lut = _build_luts(Q, books, "euclidean")
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q, dtype=np.float32))
+
+    n_rows, bs = 150_000, 10_000
+    codes_all = rng.integers(0, kc, (n_rows, m), dtype=np.uint8)
+
+    def batches():
+        for s in range(0, n_rows, bs):
+            c = codes_all[s : s + bs]
+            yield pd.DataFrame(
+                {
+                    "id": [f"r{i}" for i in range(s, s + len(c))],
+                    "codes": [r.tobytes() for r in c],
+                }
+            )
+
+    tracemalloc.start()
+    best_ids, best_s = _adc_partition_topn(
+        batches(), lut, n2lut, qn, m, "euclidean", top_n, "id", "codes",
+        row_chunk=4096,
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert best_s.shape == (nq, top_n)
+    assert peak < 12 * 1024 * 1024, f"peak {peak/1e6:.1f} MB"
+    # and the fold is CORRECT: matches a one-shot full-matrix score
+    S = np.zeros((nq, n_rows), dtype=np.float32)
+    for j in range(m):
+        S += lut[:, j, :][:, codes_all[:, j]]
+    S = np.sqrt(np.maximum(S, 0.0))
+    for qi in range(nq):
+        want = set(np.sort(S[qi])[:top_n].round(4))
+        got = set(np.sort(best_s[qi]).round(4))
+        assert got == want
