@@ -3009,7 +3009,8 @@ def _serve_single_graph_local(
     index_ver,
     with_metadata: bool,
     chunk_q: int,
-) -> pd.DataFrame:
+    local_brute_flops_max: float = 5e8,
+) -> pd.DataFrame | None:
     """Driver-local serving of a ONE-partition saved index.
 
     When the whole index is a single graph, a Spark job buys nothing:
@@ -3064,6 +3065,14 @@ def _serve_single_graph_local(
         and len(ids) * min(chunk_q, qmat.shape[0]) * g.dim
         <= brute_flops_threshold
     )
+    if use_brute and len(ids) * qmat.shape[0] * g.dim > local_brute_flops_max:
+        # a big exact scan is COMPUTE-bound, not launch-bound — the
+        # task plan chunks it across workers (32-way BLAS) while the
+        # driver's BLAS is pinned to one thread.  Local serving exists
+        # for the beam case, whose OpenMP kernel owns the machine;
+        # return None → caller runs the Spark plan (the graph just
+        # loaded stays cached for it via shm).
+        return None
     threads = _os_mod.cpu_count() or 1
     cols = ["query_id", "rank", "id", "score"] + (
         ["metadata"] if with_metadata else []
@@ -3290,7 +3299,8 @@ def search_index_path(
             brute_flops_threshold, cache_token, index_ver, with_metadata,
             min(queries_per_task, n_q),
         )
-        return spark.createDataFrame(pdf, schema=out_schema)
+        if pdf is not None:
+            return spark.createDataFrame(pdf, schema=out_schema)
     plan_rows = []
     for p in pids:
         n_chunks = max(1, -(-per_pid[p] // queries_per_task))

@@ -790,3 +790,81 @@ def test_local_serve_matches_task_path(spark, tmp_path):
         local_mode="force",
     )
     assert d.filter(F.col("rank") == 1).count() == 30
+
+
+def test_local_serve_big_brute_falls_back_to_tasks(spark, tmp_path):
+    """A big exact scan is compute-bound, not launch-bound: the local
+    path must decline it (return None) so the caller runs the chunked
+    task plan, which spreads the GEMM across workers."""
+    from anndb_spark.operators.hnsw import (
+        _serve_single_graph_local,
+        save_graph_partition,
+        search_index_path,
+    )
+
+    rng = np.random.default_rng(31)
+    n, dim = 300, 16
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=60)
+    lr = np.random.default_rng(5)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12))
+        * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg)
+    ids = [f"b{i:04d}" for i in range(n)]
+    path = str(tmp_path / "bigbrute_idx")
+    save_graph_partition(g, ids, path)
+
+    qmat = rng.normal(0, 1, (40, dim)).astype(np.float32)
+    qids = np.array([f"q{i}" for i in range(40)], dtype=object)
+    # total flops 300*40*16 = 192k > cap 1 → local serving declines
+    declined = _serve_single_graph_local(
+        spark, path, 0, qids, qmat, 5, 50, cfg, "brute", 1e12,
+        None, None, False, 40, local_brute_flops_max=1.0,
+    )
+    assert declined is None
+    # beam is kernel-bound, not BLAS-bound: same cap must NOT decline
+    served = _serve_single_graph_local(
+        spark, path, 0, qids, qmat, 5, 50, cfg, "beam", 0.0,
+        None, None, False, 40, local_brute_flops_max=1.0,
+    )
+    assert served is not None and len(served) == 200
+    # and the public API still answers the brute query via the task plan
+    queries = [(f"q{i}", qmat[i].tolist()) for i in range(40)]
+    out = search_index_path(
+        spark, path, queries, 5, config=cfg, strategy="brute",
+    ).collect()
+    assert len(out) == 200
+
+
+def test_local_serve_metadata_single_partition(spark, tmp_path):
+    """Driver-local serving returns the metadata MAP identically to the
+    task path on a one-partition saved index."""
+    from anndb_spark.operators.hnsw import save_index, search_index_path
+
+    rng = np.random.default_rng(29)
+    rows = [
+        (f"m{i:03d}", rng.normal(0, 1, 8).tolist(), {"tag": f"t{i}"}, 0)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>, partition_id INT",
+    )
+    cfg = HnswConfig(m=8, ef_construction=50)
+    path = str(tmp_path / "meta_idx")
+    save_index(build_index(df, cfg), path)
+    queries = [("q0", rows[3][1]), ("q1", rows[40][1])]
+    want = {r[0]: r[2] for r in rows}
+    outs = {}
+    for lm in ("force", "off"):
+        res = search_index_path(
+            spark, path, queries, 5, config=cfg, with_metadata=True,
+            local_mode=lm,
+        ).collect()
+        assert len(res) == 10
+        for r in res:
+            assert r["metadata"] == want[r["id"]], lm
+        outs[lm] = sorted((r["query_id"], r["rank"], r["id"]) for r in res)
+    assert outs["force"] == outs["off"]
