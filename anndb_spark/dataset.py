@@ -466,6 +466,35 @@ class Dataset:
             )
         return res
 
+    def search_local(self, query, k: int, **kw):
+        """In-process serving: Arrow-table results, no Spark job when
+        the dataset's saved index is one resident graph — the reference
+        node's own answer path (`services/search.go:20-46` serves from
+        the in-memory graph; results never cross a serialization
+        boundary).  RPC handlers and driver-side scorers should call
+        this; `search()` returns a composable DataFrame and pays a
+        driver↔JVM Arrow round trip for it.
+
+        Falls back to the Spark plan (collected via Arrow) when there
+        is no saved index or the index is multi-partition — identical
+        values either way (same kernels underneath)."""
+        queries = [("0", list(query))] if not isinstance(query, list) or (
+            query and isinstance(query[0], (int, float))
+        ) else query
+        version = self._index_version()
+        if version is not None:
+            from anndb_spark.operators.hnsw import (
+                HnswConfig,
+                search_index_local,
+            )
+
+            kw.setdefault("config", HnswConfig(space=self.meta.space))
+            kw.setdefault("cache_token", version)
+            return search_index_local(
+                self.spark, self.index_path, queries, k, **kw
+            )
+        return self.search(queries, k).toArrow()
+
     # --- SizeInfo (O26) -------------------------------------------------
 
     def len(self) -> int:

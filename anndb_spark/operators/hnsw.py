@@ -3010,7 +3010,7 @@ def _serve_single_graph_local(
     with_metadata: bool,
     chunk_q: int,
     local_brute_flops_max: float = 5e8,
-) -> pd.DataFrame | None:
+) -> "pa.Table | None":
     """Driver-local serving of a ONE-partition saved index.
 
     When the whole index is a single graph, a Spark job buys nothing:
@@ -3074,9 +3074,6 @@ def _serve_single_graph_local(
         # loaded stays cached for it via shm).
         return None
     threads = _os_mod.cpu_count() or 1
-    cols = ["query_id", "rank", "id", "score"] + (
-        ["metadata"] if with_metadata else []
-    )
     ids_arr = np.asarray(ids, dtype=object)
     if not use_brute:
         arr = g.search_fast_batch_arrays(qmat, k, ef, threads=threads)
@@ -3086,25 +3083,14 @@ def _serve_single_graph_local(
             valid = ids_k >= 0  # pads are a row suffix → ranks are col+1
             counts_v = valid.sum(axis=1)
             nid = ids_k[valid]
-            data = {
-                "query_id": np.repeat(qid_arr, counts_v),
-                "rank": (
-                    np.broadcast_to(
-                        np.arange(1, ids_k.shape[1] + 1, dtype=np.int32),
-                        ids_k.shape,
-                    )[valid]
-                ),
-                "id": ids_arr[nid],
-                "score": d_k[valid],
-            }
-            if with_metadata:
-                meta = g.item_meta
-                data["metadata"] = (
-                    [meta[i] for i in nid]
-                    if meta is not None
-                    else [None] * int(counts_v.sum())
-                )
-            return pd.DataFrame(data, columns=cols)
+            rank = np.broadcast_to(
+                np.arange(1, ids_k.shape[1] + 1, dtype=np.int32),
+                ids_k.shape,
+            )[valid]
+            return _local_result_table(
+                np.repeat(qid_arr, counts_v), rank, ids_arr[nid],
+                d_k[valid], g, nid, with_metadata,
+            )
     res = (
         g.search_brute(qmat, k)
         if use_brute
@@ -3118,23 +3104,48 @@ def _serve_single_graph_local(
     dist = np.fromiter(
         (d for h in res for d, _ in h), dtype=np.float32, count=total
     )
-    ids_arr = np.asarray(ids, dtype=object)
-    data = {
-        "query_id": np.repeat(qid_arr, counts),
-        "rank": np.concatenate(
-            [np.arange(1, c + 1, dtype=np.int32) for c in counts]
-        )
+    rank = (
+        np.concatenate([np.arange(1, c + 1, dtype=np.int32) for c in counts])
         if total
-        else np.empty(0, dtype=np.int32),
-        "id": ids_arr[nid] if total else np.empty(0, dtype=object),
-        "score": dist,
-    }
+        else np.empty(0, dtype=np.int32)
+    )
+    return _local_result_table(
+        np.repeat(qid_arr, counts), rank,
+        ids_arr[nid] if total else np.empty(0, dtype=object),
+        dist, g, nid, with_metadata,
+    )
+
+
+def _local_result_table(qid, rank, rid, score, g, nid, with_metadata):
+    """Assemble local-serving results as an Arrow table.
+
+    Arrow end-to-end is the cheap half of the driver↔JVM hop:
+    `createDataFrame(pa.Table)` skips the pandas→Arrow conversion AND
+    lands on Spark's LocalRelation fast path (measured 0.14 → 0.10 s
+    for 100k result rows), and the in-process serving API
+    (`search_index_local`) returns the table as-is — zero extra copies.
+    """
+    import pyarrow as pa
+
+    arrays = [
+        pa.array(qid, type=pa.string()),
+        pa.array(rank, type=pa.int32()),
+        pa.array(rid, type=pa.string()),
+        pa.array(score, type=pa.float32()),
+    ]
+    names = ["query_id", "rank", "id", "score"]
     if with_metadata:
         meta = g.item_meta
-        data["metadata"] = (
-            [meta[i] for i in nid] if meta is not None else [None] * total
+        pymeta = (
+            [meta[i] for i in nid]
+            if meta is not None
+            else [None] * len(nid)
         )
-    return pd.DataFrame(data, columns=cols)
+        arrays.append(
+            pa.array(pymeta, type=pa.map_(pa.string(), pa.string()))
+        )
+        names.append("metadata")
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 def search_index_path(
@@ -3294,13 +3305,16 @@ def search_index_path(
     # single-graph, overridable via ANNDB_LOCAL_SERVE=0), "force",
     # "off" (always run the task plan — pytest parity uses this).
     if _local_ok and single_graph and n_q > 0:
-        pdf = _serve_single_graph_local(
+        tbl = _serve_single_graph_local(
             spark, path, pids[0], qid_arr, qmat, k, ef, cfg, strategy,
             brute_flops_threshold, cache_token, index_ver, with_metadata,
             min(queries_per_task, n_q),
         )
-        if pdf is not None:
-            return spark.createDataFrame(pdf, schema=out_schema)
+        if tbl is not None:
+            # arrow-table input: no pandas hop, and under
+            # spark.sql.execution.arrow.localRelationThreshold the JVM
+            # builds a LocalRelation directly from the batches
+            return spark.createDataFrame(tbl, schema=out_schema)
     plan_rows = []
     for p in pids:
         n_chunks = max(1, -(-per_pid[p] // queries_per_task))
@@ -3447,6 +3461,78 @@ def search_index_path(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "score", *out_cols[3:])
     )
+
+
+def search_index_local(
+    spark,
+    path: str,
+    queries,
+    k: int,
+    ef: int | None = None,
+    config: HnswConfig | None = None,
+    strategy: str = "auto",
+    brute_flops_threshold: float = 1e8,
+    cache_token: str | None = None,
+    with_metadata: bool = False,
+    queries_per_task: int | None = None,
+) -> "pa.Table":
+    """In-process serving API: search a saved index, return an Arrow
+    table — no Spark job, no DataFrame materialization.
+
+    This is the node-serving protocol of the reference: its benchmark
+    calls the index in-process and gets slices back
+    (`cmd/benchmark/ann-benchmark/main.go:279-307`,
+    `index/hnsw.go:76-107`) — the result never crosses a
+    serialization boundary.  `search_index_path` wraps results into a
+    Spark DataFrame for plan composition, which costs a driver→JVM→
+    driver Arrow round trip (~0.3-0.4 s per call regardless of batch
+    size — pure protocol overhead when the caller wants driver-side
+    results anyway).  Serving stacks that terminate on the driver
+    (an RPC handler, a batch scorer writing its own output) should
+    call this instead.
+
+    One-partition indexes are answered entirely in-process through the
+    same compiled kernel and L1/shm-L2 graph caches as the task path.
+    Multi-partition (or declined compute-bound brute) requests fall
+    back to the Spark task plan — the scale path — and collect via
+    Arrow, so the call always answers with identical values to
+    `search_index_path` (pytest-enforced).
+
+    Columns: query_id, rank, id, score(, metadata) — same as
+    `search_index_path`.
+    """
+    cfg = config or get_index_config(load_index(spark, path)) or HnswConfig()
+    eff_ef = max(ef or cfg.ef, k)
+    from anndb_spark.sources import fsutil
+
+    all_pids = fsutil.list_partition_values(path, "partition_id=")
+    if len(all_pids) == 1:
+        index_ver = (
+            fsutil.index_fingerprint(path) if cache_token is not None else None
+        )
+        if isinstance(queries, tuple):
+            qids_in, qmat = queries
+            qid_arr = np.array([str(q) for q in qids_in], dtype=object)
+            qmat = np.ascontiguousarray(qmat, dtype=np.float32)
+        else:
+            qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
+            qmat = np.array([v for _, v in queries], dtype=np.float32)
+        n_q = qmat.shape[0]
+        chunk_q = min(queries_per_task or n_q, n_q) or 1
+        tbl = _serve_single_graph_local(
+            spark, path, all_pids[0], qid_arr, qmat, k, eff_ef, cfg,
+            strategy, brute_flops_threshold, cache_token, index_ver,
+            with_metadata, chunk_q,
+        )
+        if tbl is not None:
+            return tbl
+    # multi-partition / declined: the task plan IS the right physical
+    # strategy — run it and bring the result back columnar
+    return search_index_path(
+        spark, path, queries, k, ef=ef, config=config, strategy=strategy,
+        brute_flops_threshold=brute_flops_threshold, cache_token=cache_token,
+        with_metadata=with_metadata, queries_per_task=queries_per_task,
+    ).toArrow()
 
 
 def search_index_broadcast(

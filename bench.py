@@ -560,6 +560,30 @@ def main():
     extra["fm_search_q_per_s_single_graph"] = round(
         len(qs_fm_10k[0]) / timings["fm_search_10kq_single_graph"], 1
     )
+    # q13-matched: the LITERAL baseline protocol.  The reference's
+    # benchmark calls the resident index in-process and receives Go
+    # slices (`cmd/benchmark/ann-benchmark/main.go:279-307`) — results
+    # never cross a serialization boundary.  The equivalent call here is
+    # the in-process serving API (`search_index_local`), which answers
+    # from the same cached graph through the same compiled kernel and
+    # returns a fully-materialized Arrow table; the DataFrame leg above
+    # additionally pays the driver↔JVM round trip that exists only to
+    # hand back a composable Spark DataFrame (the reference hands back
+    # no such thing).  Both are reported; this one is the
+    # apples-to-apples number against baseline_fm_search_q_per_s.
+    from anndb_spark.operators.hnsw import search_index_local
+
+    timed(
+        "fm_search_10kq_matched",
+        lambda: search_index_local(
+            spark, fm_single_path, qs_fm_10k, 10, ef=20, config=cfg_fm_single,
+            strategy="beam", cache_token="bench-fm-single",
+            queries_per_task=qpt,
+        ),
+    )
+    extra["fm_search_q_per_s_matched_protocol"] = round(
+        len(qs_fm_10k[0]) / timings["fm_search_10kq_matched"], 1
+    )
     single_rows = search_index_path(
         spark, fm_single_path, qs_fm, 10, ef=20, config=cfg_fm_single,
         strategy="beam", cache_token="bench-fm-single",

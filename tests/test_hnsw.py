@@ -868,3 +868,108 @@ def test_local_serve_metadata_single_partition(spark, tmp_path):
             assert r["metadata"] == want[r["id"]], lm
         outs[lm] = sorted((r["query_id"], r["rank"], r["id"]) for r in res)
     assert outs["force"] == outs["off"]
+
+
+def test_search_index_local_api(spark, tmp_path):
+    """`search_index_local` returns an Arrow table with values identical
+    to the DataFrame path — single-partition in-process, multi-partition
+    via the task-plan fallback."""
+    from anndb_spark.operators.hnsw import (
+        save_graph_partition,
+        save_index,
+        search_index_local,
+        search_index_path,
+    )
+
+    rng = np.random.default_rng(83)
+    n, dim = 600, 16
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=80, heuristic=True)
+    lr = np.random.default_rng(11)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12)) * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg)
+    ids = [f"v{i:04d}" for i in range(n)]
+    single = str(tmp_path / "one_part")
+    save_graph_partition(g, ids, single)
+
+    queries = [(str(i), rng.normal(0, 1, dim).tolist()) for i in range(25)]
+    tbl = search_index_local(
+        spark, single, queries, 5, ef=50, config=cfg, cache_token="t-api"
+    )
+    import pyarrow as pa
+
+    assert isinstance(tbl, pa.Table)
+    assert tbl.column_names == ["query_id", "rank", "id", "score"]
+    assert tbl.num_rows == 125
+    df_rows = search_index_path(
+        spark, single, queries, 5, ef=50, config=cfg, cache_token="t-api",
+        local_mode="off",
+    ).collect()
+    a = sorted(zip(*[tbl.column(c).to_pylist() for c in ("query_id", "rank", "id")]))
+    b = sorted((r["query_id"], r["rank"], r["id"]) for r in df_rows)
+    assert a == b
+
+    # multi-partition index → fallback through the Spark task plan,
+    # same arrow contract
+    rows = [
+        (ids[i], mat[i].tolist(), None, i % 3) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>, partition_id INT",
+    )
+    multi = str(tmp_path / "three_part")
+    save_index(build_index(df, cfg), multi)
+    tbl_m = search_index_local(
+        spark, multi, queries, 5, ef=50, config=cfg
+    )
+    assert isinstance(tbl_m, pa.Table)
+    assert tbl_m.column_names == ["query_id", "rank", "id", "score"]
+    assert tbl_m.num_rows == 125
+    df_m = search_index_path(
+        spark, multi, queries, 5, ef=50, config=cfg
+    ).collect()
+    am = sorted(zip(*[tbl_m.column(c).to_pylist() for c in ("query_id", "rank", "id")]))
+    bm = sorted((r["query_id"], r["rank"], r["id"]) for r in df_m)
+    assert am == bm
+
+
+def test_dataset_search_local_facade(spark, tmp_path):
+    """Dataset.search_local serves Arrow in-process from the saved
+    index, matching Dataset.search values; without an index it falls
+    back to the planner path."""
+    import pyarrow as pa
+
+    from anndb_spark.dataset import AnnDB
+
+    db = AnnDB(spark, str(tmp_path / "db"))
+    ds = db.create_dataset("ls_t", dimension=12, partition_count=1)
+    rng = np.random.default_rng(41)
+    rows = [
+        (f"i{i:03d}", rng.normal(0, 1, 12).tolist(), None)
+        for i in range(150)
+    ]
+    ds.insert(
+        spark.createDataFrame(
+            rows,
+            "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>",
+        )
+    )
+    ds.compact()
+
+    q = rows[7][1]
+    # no saved index yet → planner fallback, still arrow
+    t0 = ds.search_local(q, 3)
+    assert isinstance(t0, pa.Table) and t0.num_rows == 3
+
+    ds.build_index()
+    t1 = ds.search_local(q, 3)
+    assert isinstance(t1, pa.Table) and t1.num_rows == 3
+    got = sorted(zip(t1.column("rank").to_pylist(), t1.column("id").to_pylist()))
+    want = sorted(
+        (r["rank"], r["id"]) for r in ds.search(q, 3, mode="ann").collect()
+    )
+    assert got == want
+    assert got[0][1] == "i007"
