@@ -640,6 +640,44 @@ def _ivf_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("query_id", "rank", "id")
 
 
+def _ann_filtered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN search — a query surface the reference does
+    not have (its search RPC carries no predicate; `SURVEY.md §4`).
+    `planner.knn_filtered` searches the index wide (k·oversample),
+    post-filters survivors against the predicate's id set, re-ranks,
+    truncates to k.  At this SF the auto strategy scores sub-threshold
+    partitions exactly (the `ann_embeddings_top10` argument), so the
+    whole pipeline is SQL-expressible: top-(k·8) overall → keep label=3
+    → re-rank → top-k.  Discrete (query_id, rank, id) checked — float32
+    vs float64 score paths differ."""
+    from anndb_spark.operators.hnsw import HnswConfig, build_index
+    from anndb_spark.plans.planner import knn_filtered
+
+    emb = _partitioned_embeddings(spark, sf_dir)
+    cfg = HnswConfig(m=16, ef_construction=100)
+    idx = build_index(emb, cfg)
+    qs = [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES]
+    _, res = knn_filtered(
+        emb,
+        qs,
+        K,
+        F.element_at("metadata", "label") == "3",
+        mode="ann",
+        oversample=8,
+        index=idx,
+        ef=100,
+    )
+    id_type = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .schema["vec_id"].dataType.simpleString()
+    )
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        F.col("id").cast(id_type).alias("id"),
+    )
+
+
 def _ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path vs the exact oracle across the nprobe
     knob (2/4/8 of 8 clusters) — the scale path's accuracy-vs-cost curve;
@@ -764,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_rejects": _crud_rejects,
         "ann_embeddings_top10": _ann_embeddings,
         "ann_tombstone_delete": _ann_tombstone_delete,
+        "ann_filtered_label_top10": _ann_filtered_label,
         "metadata_limits_documents": _metadata_limits_documents,
         "ann_recall_at10": _ann_recall_at10,
         "ivf_embeddings_top10": _ivf_embeddings_top10,
@@ -1043,6 +1082,28 @@ def _knn_embeddings_oracle(space: str, where: str | None = None) -> str:
     )
 
 
+def _ann_filtered_label_oracle() -> str:
+    """SQL twin of the post-filter pipeline: top-(k·8) overall by exact
+    distance, keep label=3, re-rank, top-k."""
+    branches = []
+    for qid, qv in EMBEDDING_QUERIES:
+        score = distance_sql("embedding", qv, space="euclidean", dialect="duckdb")
+        branches.append(
+            f"SELECT {qid} AS query_id, vec_id AS id, label, {score} AS score "
+            f"FROM embeddings"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"SELECT query_id, rank, id FROM ("
+        f"SELECT query_id, id, CAST(row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score ASC, id ASC) AS INT) AS rank "
+        f"FROM (SELECT query_id, id, label, score, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score ASC, id ASC) AS wide_rn "
+        f"FROM ({union})) WHERE wide_rn <= {K * 8} AND label = 3"
+        f") WHERE rank <= {K} ORDER BY query_id, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_lineitem_euclidean": _knn_lineitem_oracle("euclidean"),
@@ -1081,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT query_id, rank, id FROM "
             f"({_knn_embeddings_oracle('euclidean', where='vec_id % 10 <> 3')})"
         ),
+        "ann_filtered_label_top10": _ann_filtered_label_oracle(),
         "metadata_limits_documents": """
             SELECT doc_id AS id,
                    CASE WHEN strlen(substr(text, 1, 300)) > 255

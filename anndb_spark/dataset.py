@@ -368,14 +368,28 @@ class Dataset:
         reference's full ``SearchResultItem{id, metadata, score}``
         (`protobuf/proto/search.proto:22-26`).  The result side is |Q|·k
         rows, so Catalyst broadcasts it against the state table — the
-        big side never shuffles."""
-        from anndb_spark.plans.planner import knn
+        big side never shuffles.
+
+        ``filter=<Column>`` restricts results to matching items — a
+        query surface the reference does not have at all (its search
+        RPC carries no predicate; `SURVEY.md §4`).  Exact mode filters
+        BEFORE scoring (Catalyst pushes the predicate into the scan);
+        accelerated modes search wide, post-filter, and re-rank
+        (`plans.planner.knn_filtered`).  Predicates over the metadata
+        map use ``F.element_at('metadata', key)``."""
+        from anndb_spark.plans.planner import knn, knn_filtered
 
         queries = [("0", list(query))] if not isinstance(query, list) or (
             query and isinstance(query[0], (int, float))
         ) else query
         index_df = kw.pop("index", None)
+        predicate = kw.pop("filter", None)
         index_path = None
+        if predicate is not None and mode in ("pq", "ivfpq"):
+            raise ValueError(
+                "filter= is supported for exact/ann/ivf modes; "
+                "compressed-code paths carry no metadata to filter on"
+            )
         if mode == "pq" and "pq_codes" not in kw:
             art = self._pq_artifacts()
             if art is None:
@@ -442,16 +456,29 @@ class Dataset:
             if self._approx_len is None:
                 self._approx_len = self.state().count()
             kw["approx_row_count"] = self._approx_len
-        plan, res = knn(
-            self.state(),
-            queries,
-            k,
-            space=self.meta.space,
-            mode=mode,
-            index=index_df,
-            index_path=index_path,
-            **kw,
-        )
+        if predicate is not None:
+            plan, res = knn_filtered(
+                self.state(),
+                queries,
+                k,
+                predicate,
+                space=self.meta.space,
+                mode=mode,
+                index=index_df,
+                index_path=index_path,
+                **kw,
+            )
+        else:
+            plan, res = knn(
+                self.state(),
+                queries,
+                k,
+                space=self.meta.space,
+                mode=mode,
+                index=index_df,
+                index_path=index_path,
+                **kw,
+            )
         if with_metadata:
             # inner join is exact here: result ids come from this same
             # state table.  Broadcasting the tiny result side makes it

@@ -159,7 +159,12 @@ def knn_filtered(
     """
     from pyspark.sql import Window
 
-    if mode == "exact" or (mode == "auto" and kw.get("index") is None and kw.get("centroids") is None):
+    no_accel = (
+        kw.get("index") is None
+        and kw.get("index_path") is None
+        and kw.get("centroids") is None
+    )
+    if mode == "exact" or (mode == "auto" and no_accel):
         return knn(vectors.filter(predicate), queries, k, space=space, mode="exact")
     plan, wide = knn(vectors, queries, k * oversample, space=space, mode=mode, **kw)
     keep = vectors.filter(predicate).select(F.col("id"))

@@ -317,3 +317,50 @@ def test_facade_ivfpq_mode(spark, tmp_path):
     exact = [r["id"] for r in fresh.search(q, 5, mode="exact").collect()]
     assert len(got) == 5
     assert len(set(got) & set(exact)) >= 4, (got, exact)
+
+
+def test_search_filter_exact_and_ann(spark, db):
+    """filter= on Dataset.search: exact mode filters before scoring
+    (predicate pushed to the scan); ann mode post-filters a wide search
+    and re-ranks.  Both must agree with NumPy brute force over the
+    matching subset — a predicate surface the reference doesn't have
+    (`SURVEY.md §4`)."""
+    ds = db.create_dataset("flt", dimension=12, partition_count=2)
+    rng = np.random.default_rng(23)
+    rows = [
+        (f"v{i:04d}", rng.normal(0, 1, 12).tolist(), {"group": str(i % 3)})
+        for i in range(200)
+    ]
+    ds.insert(
+        spark.createDataFrame(
+            rows, "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>"
+        )
+    )
+    ds.compact()
+    q = rows[17][1]
+    pred = F.element_at("metadata", "group") == "1"
+    mat = np.array([v for _, v, _ in rows])
+    d = np.sqrt(((mat - np.array(q)) ** 2).sum(axis=1))
+    keep = [i for i in range(200) if i % 3 == 1]
+    want = [rows[i][0] for i in sorted(keep, key=lambda i: (d[i], rows[i][0]))[:5]]
+
+    got = [r["id"] for r in ds.search(q, 5, filter=pred).orderBy("rank").collect()]
+    assert got == want  # exact path: filter-then-score
+
+    ds.build_index()
+    got_ann = [
+        r["id"]
+        for r in ds.search(q, 5, mode="ann", filter=pred, oversample=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    # wide stage is exact at this size (auto → brute), so post-filter
+    # with a 10x oversample recovers the exact filtered top-5
+    assert got_ann == want
+
+    # metadata rides along when asked
+    wm = ds.search(q, 3, filter=pred, with_metadata=True).collect()
+    assert all(r["metadata"]["group"] == "1" for r in wm)
+
+    with pytest.raises(ValueError, match="filter="):
+        ds.search(q, 3, mode="ivfpq", filter=pred)
