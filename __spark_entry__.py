@@ -678,6 +678,40 @@ def _ann_filtered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming query-serving transform (`streaming.search`) run in
+    batch mode — mapInPandas is stateless, so the SAME code path serves
+    readStream micro-batches (exactly-once trigger covered in
+    tests/test_stream_search.py).  Sub-threshold partitions route to the
+    brute scorer, so exact kNN is the oracle (discrete columns; float32
+    vs float64 score paths differ)."""
+    import tempfile
+
+    from anndb_spark.operators.hnsw import HnswConfig, build_index, save_index
+    from anndb_spark.streaming.search import (
+        STREAM_QUERIES_DDL,
+        stream_search_transform,
+    )
+
+    emb = _partitioned_embeddings(spark, sf_dir)
+    cfg = HnswConfig(m=16, ef_construction=100)
+    path = tempfile.mkdtemp(prefix="anndb_entry_stream_idx_")
+    save_index(build_index(emb, cfg), path)
+    qdf = spark.createDataFrame(
+        [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES], STREAM_QUERIES_DDL
+    )
+    res = stream_search_transform(qdf, path, K, ef=100, config=cfg)
+    id_type = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .schema["vec_id"].dataType.simpleString()
+    )
+    return res.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        F.col("id").cast(id_type).alias("id"),
+    )
+
+
 def _ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path vs the exact oracle across the nprobe
     knob (2/4/8 of 8 clusters) — the scale path's accuracy-vs-cost curve;
@@ -803,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embeddings_top10": _ann_embeddings,
         "ann_tombstone_delete": _ann_tombstone_delete,
         "ann_filtered_label_top10": _ann_filtered_label,
+        "stream_search_top10": _stream_search_top10,
         "metadata_limits_documents": _metadata_limits_documents,
         "ann_recall_at10": _ann_recall_at10,
         "ivf_embeddings_top10": _ivf_embeddings_top10,
@@ -1143,6 +1178,11 @@ def oracle_sql() -> dict[str, str]:
             f"({_knn_embeddings_oracle('euclidean', where='vec_id % 10 <> 3')})"
         ),
         "ann_filtered_label_top10": _ann_filtered_label_oracle(),
+        # the streaming transform's kernel path scores exactly at this
+        # SF (auto -> brute), so exact kNN is its oracle
+        "stream_search_top10": (
+            f"SELECT query_id, rank, id FROM ({_knn_embeddings_oracle('euclidean')})"
+        ),
         "metadata_limits_documents": """
             SELECT doc_id AS id,
                    CASE WHEN strlen(substr(text, 1, 300)) > 255

@@ -3148,6 +3148,85 @@ def _local_result_table(qid, rank, rid, score, g, nid, with_metadata):
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _acquire_partition_graph(
+    path: str,
+    pid,
+    cfg: "HnswConfig",
+    strategy: str,
+    brute_flops_threshold: float,
+    cache_token: str | None,
+    index_ver: str | None,
+    n_sub: int,
+):
+    """Worker-side graph acquisition for one saved partition, with the
+    full cache ladder: L1 (process dict, LRU by bytes) → L2 (host-shared
+    /dev/shm mmap — one physical page set for every worker on the host)
+    → parquet read.  Returns (ids, graph, use_brute) where use_brute
+    reflects the auto-strategy flops test for a batch of ``n_sub``
+    queries.  Shared by the batch serving task (`search_index_path`) and
+    the streaming query transform (`streaming.search`)."""
+    from anndb_spark.sources import fsutil as _fsu
+
+    # a full-graph cache entry serves both strategies; a brute-only
+    # (adjacency-free) one is keyed separately
+    full_key = (
+        (cache_token, index_ver, pid) if cache_token is not None else None
+    )
+    hit = _cache_get(full_key)
+    if hit is None and full_key is not None:
+        d = _shm_dir_for(full_key)
+        if d is not None:
+            got = _shm_load(d, cfg)
+            if got is not None:
+                _cache_put(full_key, *got)
+                hit = got
+    use_brute = strategy == "brute"
+    if hit is not None:
+        ids, g = hit
+        use_brute = use_brute or (
+            strategy == "auto"
+            and len(ids) * n_sub * g.dim <= brute_flops_threshold
+        )
+        return ids, g, use_brute
+    idx_pdf = _fsu.read_parquet_dir(
+        _fsu.join(path, f"partition_id={pid}")
+    ).to_pandas()
+    n_vert = int((idx_pdf["kind"] == "vertex").sum())
+    dim = (
+        len(idx_pdf.loc[idx_pdf["kind"] == "vertex", "vec"].iloc[0])
+        if n_vert
+        else 0
+    )
+    use_brute = use_brute or (
+        strategy == "auto"
+        and n_vert * n_sub * dim <= brute_flops_threshold
+    )
+    if use_brute:
+        bkey = (
+            (cache_token, index_ver, pid, "brute")
+            if cache_token is not None
+            else None
+        )
+        hit = _cache_get(bkey)
+        if hit is not None:
+            ids, g = hit
+        else:
+            ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
+            _cache_put(bkey, ids, g)
+    else:
+        ids, g = _graph_from_index(idx_pdf, cfg)
+        if full_key is not None:
+            # publish to L2, then serve from the SHARED pages (drops
+            # this worker's private copy)
+            d = _shm_store(full_key, ids, g)
+            if d is not None:
+                got = _shm_load(d, cfg)
+                if got is not None:
+                    ids, g = got
+        _cache_put(full_key, ids, g)
+    return ids, g, use_brute
+
+
 def search_index_path(
     spark,
     path: str,
@@ -3337,8 +3416,6 @@ def search_index_path(
     bq = spark.sparkContext.broadcast((qid_arr, qmat, by_pid))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from anndb_spark.sources import fsutil as _fsu
-
         qid_arr, qmat, by_pid = bq.value
         # drain the input stream BEFORE yielding: a pandas-UDF that
         # yields interleaved with unconsumed input gets its python
@@ -3358,67 +3435,10 @@ def search_index_path(
             if not qsel:
                 continue
             sub, sub_qids = qmat[qsel], qid_arr[qsel]
-            # a full-graph cache entry serves both strategies; a
-            # brute-only (adjacency-free) one is keyed separately
-            full_key = (
-                (cache_token, index_ver, pid)
-                if cache_token is not None
-                else None
+            ids, g, use_brute = _acquire_partition_graph(
+                path, pid, cfg, strategy, brute_flops_threshold,
+                cache_token, index_ver, sub.shape[0],
             )
-            hit = _cache_get(full_key)
-            if hit is None and full_key is not None:
-                # L2: host-shared mmap copy (one physical page set
-                # for every worker on this host)
-                d = _shm_dir_for(full_key)
-                if d is not None:
-                    got = _shm_load(d, cfg)
-                    if got is not None:
-                        _cache_put(full_key, *got)
-                        hit = got
-            use_brute = strategy == "brute"
-            if hit is not None:
-                ids, g = hit
-                use_brute = use_brute or (
-                    strategy == "auto"
-                    and len(ids) * sub.shape[0] * g.dim <= brute_flops_threshold
-                )
-            else:
-                idx_pdf = _fsu.read_parquet_dir(
-                    _fsu.join(path, f"partition_id={pid}")
-                ).to_pandas()
-                n_vert = int((idx_pdf["kind"] == "vertex").sum())
-                dim = (
-                    len(idx_pdf.loc[idx_pdf["kind"] == "vertex", "vec"].iloc[0])
-                    if n_vert
-                    else 0
-                )
-                use_brute = use_brute or (
-                    strategy == "auto"
-                    and n_vert * sub.shape[0] * dim <= brute_flops_threshold
-                )
-                if use_brute:
-                    bkey = (
-                        (cache_token, index_ver, pid, "brute")
-                        if cache_token is not None
-                        else None
-                    )
-                    hit = _cache_get(bkey)
-                    if hit is not None:
-                        ids, g = hit
-                    else:
-                        ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
-                        _cache_put(bkey, ids, g)
-                else:
-                    ids, g = _graph_from_index(idx_pdf, cfg)
-                    if full_key is not None:
-                        # publish to L2, then serve from the SHARED
-                        # pages (drops this worker's private copy)
-                        d = _shm_store(full_key, ids, g)
-                        if d is not None:
-                            got = _shm_load(d, cfg)
-                            if got is not None:
-                                ids, g = got
-                    _cache_put(full_key, ids, g)
             res = (
                 g.search_brute(sub, k)
                 if use_brute
