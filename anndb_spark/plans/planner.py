@@ -167,8 +167,14 @@ def knn_filtered(
     if mode == "exact" or (mode == "auto" and no_accel):
         return knn(vectors.filter(predicate), queries, k, space=space, mode="exact")
     plan, wide = knn(vectors, queries, k * oversample, space=space, mode=mode, **kw)
+    # survivors = wide ∩ filtered ids.  ids are unique in ``vectors``,
+    # so the semi-join is an inner join — and the BROADCAST side must
+    # be ``wide`` (|Q|·k·oversample rows, always tiny), never the
+    # filtered id set (unbounded for low-selectivity predicates at
+    # scale).  The predicate itself pushes into the scan of the big
+    # side; only matching ids stream through the join.
     keep = vectors.filter(predicate).select(F.col("id"))
-    filtered = wide.join(F.broadcast(keep), "id", "left_semi")
+    filtered = keep.join(F.broadcast(wide), "id")
     w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("id").asc())
     out = (
         filtered.withColumn("rank", F.row_number().over(w))

@@ -661,6 +661,16 @@ def main():
         FM_QUERIES / timings["fm_search_1kq_routed"], 1
     )
 
+    # scale-experiment passthrough: tools/bench_sift1m.py (1M x 128,
+    # single resident graph, in-process protocol) records its measured
+    # numbers on this machine; report them without re-running the
+    # ~minutes-long build inside the driver bench loop
+    try:
+        with open("/tmp/anndb_bench_cache/sift1m_meta.json") as _f:
+            extra["sift1m"] = json.load(_f)
+    except (OSError, ValueError):
+        pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
