@@ -34,7 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SEED = 4242
 DIM = 128
 N_CENTERS = 1024
-NOISE = 0.35
+# cluster overlap tuned so ef=20 search is genuinely stressed (recall
+# well below 1.0, like real SIFT at m=16/ef=20 -> 0.7796): center
+# spread ~N(0,1) with per-point noise comparable to the inter-center
+# distance leaves each query's true top-10 spread across clusters
+NOISE = 1.0
 N_QUERIES = 10_000
 TRUTH_QUERIES = 1_000
 K = 10
@@ -44,16 +48,22 @@ META_PATH = os.path.join(CACHE_ROOT, "sift1m_meta.json")
 
 def corpus(n: int):
     rng = np.random.default_rng(SEED)
-    centers = (rng.normal(0, 1.0, (N_CENTERS, DIM)) * 2.0).astype(np.float32)
+    centers = rng.normal(0, 1.0, (N_CENTERS, DIM)).astype(np.float32)
     assign = rng.integers(0, N_CENTERS, n)
     mat = centers[assign] + rng.normal(0, NOISE, (n, DIM)).astype(np.float32)
     return mat.astype(np.float32)
 
 
-def queries(mat: np.ndarray, nq: int):
+def queries(nq: int):
+    """Independent draws from the corpus distribution (real
+    ann-benchmarks query sets are held-out samples, not perturbations
+    of indexed points — perturbed queries are trivially easy)."""
     rng = np.random.default_rng(SEED + 1)
-    pick = rng.integers(0, mat.shape[0], nq)
-    q = mat[pick] + rng.normal(0, NOISE / 2, (nq, DIM)).astype(np.float32)
+    centers = np.random.default_rng(SEED).normal(
+        0, 1.0, (N_CENTERS, DIM)
+    ).astype(np.float32)
+    assign = rng.integers(0, N_CENTERS, nq)
+    q = centers[assign] + rng.normal(0, NOISE, (nq, DIM)).astype(np.float32)
     return q.astype(np.float32)
 
 
@@ -98,7 +108,7 @@ def main():
         open(_hnsw_mod.__file__, "rb").read() + open(_ck_mod.__file__, "rb").read()
     ).hexdigest()[:12]
     skey = hashlib.sha1(
-        f"{config_to_json(cfg)}|{n}|{SEED}|{kern}".encode()
+        f"{config_to_json(cfg)}|{n}|{SEED}|{N_CENTERS}|{NOISE}|{kern}".encode()
     ).hexdigest()[:16]
     sdir = os.path.join(CACHE_ROOT, f"sift1m_{skey}")
     smeta = os.path.join(sdir, "build_meta.json")
@@ -143,7 +153,7 @@ def main():
             shutil.rmtree(tmp, ignore_errors=True)
         del g
 
-    q = queries(mat, N_QUERIES)
+    q = queries(N_QUERIES)
     qids = [str(i) for i in range(N_QUERIES)]
 
     spark = get_spark("anndb-sift1m", cpus=cpus)
@@ -154,27 +164,35 @@ def main():
         spark, sdir, (qids[:100], q[:100]), K, ef=20, config=cfg,
         strategy="beam", cache_token="sift1m",
     )
-    t0 = time.perf_counter()
-    tbl = search_index_local(
-        spark, sdir, (qids, q), K, ef=20, config=cfg,
-        strategy="beam", cache_token="sift1m",
-    )
-    search_s = time.perf_counter() - t0
-    q_per_s = N_QUERIES / search_s
-
-    # recall@10 on the first TRUTH_QUERIES queries vs blocked-GEMM truth
     print("[sift1m] exact ground truth ...", file=sys.stderr)
     truth = exact_topk(mat, q[:TRUTH_QUERIES], K)
-    got: dict[str, set] = {}
-    qcol = tbl.column("query_id").to_pylist()
-    icol = tbl.column("id").to_pylist()
-    for qid, rid in zip(qcol, icol):
-        got.setdefault(qid, set()).add(int(rid))
-    hits = sum(
-        len(got.get(str(i), set()) & set(truth[i].tolist()))
-        for i in range(TRUTH_QUERIES)
-    )
-    recall = hits / (K * TRUTH_QUERIES)
+
+    def leg(ef: int):
+        # min-of-2: the first full pass through a cold mmap pays page
+        # faults over the whole graph, not search cost
+        s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tbl = search_index_local(
+                spark, sdir, (qids, q), K, ef=ef, config=cfg,
+                strategy="beam", cache_token="sift1m",
+            )
+            s = min(s, time.perf_counter() - t0)
+        got: dict[str, set] = {}
+        for qid, rid in zip(
+            tbl.column("query_id").to_pylist(), tbl.column("id").to_pylist()
+        ):
+            got.setdefault(qid, set()).add(int(rid))
+        hits = sum(
+            len(got.get(str(i), set()) & set(truth[i].tolist()))
+            for i in range(TRUTH_QUERIES)
+        )
+        return s, hits / (K * TRUTH_QUERIES)
+
+    search_s, recall = leg(20)
+    q_per_s = N_QUERIES / search_s
+    # the accuracy/throughput knob: one more point up the ef curve
+    ef40_s, ef40_recall = leg(40)
 
     result = {
         "sift1m_n": n,
@@ -184,6 +202,8 @@ def main():
         "sift1m_search_10kq_s": round(search_s, 3),
         "sift1m_search_q_per_s": round(q_per_s, 1),
         "sift1m_recall_at_10": round(recall, 4),
+        "sift1m_ef40_search_q_per_s": round(N_QUERIES / ef40_s, 1),
+        "sift1m_ef40_recall_at_10": round(ef40_recall, 4),
         "sift1m_config": f"m=16 efC=500 ef=20 k=10 {n}x{DIM} euclidean",
         "baseline_sift_build_inserts_per_s_m16": 2095.0,
         "baseline_sift_search_q_per_s_m16": 32052.0,
