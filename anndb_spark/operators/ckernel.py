@@ -224,6 +224,23 @@ static int walk_level0(
         pair_t c = pop_min(cand, &csz);
         if (rsz >= ef && c.d > res[0].d) break;
         const int32_t* nb = pad0 + (int64_t)c.id * cap;
+        /* prefetch pass: the walk is memory-latency-bound on big
+           graphs (random ~dim*4B gathers from a matrix that dwarfs
+           LLC); issuing the row loads for every unvisited neighbor
+           BEFORE the distance loop overlaps their misses instead of
+           serializing them (bit-exact — pure scheduling).  Two lines
+           per row: line 0 breaks the serial dependency, the hardware
+           streamer follows within the row. */
+        for (int32_t j = 0; j < cap; j++) {
+            int32_t id = nb[j];
+            if (id < 0) continue;
+            if (visited[id] == epoch) continue;
+            const char* row = vectors_h
+                ? (const char*)(vectors_h + (int64_t)id * dim)
+                : (const char*)(vectors + (int64_t)id * dim);
+            __builtin_prefetch(row, 0, 1);
+            __builtin_prefetch(row + 64, 0, 1);
+        }
         for (int32_t j = 0; j < cap; j++) {
             int32_t id = nb[j];
             if (id < 0) continue;

@@ -897,7 +897,7 @@ class HnswGraph:
             # (the beam is scattered-gather-bound at high dimension);
             # the C kernel reads float32 directly — exact, no rerank
             self.quantize()
-        if n < 4096 or max(self.levels) == 0:
+        if n < 4096 or self._max_level() == 0:
             if use_ck:
                 Qf = np.ascontiguousarray(Q, dtype=np.float32)
                 ent = _ck.descend(self, Qf)
@@ -993,7 +993,7 @@ class HnswGraph:
         dele = self.deleted if has_tomb else None
         Qf = np.ascontiguousarray(Q, dtype=np.float32)
         ef = max(ef or self.cfg.ef, k)
-        if len(self.levels) < 4096 or max(self.levels) == 0:
+        if len(self.levels) < 4096 or self._max_level() == 0:
             ent = _ck.descend(self, Qf)
             if ent is None:
                 return None
@@ -1022,34 +1022,57 @@ class HnswGraph:
         makes concurrent beams walk the SAME region of the vector
         matrix.  Returns (entry, entry_d, order, inv)."""
         seeds = self._seed_set()
+        nq = Qf.shape[0]
         qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
         sv = self.vectors[seeds]
-        dot = Qf @ sv.T
-        if self.cfg.space == "manhattan":
-            d = np.stack(
-                [np.abs(sv - row).sum(axis=1, dtype=np.float32) for row in Qf]
-            ) if Qf.shape[0] <= 64 else None
-            if d is None:
+        sn2 = self.norms2[seeds]
+        sn = self.norms[seeds]
+        best = np.empty(nq, dtype=np.int64)
+        entry_d = np.empty(nq, dtype=np.float32)
+
+        def score(s0: int, s1: int) -> None:
+            qc = Qf[s0:s1]
+            if self.cfg.space == "manhattan":
                 # blocked to bound the (q × S × dim) broadcast
-                d = np.empty((Qf.shape[0], len(seeds)), dtype=np.float32)
-                for s0 in range(0, Qf.shape[0], 64):
-                    d[s0 : s0 + 64] = np.abs(
-                        sv[None, :, :] - Qf[s0 : s0 + 64, None, :]
+                d = np.empty((s1 - s0, len(seeds)), dtype=np.float32)
+                for b0 in range(0, s1 - s0, 64):
+                    d[b0 : b0 + 64] = np.abs(
+                        sv[None, :, :] - qc[b0 : b0 + 64, None, :]
                     ).sum(axis=2, dtype=np.float32)
-        elif self.cfg.space == "euclidean":
-            d = np.sqrt(
-                np.maximum(
-                    self.norms2[seeds][None, :] - 2.0 * dot + qn2[:, None], 0.0
+            elif self.cfg.space == "euclidean":
+                d = np.sqrt(
+                    np.maximum(
+                        sn2[None, :] - 2.0 * (qc @ sv.T) + qn2[s0:s1, None],
+                        0.0,
+                    )
                 )
-            )
+            else:
+                d = np.abs(
+                    np.float32(1.0)
+                    - (qc @ sv.T)
+                    / (sn[None, :] * np.sqrt(qn2[s0:s1])[:, None])
+                )
+            b = d.argmin(axis=1)
+            best[s0:s1] = b
+            entry_d[s0:s1] = d[np.arange(s1 - s0), b]
+
+        # the session pins BLAS to one thread (executors own the
+        # parallelism there), so a big seed batch on the DRIVER runs the
+        # (q × S × dim) GEMM serially — profiled at 170 ms for
+        # 10k × 1024 × 128, 2× the C beam walk itself.  Chunk the batch
+        # across a thread pool: GEMM/argmin release the GIL, so
+        # single-threaded BLAS calls run truly concurrently.
+        cpus = _os_mod.cpu_count() or 1
+        chunk = max(256, -(-nq // cpus))
+        if nq > chunk:
+            from concurrent.futures import ThreadPoolExecutor
+
+            spans = [(s, min(s + chunk, nq)) for s in range(0, nq, chunk)]
+            with ThreadPoolExecutor(max_workers=len(spans)) as pool:
+                list(pool.map(lambda ab: score(*ab), spans))
         else:
-            d = np.abs(
-                np.float32(1.0)
-                - dot / (self.norms[seeds][None, :] * np.sqrt(qn2)[:, None])
-            )
-        best = d.argmin(axis=1)
+            score(0, nq)
         entry = seeds[best]
-        entry_d = d[np.arange(Qf.shape[0]), best]
         order = np.argsort(best, kind="stable")  # locality sort
         inv = np.empty_like(order)
         inv[order] = np.arange(len(order))
@@ -1068,7 +1091,7 @@ class HnswGraph:
 
         n = len(self.levels)
         Qf = np.ascontiguousarray(Q, dtype=np.float32)
-        if n >= 4096 and max(self.levels) > 0:
+        if n >= 4096 and self._max_level() > 0:
             entry, _, order, inv = self._seed_entries(Qf)
             res = _ck.build_candidates(
                 self,
@@ -1086,6 +1109,19 @@ class HnswGraph:
         if ent is None:
             return None
         return _ck.build_candidates(self, Qf, ent[0], efc, m, threads=threads)
+
+    def _max_level(self) -> int:
+        """max(self.levels) with a length-keyed cache: the raw max() over
+        a million-entry python list costs ~40 ms PER SEARCH CALL on big
+        serving graphs (profiled), and levels only change by append
+        (insert_many) — length keys the cache exactly."""
+        cached = getattr(self, "_max_level_cache", None)
+        if cached is not None and cached[0] == len(self.levels):
+            return cached[1]
+        # levels is a list on built graphs, an ndarray on shm-loaded ones
+        ml = int(np.max(self.levels)) if len(self.levels) else 0
+        self._max_level_cache = (len(self.levels), ml)
+        return ml
 
     def _seed_set(self) -> np.ndarray:
         """Entry-seed vertex ids: all vertices at the highest level L
@@ -3074,7 +3110,7 @@ def _serve_single_graph_local(
         # loaded stays cached for it via shm).
         return None
     threads = _os_mod.cpu_count() or 1
-    ids_arr = np.asarray(ids, dtype=object)
+    nq = qmat.shape[0]
     if not use_brute:
         arr = g.search_fast_batch_arrays(qmat, k, ef, threads=threads)
         if arr is not None:
@@ -3087,9 +3123,9 @@ def _serve_single_graph_local(
                 np.arange(1, ids_k.shape[1] + 1, dtype=np.int32),
                 ids_k.shape,
             )[valid]
+            qidx = np.repeat(np.arange(nq, dtype=np.int64), counts_v)
             return _local_result_table(
-                np.repeat(qid_arr, counts_v), rank, ids_arr[nid],
-                d_k[valid], g, nid, with_metadata,
+                qidx, qid_arr, rank, nid, d_k[valid], g, ids, with_metadata,
             )
     res = (
         g.search_brute(qmat, k)
@@ -3109,14 +3145,13 @@ def _serve_single_graph_local(
         if total
         else np.empty(0, dtype=np.int32)
     )
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), counts)
     return _local_result_table(
-        np.repeat(qid_arr, counts), rank,
-        ids_arr[nid] if total else np.empty(0, dtype=object),
-        dist, g, nid, with_metadata,
+        qidx, qid_arr, rank, nid, dist, g, ids, with_metadata,
     )
 
 
-def _local_result_table(qid, rank, rid, score, g, nid, with_metadata):
+def _local_result_table(qidx, qid_arr, rank, nid, score, g, ids, with_metadata):
     """Assemble local-serving results as an Arrow table.
 
     Arrow end-to-end is the cheap half of the driver↔JVM hop:
@@ -3124,13 +3159,27 @@ def _local_result_table(qid, rank, rid, score, g, nid, with_metadata):
     lands on Spark's LocalRelation fast path (measured 0.14 → 0.10 s
     for 100k result rows), and the in-process serving API
     (`search_index_local`) returns the table as-is — zero extra copies.
+
+    The string columns are built by Arrow ``take`` over small
+    dictionaries — the graph's id array (converted once per resident
+    graph, cached on it) and the call's query-id array (nq entries) —
+    instead of fancy-indexing object arrays and re-converting 100k
+    python strings per call (measured: assembly was costing MORE than
+    the 10k-query kernel walk itself on a 1M-row graph).
     """
     import pyarrow as pa
 
+    pa_ids = getattr(g, "_pa_ids", None)
+    if pa_ids is None or len(pa_ids) != len(ids):
+        pa_ids = pa.array(ids, type=pa.string())
+        try:
+            g._pa_ids = pa_ids  # graph↔ids pairing is stable per cache entry
+        except AttributeError:
+            pass
     arrays = [
-        pa.array(qid, type=pa.string()),
+        pa.array(qid_arr, type=pa.string()).take(pa.array(qidx)),
         pa.array(rank, type=pa.int32()),
-        pa.array(rid, type=pa.string()),
+        pa_ids.take(pa.array(nid)),
         pa.array(score, type=pa.float32()),
     ]
     names = ["query_id", "rank", "id", "score"]
