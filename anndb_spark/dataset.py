@@ -522,6 +522,36 @@ class Dataset:
             )
         return self.search(queries, k).toArrow()
 
+    def serve_stream(
+        self,
+        queries_dir: str,
+        results_dir: str,
+        checkpoint_dir: str,
+        k: int,
+        **kw,
+    ):
+        """Continuous query serving from this dataset's saved index: watch
+        ``queries_dir`` for parquet query files, answer each exactly once,
+        append results to ``results_dir`` (`streaming.search.stream_search`
+        — the reference's gRPC request stream as a Structured Streaming
+        pipeline).  Requires `build_index()` first.  Returns the
+        StreamingQuery."""
+        version = self._index_version()
+        if version is None:
+            raise ValueError(
+                f"dataset {self.meta.name!r} has no saved index — "
+                "run build_index() first"
+            )
+        from anndb_spark.operators.hnsw import HnswConfig
+        from anndb_spark.streaming.search import stream_search
+
+        kw.setdefault("config", HnswConfig(space=self.meta.space))
+        kw.setdefault("cache_token", version)
+        return stream_search(
+            self.spark, queries_dir, self.index_path, results_dir,
+            checkpoint_dir, k, **kw,
+        )
+
     # --- SizeInfo (O26) -------------------------------------------------
 
     def len(self) -> int:

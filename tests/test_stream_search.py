@@ -5,6 +5,7 @@ reference's gRPC search stream (`services/search.go:20-46`) as a
 Structured Streaming pipeline."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from anndb_spark.operators.hnsw import (
@@ -108,3 +109,39 @@ def test_stream_search_end_to_end_exactly_once(spark, tmp_path):
     assert (
         len([r for r in both if int(r["query_id"]) < 10]) == 50
     )
+
+
+def test_dataset_serve_stream_facade(spark, tmp_path):
+    """Dataset.serve_stream answers query files from the dataset's own
+    saved index with Dataset.search(mode='ann') values."""
+    from anndb_spark.dataset import AnnDB
+
+    db = AnnDB(spark, str(tmp_path / "db"))
+    ds = db.create_dataset("svc", dimension=10, partition_count=2)
+    rng = np.random.default_rng(19)
+    rows = [
+        (f"r{i:03d}", rng.normal(0, 1, 10).tolist(), None) for i in range(200)
+    ]
+    ds.insert(
+        spark.createDataFrame(
+            rows, "id STRING, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>"
+        )
+    )
+    ds.compact()
+    with pytest.raises(ValueError, match="no saved index"):
+        ds.serve_stream(
+            str(tmp_path / "q"), str(tmp_path / "r"), str(tmp_path / "c"), 3
+        )
+    ds.build_index()
+
+    qs = [(str(i), rows[i][1]) for i in range(8)]
+    spark.createDataFrame(qs, STREAM_QUERIES_DDL).write.mode("append").parquet(
+        str(tmp_path / "q")
+    )
+    ds.serve_stream(
+        str(tmp_path / "q"), str(tmp_path / "r"), str(tmp_path / "c"), 3
+    ).awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "r")).collect()
+    assert len(got) == 24
+    want = ds.search(qs, 3, mode="ann").collect()
+    assert _sorted_triples(got) == _sorted_triples(want)
