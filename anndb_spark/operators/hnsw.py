@@ -3488,19 +3488,44 @@ def search_index_path(
                 path, pid, cfg, strategy, brute_flops_threshold,
                 cache_token, index_ver, sub.shape[0],
             )
-            res = (
-                g.search_brute(sub, k)
-                if use_brute
-                else g.search_fast_batch(sub, k, ef)
+            arr = (
+                None if use_brute else g.search_fast_batch_arrays(sub, k, ef)
             )
-            counts = [len(h) for h in res]
-            total = sum(counts)
-            nid = np.fromiter(
-                (i for h in res for _, i in h), dtype=np.int64, count=total
-            )
-            dist = np.fromiter(
-                (d for h in res for d, _ in h), dtype=np.float32, count=total
-            )
+            if arr is not None:
+                # columnar end-to-end: same C kernel as the tuple path,
+                # minus the per-hit python tuples (~0.19 s per 10k×10
+                # result, measured — often more than the walk itself)
+                ids_k, d_k = arr
+                valid = ids_k >= 0  # pads are a row suffix
+                counts = valid.sum(axis=1)
+                nid = ids_k[valid]
+                total = int(counts.sum())
+                dist = d_k[valid]
+                rank_full = np.broadcast_to(
+                    np.arange(1, ids_k.shape[1] + 1, dtype=np.int32),
+                    ids_k.shape,
+                )[valid]
+            else:
+                res = (
+                    g.search_brute(sub, k)
+                    if use_brute
+                    else g.search_fast_batch(sub, k, ef)
+                )
+                counts = [len(h) for h in res]
+                total = sum(counts)
+                nid = np.fromiter(
+                    (i for h in res for _, i in h), dtype=np.int64, count=total
+                )
+                dist = np.fromiter(
+                    (d for h in res for d, _ in h), dtype=np.float32, count=total
+                )
+                rank_full = (
+                    np.concatenate(
+                        [np.arange(1, c + 1, dtype=np.int32) for c in counts]
+                    )
+                    if total
+                    else np.empty(0, dtype=np.int32)
+                )
             ids_arr = np.asarray(ids, dtype=object)
             data = {
                 "query_id": np.repeat(sub_qids, counts),
@@ -3509,9 +3534,7 @@ def search_index_path(
             }
             if single_graph:
                 # hit lists are ascending → positional ranks are final
-                data["rank"] = np.concatenate(
-                    [np.arange(1, c + 1, dtype=np.int32) for c in counts]
-                ) if total else np.empty(0, dtype=np.int32)
+                data["rank"] = rank_full
             if with_metadata:
                 meta = g.item_meta
                 data["metadata"] = (

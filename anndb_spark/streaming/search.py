@@ -93,26 +93,41 @@ def stream_search_transform(
                     index_path, pid, cfg, strategy, brute_flops_threshold,
                     cache_token, index_ver, nq,
                 )
-                res = (
-                    g.search_brute(qmat, k)
+                arr = (
+                    None
                     if use_brute
-                    else g.search_fast_batch(qmat, k, eff_ef)
-                )
-                counts = [len(h) for h in res]
-                total = sum(counts)
-                nid = np.fromiter(
-                    (i for h in res for _, i in h), dtype=np.int64, count=total
+                    else g.search_fast_batch_arrays(qmat, k, eff_ef)
                 )
                 ids_arr = np.asarray(ids, dtype=object)
-                cq.append(np.repeat(np.arange(nq), counts))
-                cid.append(ids_arr[nid])
-                cs.append(
-                    np.fromiter(
+                if arr is not None:
+                    # columnar: same kernel, no per-hit python tuples
+                    ids_k, d_k = arr
+                    valid = ids_k >= 0
+                    counts = valid.sum(axis=1)
+                    nid = ids_k[valid].astype(np.int64)
+                    total = int(counts.sum())
+                    dist = d_k[valid]
+                else:
+                    res = (
+                        g.search_brute(qmat, k)
+                        if use_brute
+                        else g.search_fast_batch(qmat, k, eff_ef)
+                    )
+                    counts = [len(h) for h in res]
+                    total = sum(counts)
+                    nid = np.fromiter(
+                        (i for h in res for _, i in h),
+                        dtype=np.int64,
+                        count=total,
+                    )
+                    dist = np.fromiter(
                         (d for h in res for d, _ in h),
                         dtype=np.float32,
                         count=total,
                     )
-                )
+                cq.append(np.repeat(np.arange(nq), counts))
+                cid.append(ids_arr[nid])
+                cs.append(dist)
                 if with_metadata:
                     meta = g.item_meta
                     cm.append(
