@@ -231,9 +231,12 @@ static int walk_level0(
            serializing them (bit-exact — pure scheduling).  Two lines
            per row: line 0 breaks the serial dependency, the hardware
            streamer follows within the row. */
+        /* pad rows are dense prefixes (-1 only as a tail sentinel —
+           every producer writes sorted/packed prefixes), so the first
+           -1 ends the row */
         for (int32_t j = 0; j < cap; j++) {
             int32_t id = nb[j];
-            if (id < 0) continue;
+            if (id < 0) break;
             if (visited[id] == epoch) continue;
             const char* row = vectors_h
                 ? (const char*)(vectors_h + (int64_t)id * dim)
@@ -243,7 +246,7 @@ static int walk_level0(
         }
         for (int32_t j = 0; j < cap; j++) {
             int32_t id = nb[j];
-            if (id < 0) continue;
+            if (id < 0) break;
             if (visited[id] == epoch) continue;
             visited[id] = epoch;
             float d = vectors_h
@@ -592,6 +595,155 @@ int hnsw_select_pool_batch(
     return err ? -1 : 0;
 }
 
+/* ---- beam-regime level-0 commit: pad-resident adjacency ----------
+   During the wave build's beam regime the level-0 adjacency lives
+   ONLY in (pad0, len0) — width-stride int32 rows kept as SORTED dense
+   prefixes — so committing a wave's edges and flushing backlink
+   prunes never round-trips through python sets (measured ~9 s of the
+   60k fm build: set updates + per-prune marshalling + pad rewrites).
+   Semantics mirror the python wave flow: commit every item in id
+   order (selections only reference pre-wave nodes), then one
+   ascending-id flush pass that prunes rows over slack_cap (strict:
+   over cap) via Alg-4 selection with reciprocal backlink removal —
+   the same slack-deferred, sequential-order contract as
+   hnsw.flush_overflow (order-independent pruning was measured to
+   collapse connectivity there). */
+
+static void wave_prune_row(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms, int32_t dim, int32_t space,
+    int32_t* restrict pad0, int32_t* restrict len0, int32_t width,
+    int64_t node, int32_t cap,
+    int32_t heuristic, int32_t keep_pruned, int32_t pool_cap,
+    uint8_t* restrict over_flag,
+    pair_t* restrict pr, int32_t* restrict pids, float* restrict pdq,
+    char* restrict state, int32_t* restrict sel)
+{
+    int32_t* row = pad0 + node * (int64_t)width;
+    int32_t L = len0[node];
+    const float* q = vectors + node * (int64_t)dim;
+    float qn2 = norms2[node], qn = norms[node];
+    for (int32_t j = 0; j < L; j++) {
+        int32_t id = row[j];
+        pr[j].id = id;
+        pr[j].d = dist_one(space, vectors + (int64_t)id * dim, q, dim,
+                           norms2[id], norms[id], qn2, qn);
+    }
+    qsort(pr, L, sizeof(pair_t), cmp_pair);
+    int32_t Wc = L;
+    if (pool_cap > 0 && Wc > pool_cap) Wc = pool_cap;
+    int ns;
+    if (!heuristic) {
+        ns = Wc < cap ? Wc : cap;
+        for (int32_t j = 0; j < ns; j++) sel[j] = j;
+    } else {
+        for (int32_t j = 0; j < Wc; j++) {
+            pids[j] = pr[j].id;
+            pdq[j] = pr[j].d;
+        }
+        ns = select_greedy(vectors, norms2, norms, dim, space, pids,
+                           pdq, Wc, cap, keep_pruned, state, sel, NULL);
+    }
+    for (int32_t j = 0; j < ns; j++) sel[j] = pr[sel[j]].id;
+    qsort(sel, ns, sizeof(int32_t), cmp_i32);
+    /* reciprocal removal for dropped edges: row and sel are both
+       sorted ascending — one merge walk */
+    int32_t si = 0;
+    for (int32_t j = 0; j < L; j++) {
+        int32_t id = row[j];
+        while (si < ns && sel[si] < id) si++;
+        if (si < ns && sel[si] == id) continue;
+        int32_t* r2 = pad0 + (int64_t)id * width;
+        int32_t L2 = len0[id];
+        for (int32_t t = 0; t < L2; t++) {
+            if (r2[t] == (int32_t)node) {
+                memmove(r2 + t, r2 + t + 1,
+                        (size_t)(L2 - 1 - t) * sizeof(int32_t));
+                r2[L2 - 1] = -1;
+                len0[id] = --L2;
+                if (L2 <= cap) over_flag[id] = 0;
+                break;
+            }
+        }
+    }
+    memcpy(row, sel, (size_t)ns * sizeof(int32_t));
+    for (int32_t j = ns; j < width; j++) row[j] = -1;
+    len0[node] = ns;
+    over_flag[node] = 0;
+}
+
+int hnsw_wave_commit(
+    const float* restrict vectors, const float* restrict norms2,
+    const float* restrict norms, int32_t dim, int32_t space,
+    int32_t* restrict pad0, int32_t* restrict len0, int32_t width,
+    int64_t n_rows, int32_t cap, int32_t slack_cap,
+    const int64_t* restrict wave_ids, int64_t nw,
+    const int32_t* restrict sel_ids, int32_t m_sel,
+    int32_t heuristic, int32_t keep_pruned, int32_t pool_cap,
+    uint8_t* restrict over_flag, int32_t strict)
+{
+    int32_t W = width + 2;
+    pair_t* pr = (pair_t*)malloc(sizeof(pair_t) * W);
+    int32_t* pids = (int32_t*)malloc(sizeof(int32_t) * W);
+    float* pdq = (float*)malloc(sizeof(float) * W);
+    char* state = (char*)malloc((size_t)W);
+    int32_t* sel = (int32_t*)malloc(sizeof(int32_t) * (cap + 2));
+    if (!pr || !pids || !pdq || !state || !sel) {
+        free(pr); free(pids); free(pdq); free(state); free(sel);
+        return -1;
+    }
+    /* phase 1: commit items in id order.  Selections reference only
+       pre-wave nodes, so wave rows never receive intra-wave
+       backlinks and the per-item row write is final. */
+    for (int64_t w = 0; w < nw; w++) {
+        int64_t x = wave_ids[w];
+        const int32_t* s = sel_ids + w * (int64_t)m_sel;
+        int32_t* rx = pad0 + x * (int64_t)width;
+        int32_t cnt = 0;
+        for (int32_t j = 0; j < m_sel; j++)
+            if (s[j] >= 0) rx[cnt++] = s[j];
+        qsort(rx, cnt, sizeof(int32_t), cmp_i32);
+        for (int32_t j = cnt; j < width; j++) rx[j] = -1;
+        len0[x] = cnt;
+        for (int32_t j = 0; j < cnt; j++) {
+            int32_t nb = rx[j];
+            int32_t* rn = pad0 + (int64_t)nb * width;
+            int32_t Ln = len0[nb];
+            if (Ln >= width) {
+                /* row full mid-wave (hub): prune it now to make room —
+                   rare; slightly earlier than the wave-boundary flush
+                   the python path would do */
+                wave_prune_row(vectors, norms2, norms, dim, space, pad0,
+                               len0, width, nb, cap, heuristic,
+                               keep_pruned, pool_cap, over_flag,
+                               pr, pids, pdq, state, sel);
+                Ln = len0[nb];
+            }
+            int32_t t = Ln;
+            while (t > 0 && rn[t - 1] > (int32_t)x) {
+                rn[t] = rn[t - 1];
+                t--;
+            }
+            rn[t] = (int32_t)x;
+            len0[nb] = ++Ln;
+            if (Ln > cap) over_flag[nb] = 1;
+        }
+    }
+    /* phase 2: slack-deferred flush, ascending id (the python pass
+       iterates sorted(overflow) — same order) */
+    for (int64_t i = 0; i < n_rows; i++) {
+        if (!over_flag[i]) continue;
+        int32_t L = len0[i];
+        if (L <= cap) { over_flag[i] = 0; continue; }
+        if (!strict && L <= slack_cap) continue; /* carried */
+        wave_prune_row(vectors, norms2, norms, dim, space, pad0, len0,
+                       width, i, cap, heuristic, keep_pruned, pool_cap,
+                       over_flag, pr, pids, pdq, state, sel);
+    }
+    free(pr); free(pids); free(pdq); free(state); free(sel);
+    return 0;
+}
+
 /* Lock-step greedy descent L..1 is cheap (few vertices), but doing it
    here too keeps the whole search native.  pads: concatenated per-level
    matrices, lvl_off[l] row offset into pads for level l (levels 1..L
@@ -622,7 +774,7 @@ int hnsw_descend(
                 const int32_t* nb = mat + cur * cp;
                 for (int32_t j = 0; j < cp; j++) {
                     int32_t id = nb[j];
-                    if (id < 0) continue;
+                    if (id < 0) break;  /* dense-prefix rows */
                     float d = dist_one(space, vectors + (int64_t)id * dim,
                                        q, dim, norms2[id], norms[id],
                                        qn2, qn);
@@ -740,6 +892,17 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
             p_i64, ctypes.c_int32,
+        ]
+        lib.hnsw_wave_commit.restype = ctypes.c_int
+        lib.hnsw_wave_commit.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int32, ctypes.c_int32,
+            p_i32, p_i32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            p_i64, ctypes.c_int64,
+            p_i32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            p_u8, ctypes.c_int32,
         ]
         lib.hnsw_descend.restype = ctypes.c_int
         lib.hnsw_descend.argtypes = [
@@ -1076,3 +1239,87 @@ def select_pool_batch(
     if rc != 0:
         return None
     return out
+
+
+class WaveCommitState:
+    """Pad-resident level-0 adjacency for the beam-regime wave build:
+    the C side owns commit + slack-deferred backlink prunes (python
+    sets are reconstructed once at the end via ``sync_back``).  The
+    wide (n_final × width) pad doubles as the walk matrix — rows are
+    sorted dense prefixes, identical layout contract to
+    ``HnswGraph._refresh_pads``."""
+
+    def __init__(self, g, n_final: int, width: int | None = None):
+        ctx = _sel_ctx(g)
+        if ctx is None:
+            raise RuntimeError("ckernel unavailable")
+        self._ctx = ctx
+        self.g = g
+        self.cap = int(g._cap(0))
+        self.slack = self.cap + (self.cap >> 1)
+        # headroom past slack bounds mid-wave hub growth; walks stop at
+        # the first -1 so the extra stride is free
+        self.width = int(width or max(2 * self.cap, self.slack + 16))
+        n0 = len(g.levels)
+        old = g.adj_pad.get(0)
+        self.pad0 = np.full((n_final, self.width), -1, dtype=np.int32)
+        self.len0 = np.zeros(n_final, dtype=np.int32)
+        if old is not None and old.size:
+            c = min(old.shape[1], self.width)
+            self.pad0[: old.shape[0], :c] = old[:, :c]
+            self.len0[: old.shape[0]] = (old >= 0).sum(axis=1)
+        self.over = np.zeros(n_final, dtype=np.uint8)
+        self.n_final = n_final
+        # install as THE walk matrix (dense-prefix contract holds) and
+        # drop the buffer cache so the kernel re-reads it
+        g.adj_pad[0] = self.pad0
+        if hasattr(g, "_ck_bufs"):
+            del g._ck_bufs
+        assert n0 <= n_final
+
+    def commit_wave(self, wave_ids, sel_ids: np.ndarray, strict: bool = False) -> bool:
+        """Commit one wave's level-0 selections (int32 (nw, m), -1 pad,
+        from ``build_candidates``) and run the slack flush.  Empty
+        wave + strict=True is the closing strict pass."""
+        lib, vp, n2p, nmp, dim_c, space_c, heur_c, keep_c = self._ctx
+        ids = np.ascontiguousarray(wave_ids, dtype=np.int64)
+        if len(ids):
+            sel = np.ascontiguousarray(sel_ids, dtype=np.int32)
+            m_sel = sel.shape[1]
+        else:
+            sel = np.empty((0, 1), dtype=np.int32)
+            m_sel = 1
+        rc = lib.hnsw_wave_commit(
+            vp, n2p, nmp, dim_c, space_c,
+            _as_c(self.pad0, ctypes.c_int32),
+            _as_c(self.len0, ctypes.c_int32),
+            ctypes.c_int32(self.width),
+            ctypes.c_int64(self.n_final),
+            ctypes.c_int32(self.cap),
+            ctypes.c_int32(self.slack),
+            _as_c(ids, ctypes.c_int64),
+            ctypes.c_int64(len(ids)),
+            _as_c(sel, ctypes.c_int32),
+            ctypes.c_int32(m_sel),
+            heur_c, keep_c,
+            ctypes.c_int32(int(self.g.cfg.heuristic_pool or 0)),
+            _as_c(self.over, ctypes.c_uint8),
+            ctypes.c_int32(1 if strict else 0),
+        )
+        return rc == 0
+
+    def sync_back(self, g) -> None:
+        """Rebuild the python level-0 sets and install a trimmed walk
+        pad (serving code sizes rows by pad width)."""
+        n = len(g.levels)
+        lens = self.len0[:n]
+        maxlen = int(lens.max()) if n else 0
+        g.adj_pad[0] = np.ascontiguousarray(
+            self.pad0[:n, : max(maxlen, 1)]
+        )
+        pad = self.pad0
+        for i in range(n):
+            li = int(lens[i])
+            g.adj[i][0] = set(pad[i, :li].tolist())
+        if hasattr(g, "_ck_bufs"):
+            del g._ck_bufs

@@ -1773,6 +1773,7 @@ class HnswGraph:
 
         dirty: set[int] = set()
         finalized = False
+        ck_commit = None
         gemm_pool = None
         shm_path = None
         # max wave size → shm distance-buffer row count (column-tiled path)
@@ -1946,10 +1947,27 @@ class HnswGraph:
                 g.finalize()  # build pads once at the kernel transition
                 finalized = True
                 dirty.clear()
+                if ck_ok:
+                    # pad-resident level-0 adjacency: the C side owns
+                    # commit + slack prunes for the whole beam regime
+                    # (python sets rebuilt once via sync_back) —
+                    # replaces ~9 s of set updates / per-prune
+                    # marshalling / pad rewrites on the 60k fm build
+                    try:
+                        ck_commit = _ckm.WaveCommitState(g, n)
+                    except Exception:
+                        ck_commit = None
             ids = list(range(i, j))
-            g._refresh_pads(dirty, len(g.levels))
+            _t0 = _time_mod.perf_counter()
+            g._refresh_pads(
+                dirty, len(g.levels), skip_level0=ck_commit is not None
+            )
+            _t["pads"] = _t.get("pads", 0.0) + (
+                _time_mod.perf_counter() - _t0
+            )
             dirty.clear()
             nbrs0 = None
+            sel_wave = None
             if ck_ok:
                 # native fused candidate beams + neighbor selection,
                 # OpenMP fan-out across the machine's cores IN-PROCESS —
@@ -1963,19 +1981,30 @@ class HnswGraph:
                 r = g._build_wave_candidates_ck(
                     v[ids], efc, config.m, threads=max(workers, 1)
                 )
+                _tk = _time_mod.perf_counter()
+                _t["kern"] = _t.get("kern", 0.0) + (_tk - _t0)
                 if r is not None:
-                    sel_ids, sel_d = r
-                    idl, dl = sel_ids.tolist(), sel_d.tolist()
-                    nbrs0 = {
-                        x: [
-                            (d, nid)
-                            for d, nid in zip(drow, irow)
-                            if nid >= 0
-                        ]
-                        for x, drow, irow in zip(ids, dl, idl)
-                    }
+                    if ck_commit is not None:
+                        sel_wave = r[0]  # int32 (nw, m) straight to C
+                    else:
+                        sel_ids, sel_d = r
+                        idl, dl = sel_ids.tolist(), sel_d.tolist()
+                        nbrs0 = {
+                            x: [
+                                (d, nid)
+                                for d, nid in zip(drow, irow)
+                                if nid >= 0
+                            ]
+                            for x, drow, irow in zip(ids, dl, idl)
+                        }
+                elif ck_commit is not None:
+                    # kernel died mid-regime: strict-flush the C pads,
+                    # restore python sets, continue on the python path
+                    ck_commit.commit_wave([], None, strict=True)
+                    ck_commit.sync_back(g)
+                    ck_commit = None
                 _t["fork"] += _time_mod.perf_counter() - _t0
-            if nbrs0 is not None:
+            if sel_wave is not None or nbrs0 is not None:
                 pass
             elif can_fork and len(ids) >= 8 * workers:
                 # fork AFTER the pads refresh: children inherit the
@@ -2029,11 +2058,22 @@ class HnswGraph:
                         upper_sel[(x, l)] = [
                             int(t) for t in selmat[xi] if t >= 0
                         ]
-            for x in ids:
-                g._commit_wave_item(
-                    x, levels[x], nbrs0[x], by_level, i, dirty, overflow,
-                    upper_sel=upper_sel,
-                )
+            if sel_wave is not None:
+                if not ck_commit.commit_wave(ids, sel_wave):
+                    raise RuntimeError(
+                        "hnsw_wave_commit failed mid-build"
+                    )
+                for x in ids:
+                    g._commit_wave_item(
+                        x, levels[x], None, by_level, i, dirty,
+                        overflow, upper_sel=upper_sel, skip_level0=True,
+                    )
+            else:
+                for x in ids:
+                    g._commit_wave_item(
+                        x, levels[x], nbrs0[x], by_level, i, dirty,
+                        overflow, upper_sel=upper_sel,
+                    )
             _t["serial"] += _time_mod.perf_counter() - _t0
             _t0 = _time_mod.perf_counter()
             _t.setdefault("prunes", 0)
@@ -2054,6 +2094,15 @@ class HnswGraph:
             shm_path = None
         if not finalized:
             flush_final()  # GEMM-only build: one deferred prune pass
+        elif ck_commit is not None:
+            # closing strict pass: level 0 in C, upper levels in python,
+            # then reconstruct the python sets from the C pads
+            ck_commit.commit_wave([], None, strict=True)
+            if overflow:
+                flush_overflow(dirty, strict=True)
+            g._refresh_pads(dirty, len(g.levels), skip_level0=True)
+            dirty.clear()
+            ck_commit.sync_back(g)
         elif overflow:
             # slack-deferred beam-regime prunes: one closing strict
             # pass so returned degrees respect the caps
@@ -2102,12 +2151,13 @@ class HnswGraph:
         self,
         idx: int,
         level: int,
-        nbrs0: list[tuple[float, int]],
+        nbrs0: list[tuple[float, int]] | None,
         by_level: dict[int, list[int]],
         upto: int,
         dirty: set[int],
         overflow: set[tuple[int, int]],
         upper_sel: dict[tuple[int, int], list[int]] | None = None,
+        skip_level0: bool = False,
     ):
         """Apply one wave insert: pre-selected level-0 neighbors, EXACT
         upper-level candidates (distance row against that level's pre-wave
@@ -2121,12 +2171,13 @@ class HnswGraph:
         self.adj.append({l: set() for l in range(level + 1)})
         q = self.vectors[idx]
         ep_level = self.levels[self.entrypoint]
-        for _, nb in nbrs0:
-            self.adj[idx][0].add(nb)
-            self.adj[nb].setdefault(0, set()).add(idx)
-            dirty.add(nb)
-            if len(self.adj[nb][0]) > self._cap(0):
-                overflow.add((nb, 0))
+        if not skip_level0:  # C wave-commit path owns level 0
+            for _, nb in nbrs0:
+                self.adj[idx][0].add(nb)
+                self.adj[nb].setdefault(0, set()).add(idx)
+                dirty.add(nb)
+                if len(self.adj[nb][0]) > self._cap(0):
+                    overflow.add((nb, 0))
         for l in range(1, min(level, ep_level) + 1):
             if upper_sel is not None:
                 nbrs = [(0.0, nb) for nb in upper_sel.get((idx, l), ())]
@@ -2158,18 +2209,35 @@ class HnswGraph:
             by_level.setdefault(l, []).append(idx)
         dirty.add(idx)
 
-    def _refresh_pads(self, dirty: set[int], new_n: int):
+    def _refresh_pads(
+        self, dirty: set[int], new_n: int, skip_level0: bool = False
+    ):
         """Grow the padded adjacency matrices to new_n rows and rewrite
-        rows whose adjacency changed — O(|dirty|·cap), not O(n)."""
+        rows whose adjacency changed — O(Σ_levels(i) for dirty i), not
+        O(|dirty|·max_level): a node's adj dict holds exactly its own
+        levels, so one pass over each dirty node's items replaces a
+        full dirty sweep (plus a separate capacity sweep) PER level —
+        most nodes are level-0-only, so this is ~8× fewer python
+        iterations on a 60k build (measured 5.2 s → ~1.5 s of wall)."""
+        by_lvl: dict[int, list[int]] = {}
+        need: dict[int, int] = {}
+        for i in dirty:
+            if i >= new_n:
+                continue
+            for lvl, ns in self.adj[i].items():
+                by_lvl.setdefault(lvl, []).append(i)
+                if len(ns) > need.get(lvl, 0):
+                    need[lvl] = len(ns)
         max_level = max(self.levels) if self.levels else 0
         for lvl in range(max_level + 1):
+            if lvl == 0 and skip_level0:
+                # the C wave-commit owns pad0 (and python's level-0
+                # sets are stale during that regime) — growing or
+                # rewriting it here would corrupt the C view
+                continue
             pad = self.adj_pad.get(lvl)
             cap = pad.shape[1] if pad is not None else 1
-            # required capacity for dirty rows
-            need = max(
-                (len(self.adj[i].get(lvl, ())) for i in dirty), default=0
-            )
-            cap_new = max(cap, need, 1)
+            cap_new = max(cap, need.get(lvl, 0), 1)
             rows = pad.shape[0] if pad is not None else 0
             if pad is None or cap_new > cap or new_n > rows:
                 grown = np.full((new_n, cap_new), -1, dtype=np.int32)
@@ -2177,10 +2245,9 @@ class HnswGraph:
                     grown[:rows, :cap] = pad
                 pad = grown
                 self.adj_pad[lvl] = pad
-            for i in dirty:
-                if i >= new_n:
-                    continue
-                ns = self.adj[i].get(lvl)
+            adj = self.adj
+            for i in by_lvl.get(lvl, ()):
+                ns = adj[i].get(lvl)
                 pad[i, :] = -1
                 if ns:
                     pad[i, : len(ns)] = sorted(ns)
