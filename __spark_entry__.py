@@ -355,6 +355,19 @@ def _token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import repetition_signals
+
+    return repetition_signals(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.semistructured import props_stats
+    from anndb_spark.sources.tables import load_events
+
+    return props_stats(load_events(spark, sf_dir))
+
+
 def _pq_adc_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 over the embeddings table:
     seeded per-subspace k-means codebooks (deterministic), one-pass
@@ -862,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": _language_id_documents,
         "fingerprint_documents": _fingerprint_documents,
         "token_frequencies": _token_frequencies,
+        "repetition_signals_documents": _repetition_signals_documents,
+        "events_props_stats": _events_props_stats,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
@@ -1370,6 +1385,77 @@ def oracle_sql() -> dict[str, str]:
                         ('the','a','of','and','to','is','in'))) AS DOUBLE)
                        / CAST(len(ws) AS DOUBLE) AS stopword_ratio
             FROM w
+        """,
+        "repetition_signals_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            uni AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS tot1,
+                       COUNT(*) AS uniq1
+                FROM (
+                    SELECT doc_id, gram, COUNT(*) AS cnt
+                    FROM (SELECT doc_id, unnest(ws) AS gram FROM w)
+                    GROUP BY doc_id, gram
+                )
+                GROUP BY doc_id
+            ),
+            bi AS (
+                SELECT doc_id,
+                       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                           AS top_bigram_fraction
+                FROM (
+                    SELECT doc_id, gram, COUNT(*) AS cnt
+                    FROM (
+                        SELECT doc_id,
+                               unnest([ws[i] || ' ' || ws[i+1]
+                                       for i in generate_series(1, len(ws)-1)])
+                                   AS gram
+                        FROM w
+                    )
+                    GROUP BY doc_id, gram
+                )
+                GROUP BY doc_id
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                           AS top_trigram_fraction
+                FROM (
+                    SELECT doc_id, gram, COUNT(*) AS cnt
+                    FROM (
+                        SELECT doc_id,
+                               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                       for i in generate_series(1, len(ws)-2)])
+                                   AS gram
+                        FROM w
+                    )
+                    GROUP BY doc_id, gram
+                )
+                GROUP BY doc_id
+            )
+            SELECT uni.doc_id AS id,
+                   tot1 AS n_tokens,
+                   1.0 - CAST(uniq1 AS DOUBLE) / CAST(tot1 AS DOUBLE)
+                       AS dup_word_fraction,
+                   COALESCE(top_bigram_fraction, 0.0) AS top_bigram_fraction,
+                   COALESCE(top_trigram_fraction, 0.0) AS top_trigram_fraction
+            FROM uni
+            LEFT JOIN bi ON uni.doc_id = bi.doc_id
+            LEFT JOIN tri ON uni.doc_id = tri.doc_id
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS n_with_field,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_field,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events
+            GROUP BY event_type
         """,
         "language_id_documents": _langid_oracle(),
         "fingerprint_documents": """

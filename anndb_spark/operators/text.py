@@ -114,6 +114,82 @@ def token_count_col(text: Column) -> Column:
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters for LLM corpora (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per document the duplicate-word fraction
+    and the fraction of all word 2-grams / 3-grams taken by the single
+    most frequent one.  High values flag boilerplate / degenerate text.
+
+    Scale shape: explode → two keyed aggregations — each n-gram row is
+    seen once (linear work, partial aggregation map-side), unlike the
+    per-row ``array_max(transform(...))`` formulation whose quadratic
+    per-document cost blows up on long documents.  All three
+    aggregates share the id key, so AQE plans broadcast-free
+    co-partitioned joins."""
+    t = F.col(text_col)
+    w = _tokens(t)
+    words = df.select(F.col(id_col).alias("id"), w.alias("w"))
+
+    def gram_stats(n: int, out: str) -> DataFrame:
+        if n == 1:
+            grams = F.col("w")
+        else:
+            # zip the array against its n-1 shifted selves
+            glen = F.greatest(
+                F.size(F.col("w")) - F.lit(n - 1), F.lit(0)
+            )  # docs shorter than n have no n-grams (negative slice len throws)
+            parts = [F.slice(F.col("w"), k + 1, glen) for k in range(n)]
+            grams = parts[0]
+            for p in parts[1:]:
+                grams = F.zip_with(
+                    grams, p, lambda a, b: F.concat_ws(" ", a, b)
+                )
+        return (
+            words.select("id", F.explode(grams).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.sum("cnt").alias(f"_tot{n}"),
+                F.max("cnt").alias(f"_top{n}"),
+                F.count(F.lit(1)).alias(f"_uniq{n}"),
+            )
+            .select(
+                "id",
+                F.col(f"_tot{n}").alias(f"tot{n}"),
+                (
+                    F.col(f"_top{n}").cast("double")
+                    / F.col(f"_tot{n}").cast("double")
+                ).alias(out),
+                F.col(f"_uniq{n}").alias(f"uniq{n}"),
+            )
+        )
+
+    uni = gram_stats(1, "_f1")
+    bi = gram_stats(2, "top_bigram_fraction")
+    tri = gram_stats(3, "top_trigram_fraction")
+    return (
+        uni.join(bi, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.col("tot1").cast("long").alias("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.col("uniq1").cast("double") / F.col("tot1").cast("double")
+            ).alias("dup_word_fraction"),
+            F.coalesce(F.col("top_bigram_fraction"), F.lit(0.0)).alias(
+                "top_bigram_fraction"
+            ),
+            F.coalesce(F.col("top_trigram_fraction"), F.lit(0.0)).alias(
+                "top_trigram_fraction"
+            ),
+        )
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token budgeting: whitespace count, BPE-ish regex
     count, and the chars/4 estimator commonly used for budget planning."""

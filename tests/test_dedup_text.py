@@ -298,3 +298,56 @@ def test_embedding_lsh_pairs_finds_near_dups(spark):
     # distinct base vectors are ~orthogonal at 64-d: no cross pairs
     cross = [p for p in found if p[1] - p[0] != 1]
     assert not cross, cross
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computable documents: exact fractions for dup words and the
+    dominant 2-/3-gram, zero/degenerate rows handled."""
+    from anndb_spark.operators.text import repetition_signals
+
+    rows = [
+        # "a b a b a" -> 5 tokens, 2 unique; bigrams: ab,ba,ab,ba -> top 2/4
+        # trigrams: aba,bab,aba -> top 2/3
+        ("d1", "a b a b a"),
+        # all distinct: dup 0, every gram count 1
+        ("d2", "w x y z"),
+        # single token: no bigrams/trigrams -> 0.0 via coalesce
+        ("d3", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    out = {r["id"]: r for r in repetition_signals(df).collect()}
+    r1 = out["d1"]
+    assert r1["n_tokens"] == 5
+    assert abs(r1["dup_word_fraction"] - (1 - 2 / 5)) < 1e-12
+    assert abs(r1["top_bigram_fraction"] - 2 / 4) < 1e-12
+    assert abs(r1["top_trigram_fraction"] - 2 / 3) < 1e-12
+    r2 = out["d2"]
+    assert r2["dup_word_fraction"] == 0.0
+    assert abs(r2["top_bigram_fraction"] - 1 / 3) < 1e-12
+    r3 = out["d3"]
+    assert r3["n_tokens"] == 1
+    assert r3["top_bigram_fraction"] == 0.0
+    assert r3["top_trigram_fraction"] == 0.0
+
+
+def test_props_stats_json_extraction(spark):
+    """JSON payload rollup: unparseable / missing fields count as null
+    (excluded from n_with_field and the exact integer sum)."""
+    from anndb_spark.operators.semistructured import props_stats
+
+    rows = [
+        ("click", '{"k": 3}', 1.5),
+        ("click", '{"k": 4}', 2.25),
+        ("click", '{"other": 9}', 1.0),
+        ("view", "not json", 5.0),
+        ("view", '{"k": 10}', 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type STRING, props STRING, value DOUBLE"
+    )
+    out = {r["event_type"]: r for r in props_stats(df).collect()}
+    c = out["click"]
+    assert (c["n_events"], c["n_with_field"], c["sum_field"]) == (3, 2, 7)
+    assert abs(c["sum_value"] - 4.75) < 1e-9
+    v = out["view"]
+    assert (v["n_events"], v["n_with_field"], v["sum_field"]) == (2, 1, 10)
