@@ -368,6 +368,25 @@ def _events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props_stats(load_events(spark, sf_dir))
 
 
+def _hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), 0.2, salt="bench"
+    ).select("doc_id", "lang", "source")
+
+
+def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.sampling import hash_split
+
+    return hash_split(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        [0.8, 0.1, 0.1],
+        ["train", "val", "test"],
+        salt="bench",
+    ).select("doc_id", "split")
+
+
 def _pq_adc_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 over the embeddings table:
     seeded per-subspace k-means codebooks (deterministic), one-pass
@@ -877,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequencies": _token_frequencies,
         "repetition_signals_documents": _repetition_signals_documents,
         "events_props_stats": _events_props_stats,
+        "hash_sample_documents": _hash_sample_documents,
+        "hash_split_documents": _hash_split_documents,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
@@ -1444,6 +1465,22 @@ def oracle_sql() -> dict[str, str]:
             FROM uni
             LEFT JOIN bi ON uni.doc_id = bi.doc_id
             LEFT JOIN tri ON uni.doc_id = tri.doc_id
+        """,
+        "hash_sample_documents": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '33333333'
+        """,
+        "hash_split_documents": """
+            SELECT doc_id,
+                   CASE
+                     WHEN substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < 'cccccccc' THEN 'train'
+                     WHEN substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                          < 'e6666666' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         "events_props_stats": """
             SELECT event_type,

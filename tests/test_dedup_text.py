@@ -351,3 +351,38 @@ def test_props_stats_json_extraction(spark):
     assert abs(c["sum_value"] - 4.75) < 1e-9
     v = out["view"]
     assert (v["n_events"], v["n_with_field"], v["sum_field"]) == (2, 1, 10)
+
+
+def test_hash_sampling_deterministic_and_nested(spark):
+    """Hash sampling: reproducible, salt-decoupled, and MONOTONE —
+    a smaller fraction's sample is a subset of a larger one's (the
+    property that makes staged corpus scaling reproducible)."""
+    from anndb_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s20 = {r["doc_id"] for r in hash_sample(df, 0.2, id_col="doc_id").collect()}
+    s20b = {r["doc_id"] for r in hash_sample(df, 0.2, id_col="doc_id").collect()}
+    assert s20 == s20b
+    assert 0.15 < len(s20) / 4000 < 0.25
+    s05 = {r["doc_id"] for r in hash_sample(df, 0.05, id_col="doc_id").collect()}
+    assert s05 <= s20
+    other = {
+        r["doc_id"]
+        for r in hash_sample(df, 0.2, id_col="doc_id", salt="x").collect()
+    }
+    assert other != s20  # independent draw
+    assert 0.15 < len(other) / 4000 < 0.25
+
+    out = hash_split(
+        df, [0.8, 0.1, 0.1], ["train", "val", "test"], id_col="doc_id"
+    ).collect()
+    counts: dict[str, int] = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert len(out) == 4000  # total preserved, one label each
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hash_split(df, [1.0], ["a", "b"], id_col="doc_id")
