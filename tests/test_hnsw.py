@@ -973,3 +973,39 @@ def test_dataset_search_local_facade(spark, tmp_path):
     )
     assert got == want
     assert got[0][1] == "i007"
+
+
+def test_build_hub_heavy_corpus_respects_caps():
+    """One tight blob makes every vertex a backlink hub: the C
+    wave-commit's mid-wave emergency prune and slack flush must keep
+    all level-0 degrees within cap, pads in sync with the rebuilt
+    sets, and the graph searchable at high recall."""
+    rng = np.random.default_rng(23)
+    n, dim = 3000, 16
+    mat = rng.normal(0, 0.01, (n, dim)).astype(np.float32)  # one blob
+    cfg = HnswConfig(m=8, ef_construction=80, heuristic=True)
+    lr = np.random.default_rng(4)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12))
+        * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg, workers=4)
+    cap0 = g._cap(0)
+    degs = [len(a.get(0, ())) for a in g.adj]
+    assert max(degs) <= cap0
+    pad = g.adj_pad[0]
+    for i in range(0, n, 97):
+        row = pad[i][pad[i] >= 0]
+        assert set(row.tolist()) == g.adj[i].get(0, set()), i
+        # dense prefix: no -1 before a real id
+        tail = pad[i][len(row):]
+        assert (tail == -1).all(), i
+    g.finalize()
+    Q = rng.normal(0, 0.01, (40, dim)).astype(np.float32)
+    res = g.search_fast_batch(Q, 10, ef=80)
+    truth = g.search_brute(Q, 10)
+    hits = sum(
+        len({i for _, i in truth[q]} & {i for _, i in res[q]})
+        for q in range(40)
+    )
+    assert hits / 400 >= 0.85, hits / 400
