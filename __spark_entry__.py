@@ -368,6 +368,14 @@ def _events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props_stats(load_events(spark, sf_dir))
 
 
+def _token_stream_offsets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anndb_spark.operators.text import token_stream_offsets
+
+    return token_stream_offsets(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), seq_len=512
+    )
+
+
 def _hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.sampling import hash_sample
 
@@ -898,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": _events_props_stats,
         "hash_sample_documents": _hash_sample_documents,
         "hash_split_documents": _hash_split_documents,
+        "token_stream_offsets_documents": _token_stream_offsets_documents,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
@@ -1465,6 +1474,24 @@ def oracle_sql() -> dict[str, str]:
             FROM uni
             LEFT JOIN bi ON uni.doc_id = bi.doc_id
             LEFT JOIN tri ON uni.doc_id = tri.doc_id
+        """,
+        "token_stream_offsets_documents": """
+            SELECT doc_id AS id,
+                   source AS bucket,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS stream_offset,
+                   CAST(FLOOR(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 512) AS BIGINT) AS seq_index,
+                   CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) % 512 AS BIGINT) AS seq_offset
+            FROM documents
         """,
         "hash_sample_documents": """
             SELECT doc_id, lang, source FROM documents

@@ -190,6 +190,46 @@ def repetition_signals(
     )
 
 
+def token_stream_offsets(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-then-split packing layout: documents are laid out as
+    one token stream (deterministic id order) that training reads in
+    fixed ``seq_len`` windows; each document gets its stream offset,
+    the sequence index holding its first token, and the intra-sequence
+    offset — the bookkeeping a GPT-style pretraining loader needs to
+    map sequences back to documents.
+
+    Scale shape: one cumulative-sum window per ``bucket_col`` group
+    (default: the ``source`` column) — buckets pack independently, so
+    the window parallelizes across buckets instead of serializing the
+    corpus through one global sort, and adding a bucket never reshuffles
+    the others (the layout stays stable as the corpus grows)."""
+    t = F.col(text_col)
+    bucket = F.col(bucket_col) if bucket_col else F.col("source")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(bucket)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(_tokens(t)).cast("long")
+    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        bucket.alias("bucket"),
+        n_tok.alias("n_tokens"),
+        start.alias("stream_offset"),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("seq_index"),
+        (start % F.lit(seq_len)).cast("long").alias("seq_offset"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token budgeting: whitespace count, BPE-ish regex
     count, and the chars/4 estimator commonly used for budget planning."""

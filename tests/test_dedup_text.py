@@ -386,3 +386,23 @@ def test_hash_sampling_deterministic_and_nested(spark):
 
     with _pt.raises(ValueError):
         hash_split(df, [1.0], ["a", "b"], id_col="doc_id")
+
+
+def test_token_stream_offsets_layout(spark):
+    """Concatenate-then-split bookkeeping: offsets are exclusive
+    cumulative sums in id order within each bucket, seq index/offset
+    derive from them, buckets are independent."""
+    from anndb_spark.operators.text import token_stream_offsets
+
+    rows = [
+        ("a1", "one two three", "web"),        # 3 tokens, offset 0
+        ("a2", "four five", "web"),            # offset 3
+        ("a3", "six seven eight nine", "web"), # offset 5
+        ("b1", "x y", "books"),                # offset 0 in its bucket
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING, source STRING")
+    out = {r["id"]: r for r in token_stream_offsets(df, seq_len=4).collect()}
+    assert [out[k]["stream_offset"] for k in ("a1", "a2", "a3")] == [0, 3, 5]
+    assert [out[k]["seq_index"] for k in ("a1", "a2", "a3")] == [0, 0, 1]
+    assert [out[k]["seq_offset"] for k in ("a1", "a2", "a3")] == [0, 3, 1]
+    assert (out["b1"]["stream_offset"], out["b1"]["bucket"]) == (0, "books")
