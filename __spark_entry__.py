@@ -395,6 +395,42 @@ def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 play the
+    held-out eval set; every other document is flagged if it shares
+    any word 4-gram with the eval set."""
+    from anndb_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
+def _boilerplate_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-threshold boilerplate removal at token granularity (the
+    synthetic corpus has no newlines): units in >=80% of documents
+    are removed, survivors keep order and duplicates."""
+    from anndb_spark.operators.curation import boilerplate_filter
+
+    return boilerplate_filter(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_doc_frac=0.8
+    )
+
+
+def _mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling: src0 kept whole, src1 halved, src2
+    quartered, every other source downweighted to 10%."""
+    from anndb_spark.operators.curation import mixture_sample
+
+    return mixture_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        salt="mix",
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
 def _pq_adc_embeddings_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 over the embeddings table:
     seeded per-subspace k-means codebooks (deterministic), one-pass
@@ -907,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_documents": _hash_sample_documents,
         "hash_split_documents": _hash_split_documents,
         "token_stream_offsets_documents": _token_stream_offsets_documents,
+        "decontaminate_documents": _decontaminate_documents,
+        "boilerplate_filter_documents": _boilerplate_filter_documents,
+        "mixture_sample_documents": _mixture_sample_documents,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
@@ -1492,6 +1531,65 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) % 512 AS BIGINT) AS seq_offset
             FROM documents
+        """,
+        "decontaminate_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+                FROM toks, unnest(range(1, len(w) - 4 + 2)) AS t(i)
+                WHERE len(w) >= 4
+            ),
+            bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+            ),
+            hits AS (
+                SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+                FROM grams c JOIN bench USING (g)
+                WHERE c.doc_id % 50 <> 0
+                GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
+        "boilerplate_filter_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            units AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS u
+                FROM documents
+            ),
+            dfreq AS (
+                SELECT u, count(DISTINCT doc_id) AS df FROM units GROUP BY u
+            ),
+            flist AS (
+                SELECT coalesce(list(u), []) AS fl FROM dfreq
+                WHERE df >= ceil(0.8 * (SELECT count(DISTINCT doc_id)
+                                        FROM documents))
+            )
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_units,
+                   CAST(len(w) - len(list_filter(w,
+                        x -> NOT list_contains(fl, x))) AS BIGINT)
+                       AS n_removed,
+                   array_to_string(list_filter(w,
+                        x -> NOT list_contains(fl, x)), ' ') AS text_clean
+            FROM toks, flist
+        """,
+        "mixture_sample_documents": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                < CASE source
+                      WHEN 'src0' THEN 'ffffffff'
+                      WHEN 'src1' THEN '80000000'
+                      WHEN 'src2' THEN '40000000'
+                      ELSE '19999999'
+                  END
         """,
         "hash_sample_documents": """
             SELECT doc_id, lang, source FROM documents

@@ -1,0 +1,160 @@
+"""Corpus curation: benchmark decontamination, document-frequency
+boilerplate removal, and target-mixture resampling.
+
+Three operations every LLM training-data pipeline runs between raw
+crawl and tokenizer, absent from the reference (a vector store —
+`/root/reference/README.md` scopes it to ANN serving) but first-class
+here per the pipeline mandate:
+
+* ``decontaminate`` — drop/flag training documents that share any
+  word n-gram with a held-out benchmark (the standard n-gram-overlap
+  decontamination; GPT-3 appendix C used 13-grams, smaller corpora
+  use 8).  Scale shape: the benchmark gram set is tiny (eval suites
+  are thousands of documents), so it broadcasts; corpus grams are
+  generated per-row by JVM column expressions (sequence/transform/
+  slice — no Python, no shuffle) and only the per-doc hit counts are
+  aggregated.  One shuffle (the groupBy doc), no matter the corpus
+  size.
+
+* ``boilerplate_filter`` — remove units (lines when ``sep='\\n'``,
+  tokens otherwise) whose document frequency exceeds a threshold:
+  line-level dedup as in CCNet / RefinedWeb, where nav bars and
+  cookie banners repeat across a site's pages.  Scale shape: the
+  frequent-unit set is the heavy-hitter tail of the DF distribution
+  — small by construction (a unit must appear in ``min_doc_frac`` of
+  ALL documents to qualify) — so it broadcasts and the rewrite is a
+  pure per-row ``filter``/``array_join`` with order preserved.  If a
+  corpus ever yields a frequent set too big to broadcast, the
+  posexplode → anti-join → re-agg variant trades the broadcast for
+  one extra shuffle; not implemented until needed.
+
+* ``mixture_sample`` — deterministic per-bucket hash sampling to hit
+  a target domain mixture (e.g. downweight crawl, keep books): the
+  [[hash-sample]] membership rule of ``sampling.hash_sample`` applied
+  with a per-source rate.  Pure per-row column expression, pushes
+  past scans, reproducible on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anndb_spark.operators.sampling import _bucket, _threshold_hex
+
+
+def _word_ngrams(w: Column, n: int) -> Column:
+    """All word n-grams of a token array as space-joined strings;
+    empty when the document is shorter than n."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hits, contaminated) for every corpus document, where
+    n_hits counts the distinct word n-grams it shares with ANY
+    benchmark document.  Callers drop ``contaminated`` rows (or the
+    whole document set a hit belongs to) before training."""
+    toks = lambda df: F.split(F.col(text_col), " ")  # noqa: E731
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(toks(benchmark), n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(toks(corpus), n))).alias("g"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def boilerplate_filter(
+    df: DataFrame,
+    min_doc_frac: float | None = None,
+    min_docs: int | None = None,
+    sep: str = " ",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_units, n_removed, text_clean): rewrite each document
+    with its high-document-frequency units removed (order and
+    duplicates among survivors preserved).  Exactly one of
+    ``min_doc_frac`` (fraction of all documents — scale-invariant) or
+    ``min_docs`` (absolute count) sets the threshold."""
+    if (min_doc_frac is None) == (min_docs is None):
+        raise ValueError("set exactly one of min_doc_frac / min_docs")
+    w = F.split(F.col(text_col), sep)
+    units = df.select(
+        F.col(id_col), F.explode(F.array_distinct(w)).alias("u")
+    )
+    dfreq = units.groupBy("u").agg(F.count("*").alias("df"))
+    if min_docs is not None:
+        freq = dfreq.filter(F.col("df") >= int(min_docs))
+    else:
+        total = df.agg(F.countDistinct(id_col).alias("_n"))
+        freq = dfreq.join(total).filter(
+            F.col("df") >= F.ceil(F.lit(float(min_doc_frac)) * F.col("_n"))
+        )
+    flist = freq.agg(F.collect_set("u").alias("fl"))
+    clean = F.filter(w, lambda x: ~F.array_contains(F.col("fl"), x))
+    return (
+        df.crossJoin(F.broadcast(flist))
+        .select(
+            F.col(id_col),
+            F.size(w).cast("long").alias("n_units"),
+            (F.size(w) - F.size(clean)).cast("long").alias("n_removed"),
+            F.array_join(clean, sep).alias("text_clean"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    bucket_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row with the probability its bucket's rate demands,
+    deterministically by id — reshape a corpus to a target domain
+    mixture with no RNG state and bit-identical reruns."""
+    b = _bucket(F.col(id_col), salt)
+    expr = b < F.lit(_threshold_hex(default_rate))
+    for key, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(bucket_col) == key, b < F.lit(_threshold_hex(rate))
+        ).otherwise(expr)
+    return df.filter(expr)
+
+
+def mixture_thresholds(
+    rates: dict[str, float], default_rate: float = 1.0
+) -> dict[str, str]:
+    """The per-bucket hex cutpoints (for oracle SQL twins / audits)."""
+    out = {k: _threshold_hex(v) for k, v in rates.items()}
+    out["__default__"] = _threshold_hex(default_rate)
+    return out

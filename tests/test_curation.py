@@ -1,0 +1,107 @@
+"""Corpus curation operators: decontamination, boilerplate removal,
+mixture resampling."""
+
+import pytest
+
+from anndb_spark.operators.curation import (
+    boilerplate_filter,
+    decontaminate,
+    mixture_sample,
+    mixture_thresholds,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from anndb_spark.session import get_spark
+
+    return get_spark()
+
+
+def test_decontaminate_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id LONG, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran"),       # shares "quick brown fox"
+            (2, "the quick red fox jumps"),     # no shared 3-gram
+            (3, "quick brown fox quick brown fox"),  # same gram twice -> 1 hit
+            (4, "xy"),                          # shorter than n
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert len(out) == 4
+    assert (out[1]["n_hits"], out[1]["contaminated"]) == (1, True)
+    assert (out[2]["n_hits"], out[2]["contaminated"]) == (0, False)
+    assert out[3]["n_hits"] == 1  # distinct grams, not occurrences
+    assert (out[4]["n_hits"], out[4]["contaminated"]) == (0, False)
+
+
+def test_boilerplate_filter_line_level(spark):
+    # the classic case: a nav line repeated across pages, sep='\n'
+    rows = [
+        (1, "home | about\nreal content one\nhome | about"),
+        (2, "home | about\nreal content two"),
+        (3, "home | about\nunique three"),
+        (4, "no boilerplate here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_filter(df, min_docs=3, sep="\n").collect()
+    }
+    assert out[1]["text_clean"] == "real content one"
+    assert (out[1]["n_units"], out[1]["n_removed"]) == (3, 2)  # both copies go
+    assert out[2]["text_clean"] == "real content two"
+    assert out[4]["text_clean"] == "no boilerplate here"
+    assert out[4]["n_removed"] == 0
+
+    # fraction threshold: 3/4 docs -> same frequent set
+    out_frac = {
+        r["doc_id"]: r
+        for r in boilerplate_filter(df, min_doc_frac=0.75, sep="\n").collect()
+    }
+    assert {k: v["text_clean"] for k, v in out_frac.items()} == {
+        k: v["text_clean"] for k, v in out.items()
+    }
+
+    with pytest.raises(ValueError):
+        boilerplate_filter(df)  # neither threshold
+    with pytest.raises(ValueError):
+        boilerplate_filter(df, min_doc_frac=0.5, min_docs=2)  # both
+
+
+def test_boilerplate_filter_preserves_order_and_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c b"), (2, "b x"), (3, "b y")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in boilerplate_filter(df, min_docs=3).collect()}
+    # only "b" is in all 3 docs; survivors keep order AND duplicates
+    assert out[1]["text_clean"] == "a a c"
+    assert out[1]["n_removed"] == 2
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    rows = [(i, f"doc {i}", "web" if i % 2 else "books") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = mixture_sample(df, {"web": 0.2, "books": 1.0}, salt="t")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts["books"] == 1000  # rate 1.0 keeps everything
+    assert 120 <= counts["web"] <= 280  # ~200 expected, hash-uniform
+    # bit-identical rerun
+    again = mixture_sample(df, {"web": 0.2, "books": 1.0}, salt="t")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # different salt draws a different subset (overwhelmingly likely)
+    other = mixture_sample(df, {"web": 0.2, "books": 1.0}, salt="u")
+    assert sorted(r["doc_id"] for r in other.collect()) != sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    th = mixture_thresholds({"web": 0.2}, default_rate=0.5)
+    assert th["web"] == "33333333" and th["__default__"] == "80000000"
