@@ -395,6 +395,38 @@ def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream: 8 h of silence
+    per user starts a new session; sessions rolled up with
+    order-independent decimal value sums."""
+    from anndb_spark.operators.temporal import sessionize
+    from anndb_spark.sources.tables import load_events
+
+    return sessionize(
+        load_events(spark, sf_dir),
+        gap_seconds=8 * 3600,
+        order_cols=["event_id"],
+        value_col="value",
+    )
+
+
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join within the event stream: every purchase
+    picks up the user's most recent click at or before it (the
+    point-in-time feature lookup)."""
+    from anndb_spark.operators.temporal import asof_join
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, on="ts", by="user_id")
+
+
 def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 50 == 0 play the
     held-out eval set; every other document is flagged if it shares
@@ -946,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": _decontaminate_documents,
         "boilerplate_filter_documents": _boilerplate_filter_documents,
         "mixture_sample_documents": _mixture_sample_documents,
+        "sessionize_events": _sessionize_events,
+        "asof_join_events": _asof_join_events,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
@@ -1531,6 +1565,48 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) % 512 AS BIGINT) AS seq_offset
             FROM documents
+        """,
+        "sessionize_events": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 28800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "asof_join_events": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.ts AS right_ts, c.value AS right_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "decontaminate_documents": """
             WITH toks AS (

@@ -1,0 +1,138 @@
+"""Temporal relational operators Spark lacks as built-ins: gap-based
+sessionization (batch twin of Structured Streaming's session windows)
+and the backward as-of join.
+
+* ``sessionize`` — split each key's event stream into sessions at
+  inactivity gaps and roll each session up.  Spec is explicit (new
+  session when the previous event is more than ``gap_seconds`` older,
+  microsecond-exact), unlike ``F.session_window`` whose window end is
+  padded by the gap; use ``F.session_window`` on the streaming path
+  where watermark-driven state eviction matters, this one for batch
+  jobs that need exact session bounds.  Scale shape: one shuffle on
+  the key for the boundary window, then the rollup — session counts
+  per key are tiny so the second exchange moves session-level rows,
+  not events.
+
+* ``asof_join`` — for every left row, the most recent right row at or
+  before it (per key): the point-in-time lookup every feature/label
+  pipeline needs (pandas ``merge_asof``, DuckDB/QuestDB ``ASOF
+  JOIN``).  Spark has no native as-of join; the naive encodings are a
+  range join (quadratic blow-up per key) or a per-key
+  ``applyInPandas`` (Python in the hot path).  This is the union
+  trick instead: tag both sides, one window over (key, time, tag)
+  carrying the last non-null right attributes forward, keep left
+  rows.  ONE shuffle on the key, all JVM, linear in rows — survives
+  any key's cardinality.  Right side must be unique per (key, time)
+  for deterministic output (pre-aggregate if not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gap(seconds: float) -> Column:
+    """A day-time interval of ``seconds`` — interval arithmetic works
+    on TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros does not)."""
+    return F.make_dt_interval(secs=F.lit(float(seconds)))
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key, session_seq, session_start, session_end, n_events[,
+    sum_value]) — a new session starts when the previous event of the
+    same key is more than ``gap_seconds`` older.  ``order_cols``
+    breaks timestamp ties deterministically (default: none — supply
+    an id column when (key, ts) is not unique)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + _gap(gap_seconds)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = df.withColumn("session_seq", F.sum(is_new).over(run))
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col is not None:
+        # decimal-summed so the result is order-independent (double
+        # addition is not associative; the oracle does the same)
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    return seq.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    prefix: str = "right_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the ``right``
+    row's attributes from the most recent right time <= its own
+    (inclusive), NULL when none (or when older than
+    ``tolerance_seconds``).  Right columns arrive renamed
+    ``prefix + name`` (including ``prefix + on``, the matched time)."""
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    rattrs = [c for c in right.columns if c not in set(by_cols) | {on}]
+    carried = [prefix + on] + [prefix + c for c in rattrs]
+
+    l2 = left.withColumn("_is_left", F.lit(1))
+    for name, src in zip(carried, [on] + rattrs):
+        l2 = l2.withColumn(
+            name, F.lit(None).cast(right.schema[src].dataType)
+        )
+    r2 = right.select(
+        *by_cols,
+        F.col(on),
+        F.col(on).alias(prefix + on),
+        *[F.col(c).alias(prefix + c) for c in rattrs],
+    ).withColumn("_is_left", F.lit(0))
+    for c in left.columns:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    u = l2.unionByName(r2.select(*l2.columns))
+    # right rows (tag 0) sort before left rows at the same time, so a
+    # same-timestamp right row is visible to the left row: inclusive,
+    # matching DuckDB ASOF (l.on >= r.on) and merge_asof defaults.
+    w = Window.partitionBy(*by_cols).orderBy(
+        F.col(on), F.col("_is_left")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = u.select(
+        *left.columns,
+        F.col("_is_left"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    ).filter(F.col("_is_left") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = F.col(prefix + on).isNotNull() & (
+            F.col(on) <= F.col(prefix + on) + _gap(tolerance_seconds)
+        )
+        filled = filled.select(
+            *left.columns,
+            F.lit(1).alias("_is_left"),
+            *[
+                F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in carried
+            ],
+        )
+    return filled.drop("_is_left")

@@ -1,0 +1,92 @@
+"""Gap sessionization and backward as-of join."""
+
+import datetime as dt
+
+import pytest
+
+from anndb_spark.operators.temporal import asof_join, sessionize
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from anndb_spark.session import get_spark
+
+    return get_spark()
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, _t(0), 1.0),
+        (1, _t(5), 2.0),   # within 10-min gap -> same session
+        (1, _t(30), 4.0),  # 25 min silence -> new session
+        (2, _t(0), 8.0),   # other key: independent numbering
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(df, gap_seconds=600, value_col="value").collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert (s11["n_events"], s11["sum_value"]) == (2, 3.0)
+    assert (s11["session_start"], s11["session_end"]) == (_t(0), _t(5))
+    assert out[(1, 2)]["n_events"] == 1
+    # an exactly-gap-wide silence does NOT split (strict >)
+    df2 = spark.createDataFrame(
+        [(1, _t(0), 1.0), (1, _t(10), 1.0)],
+        "user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    assert sessionize(df2, gap_seconds=600).count() == 1
+
+
+def test_asof_join_backward_inclusive(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _t(0), 10.0),
+            (1, _t(10), 20.0),
+            (2, _t(5), 99.0),
+        ],
+        "user_id LONG, ts TIMESTAMP, px DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _t(4), "a"),   # -> quote @0
+            (1, _t(10), "b"),  # same-instant quote matches (inclusive)
+            (1, _t(15), "c"),  # -> quote @10
+            (2, _t(0), "d"),   # before any quote -> NULL
+            (3, _t(9), "e"),   # key with no quotes -> NULL
+        ],
+        "user_id LONG, ts TIMESTAMP, tag STRING",
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(trades, quotes, on="ts", by="user_id").collect()
+    }
+    assert len(out) == 5 and set(trades.columns) < set(out["a"].asDict())
+    assert (out["a"]["right_px"], out["a"]["right_ts"]) == (10.0, _t(0))
+    assert out["b"]["right_px"] == 20.0
+    assert out["c"]["right_px"] == 20.0
+    assert out["d"]["right_px"] is None and out["d"]["right_ts"] is None
+    assert out["e"]["right_px"] is None
+
+
+def test_asof_join_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [(1, _t(0), 10.0)], "user_id LONG, ts TIMESTAMP, px DOUBLE"
+    )
+    trades = spark.createDataFrame(
+        [(1, _t(1), "near"), (1, _t(30), "stale")],
+        "user_id LONG, ts TIMESTAMP, tag STRING",
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            trades, quotes, on="ts", by="user_id", tolerance_seconds=300
+        ).collect()
+    }
+    assert out["near"]["right_px"] == 10.0
+    assert out["stale"]["right_px"] is None  # match exists but too old
