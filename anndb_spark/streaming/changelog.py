@@ -301,6 +301,49 @@ def windowed_event_counts(
     )
 
 
+def session_rollups(
+    events: DataFrame,
+    gap: str = "8 hours",
+    watermark: str = "1 day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.sessionize``: Spark's
+    native ``session_window`` merges a key's events separated by less
+    than ``gap``, the watermark bounds state (a session older than the
+    watermark can never reopen, so its state is evicted) — the shape
+    that keeps per-key state finite on an unbounded stream.  Works on
+    batch DataFrames too (groupBy on the same expression).
+
+    Boundary semantics differ from the batch operator by exactly the
+    equality case: ``session_window`` starts a new session at a gap
+    ``>= gap`` while ``sessionize`` splits only on ``> gap``; on
+    continuous (microsecond) event time the two agree.  ``session_end``
+    is the last event's timestamp (``w.end`` pads the gap on top)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_maintain_ivfpq(
     spark: SparkSession,
     changelog_dir: str,
