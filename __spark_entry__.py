@@ -395,6 +395,41 @@ def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _curate_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation pipeline as ONE composed lazy
+    plan: quality filter -> DF-threshold boilerplate removal -> exact
+    dedup on the cleaned text -> deterministic train/val/test split.
+    Every stage is an operator with its own hash-green twin; this
+    query proves they compose (each stage's statistics — the DF
+    threshold, the dedup hashes — are computed over the PREVIOUS
+    stage's survivors, which is what a real pipeline does)."""
+    from anndb_spark.operators.curation import boilerplate_filter
+    from anndb_spark.operators.dedup import dedup_exact
+    from anndb_spark.operators.sampling import hash_split
+    from anndb_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_score(docs).filter(F.col("quality") >= 0.55)
+    kept = docs.join(q.select(F.col("id").alias("doc_id")), "doc_id")
+    clean = boilerplate_filter(kept, min_doc_frac=0.8).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    dd = dedup_exact(clean)
+    survivors = clean.join(
+        dd.filter(F.col("id") == F.col("keeper_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    return hash_split(
+        survivors, [0.9, 0.05, 0.05], ["train", "val", "test"], salt="curate"
+    ).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        "split",
+    )
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream: 8 h of silence
     per user starts a new session; sessions rolled up with
@@ -980,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": _mixture_sample_documents,
         "sessionize_events": _sessionize_events,
         "asof_join_events": _asof_join_events,
+        "curate_pipeline_documents": _curate_pipeline_documents,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,
@@ -1565,6 +1601,66 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) % 512 AS BIGINT) AS seq_offset
             FROM documents
+        """,
+        "curate_pipeline_documents": """
+            WITH w0 AS (
+                SELECT doc_id, text, string_split(text, ' ') ws
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                        + CAST(len(list_distinct(ws)) AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE)
+                        + least(CAST(len(list_filter(ws, x -> x IN
+                              ('the','a','of','and','to','is','in')))
+                                AS DOUBLE)
+                            / CAST(len(ws) AS DOUBLE) * 5.0, 1.0)) / 3.0
+                           AS quality
+                FROM w0
+            ),
+            kept AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN q USING (doc_id) WHERE q.quality >= 0.55
+            ),
+            toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM kept
+            ),
+            units AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS u
+                FROM kept
+            ),
+            dfreq AS (
+                SELECT u, count(DISTINCT doc_id) AS df FROM units GROUP BY u
+            ),
+            flist AS (
+                SELECT coalesce(list(u), []) AS fl FROM dfreq
+                WHERE df >= ceil(0.8 * (SELECT count(DISTINCT doc_id)
+                                        FROM kept))
+            ),
+            clean AS (
+                SELECT doc_id,
+                       array_to_string(list_filter(w,
+                            x -> NOT list_contains(fl, x)), ' ') AS text
+                FROM toks, flist
+            ),
+            dd AS (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                FROM clean
+            )
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CASE
+                       WHEN substring(md5('curate:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                           THEN 'train'
+                       WHEN substring(md5('curate:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333'
+                           THEN 'val'
+                       ELSE 'test'
+                   END AS split
+            FROM dd WHERE doc_id = keeper
         """,
         "sessionize_events": """
             WITH e AS (
