@@ -395,6 +395,20 @@ def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing document packing into 512-token bins per
+    source bucket.  Greedy packing is order-dependent state, not
+    SQL-expressible — no oracle; invariants (bin totals <= budget,
+    cumulative offsets, determinism) are pytest-covered in
+    tests/test_packing.py, and the concat-then-split layout twin
+    (token_stream_offsets_documents) is hash-checked."""
+    from anndb_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), seq_len=512
+    )
+
+
 def _curate_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus curation pipeline as ONE composed lazy
     plan: quality filter -> DF-threshold boilerplate removal -> exact
@@ -1016,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "asof_join_events": _asof_join_events,
         "curate_pipeline_documents": _curate_pipeline_documents,
+        "pack_sequences_documents": _pack_sequences_documents,
         "size_info_embeddings": _size_info_embeddings,
         "sq8_codes_embeddings": _sq8_codes_embeddings,
         "pq_adc_embeddings_top10": _pq_adc_embeddings_top10,

@@ -1,0 +1,106 @@
+"""Sequence packing: assign whole documents to fixed-token-budget
+bins (best-fit-decreasing) so a pretraining loader can build
+``seq_len`` sequences without splitting documents.
+
+This is the document-integrity packing flavor; the concatenate-then-
+split layout (documents split across sequence boundaries) is
+``text.token_stream_offsets``, which has an exact SQL twin.  Greedy
+bin packing is inherently sequential, so it runs per bucket inside
+``applyInPandas`` — Arrow-batched, deterministic (sort by descending
+token count, id as tie-break), with buckets packing in parallel.
+
+Scale shape: one shuffle on the bucket key; per-bucket work is
+O(n log n) comparisons plus list inserts.  A bucket must fit one
+task's memory — ``sub_buckets > 1`` salts each bucket into
+deterministic sub-buckets (id-hash), bounding group size at the cost
+of slightly worse packing (bins never span sub-buckets).  Documents
+longer than the budget get a bin of their own and ``oversize=true``
+(the loader truncates or splits those explicitly).
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, insort
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OUT_SCHEMA = (
+    "bucket STRING, id STRING, n_tokens BIGINT, bin_id BIGINT, "
+    "bin_offset BIGINT, oversize BOOLEAN"
+)
+
+
+def _pack_one(pdf: pd.DataFrame, seq_len: int) -> pd.DataFrame:
+    pdf = pdf.sort_values(
+        ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
+    )
+    # open bins as a sorted list of [remaining, bin_id]; best-fit =
+    # smallest remaining that still fits (leftmost >= need)
+    open_bins: list[list[int]] = []
+    fills: dict[int, int] = {}
+    next_bin = 0
+    bin_ids, offsets, oversized = [], [], []
+    for n in pdf["n_tokens"].to_list():
+        n = int(n)
+        over = n > seq_len
+        if over:
+            b = next_bin
+            next_bin += 1
+            fills[b] = n
+        else:
+            i = bisect_left(open_bins, [n])
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                if rem - n > 0:
+                    insort(open_bins, [rem - n, b])
+            else:
+                b = next_bin
+                next_bin += 1
+                fills[b] = 0
+                if seq_len - n > 0:
+                    insort(open_bins, [seq_len - n, b])
+        bin_ids.append(b)
+        offsets.append(fills.get(b, 0) if not over else 0)
+        if not over:
+            fills[b] = fills.get(b, 0) + n
+        oversized.append(over)
+    out = pdf.copy()
+    out["bin_id"] = pd.array(bin_ids, dtype="int64")
+    out["bin_offset"] = pd.array(offsets, dtype="int64")
+    out["oversize"] = oversized
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str | None = "source",
+    sub_buckets: int = 1,
+) -> DataFrame:
+    """(bucket, id, n_tokens, bin_id, bin_offset, oversize): every
+    document assigned to a bin whose token total never exceeds
+    ``seq_len`` (except single oversize documents).  Bin ids are
+    dense per bucket; ``bin_offset`` is the document's start inside
+    its bin in pack order."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    bucket = (
+        F.col(bucket_col).cast("string") if bucket_col else F.lit("all")
+    )
+    if sub_buckets > 1:
+        bucket = F.concat_ws(
+            "#", bucket, (F.xxhash64(F.col(id_col)) % sub_buckets).cast("string")
+        )
+    base = df.select(
+        bucket.alias("bucket"),
+        F.col(id_col).cast("string").alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("bucket").applyInPandas(
+        lambda pdf: _pack_one(pdf, seq_len), _OUT_SCHEMA
+    )

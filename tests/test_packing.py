@@ -1,0 +1,86 @@
+"""Best-fit-decreasing sequence packing invariants."""
+
+import pytest
+
+from anndb_spark.operators.packing import pack_sequences
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from anndb_spark.session import get_spark
+
+    return get_spark()
+
+
+def _check_invariants(rows, seq_len):
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r["bucket"], r["bin_id"])].append(r)
+    for (_, _), docs in bins.items():
+        total = sum(d["n_tokens"] for d in docs)
+        if any(d["oversize"] for d in docs):
+            assert len(docs) == 1  # oversize docs pack alone
+        else:
+            assert total <= seq_len
+        # offsets are the cumulative fill in pack order
+        assert sorted(d["bin_offset"] for d in docs) == [
+            x for x in _prefix_sums(d["n_tokens"] for d in sorted(
+                docs, key=lambda d: d["bin_offset"]))
+        ]
+
+
+def _prefix_sums(ns):
+    acc = 0
+    for n in ns:
+        yield acc
+        acc += n
+
+
+def test_pack_documents_invariants(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pack_sequences(docs, seq_len=128)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc exactly once
+    assert len({r["id"] for r in rows}) == len(rows)
+    _check_invariants(rows, 128)
+    # deterministic rerun
+    again = pack_sequences(docs, seq_len=128).collect()
+    key = lambda r: (r["bucket"], r["id"])  # noqa: E731
+    assert sorted(map(lambda r: r.asDict(), rows), key=lambda d: (d["bucket"], d["id"])) == sorted(
+        map(lambda r: r.asDict(), again), key=lambda d: (d["bucket"], d["id"])
+    )
+
+
+def test_pack_oversize_and_exact_fit(spark):
+    rows = [
+        ("a", "w " * 9, "s"),    # 10 tokens ('w'*9 + trailing '')
+        ("b", "x y z", "s"),     # 3
+        ("c", "p q", "s"),       # 2
+        ("d", " ".join(["t"] * 20), "s"),  # 20 > seq_len: oversize
+    ]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING, source STRING")
+    out = {r["id"]: r for r in pack_sequences(df, seq_len=10).collect()}
+    assert out["d"]["oversize"] and out["d"]["n_tokens"] == 20
+    # 'a' is 10 tokens -> exactly fills a bin alone
+    assert out["a"]["n_tokens"] == 10 and not out["a"]["oversize"]
+    assert out["b"]["bin_id"] == out["c"]["bin_id"]  # 3+2 share a bin
+    assert {out["a"]["bin_id"], out["b"]["bin_id"], out["d"]["bin_id"]} == {0, 1, 2} - set()
+    _check_invariants(list(out.values()), 10)
+
+
+def test_pack_sub_buckets_bound_group_size(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pack_sequences(docs, seq_len=128, sub_buckets=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    _check_invariants(rows, 128)
+    assert len({r["bucket"] for r in rows}) > len(
+        {r["bucket"] for r in pack_sequences(docs, seq_len=128).collect()}
+    )
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
