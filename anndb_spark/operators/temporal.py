@@ -85,12 +85,17 @@ def asof_join(
     by: str | list[str] | None = None,
     prefix: str = "right_",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gains the ``right``
-    row's attributes from the most recent right time <= its own
-    (inclusive), NULL when none (or when older than
-    ``tolerance_seconds``).  Right columns arrive renamed
-    ``prefix + name`` (including ``prefix + on``, the matched time)."""
+    """As-of join: every ``left`` row gains the ``right`` row's
+    attributes from the most recent right time <= its own
+    (``direction='backward'``, the default) or the earliest right
+    time >= its own (``'forward'``); inclusive at equality, NULL when
+    no match (or when farther than ``tolerance_seconds``).  Right
+    columns arrive renamed ``prefix + name`` (including
+    ``prefix + on``, the matched time)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     rattrs = [c for c in right.columns if c not in set(by_cols) | {on}]
     carried = [prefix + on] + [prefix + c for c in rattrs]
@@ -114,8 +119,10 @@ def asof_join(
     # right rows (tag 0) sort before left rows at the same time, so a
     # same-timestamp right row is visible to the left row: inclusive,
     # matching DuckDB ASOF (l.on >= r.on) and merge_asof defaults.
+    # forward = the same walk over descending time.
+    time_order = F.col(on) if direction == "backward" else F.col(on).desc()
     w = Window.partitionBy(*by_cols).orderBy(
-        F.col(on), F.col("_is_left")
+        time_order, F.col("_is_left")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled = u.select(
         *left.columns,
@@ -124,9 +131,11 @@ def asof_join(
     ).filter(F.col("_is_left") == 1)
 
     if tolerance_seconds is not None:
-        in_tol = F.col(prefix + on).isNotNull() & (
-            F.col(on) <= F.col(prefix + on) + _gap(tolerance_seconds)
-        )
+        if direction == "backward":
+            near = F.col(on) <= F.col(prefix + on) + _gap(tolerance_seconds)
+        else:
+            near = F.col(prefix + on) <= F.col(on) + _gap(tolerance_seconds)
+        in_tol = F.col(prefix + on).isNotNull() & near
         filled = filled.select(
             *left.columns,
             F.lit(1).alias("_is_left"),

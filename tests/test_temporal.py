@@ -74,6 +74,57 @@ def test_asof_join_backward_inclusive(spark):
     assert out["e"]["right_px"] is None
 
 
+def test_asof_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _t(10), 20.0),
+            (1, _t(20), 30.0),
+        ],
+        "user_id LONG, ts TIMESTAMP, px DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _t(5), "a"),   # -> next quote @10
+            (1, _t(10), "b"),  # same instant matches (inclusive)
+            (1, _t(15), "c"),  # -> quote @20
+            (1, _t(25), "d"),  # nothing after -> NULL
+        ],
+        "user_id LONG, ts TIMESTAMP, tag STRING",
+    )
+    out = {
+        r["tag"]: r
+        for r in asof_join(
+            trades, quotes, on="ts", by="user_id", direction="forward"
+        ).collect()
+    }
+    assert out["a"]["right_px"] == 20.0
+    assert out["b"]["right_px"] == 20.0
+    assert out["c"]["right_px"] == 30.0
+    assert out["d"]["right_px"] is None
+    # forward tolerance: matches for a and c are 5 min (300 s) ahead
+    tol = {
+        r["tag"]: r
+        for r in asof_join(
+            trades, quotes, on="ts", by="user_id",
+            direction="forward", tolerance_seconds=360,
+        ).collect()
+    }
+    assert tol["a"]["right_px"] == 20.0 and tol["c"]["right_px"] == 30.0
+    tight = {
+        r["tag"]: r
+        for r in asof_join(
+            trades, quotes, on="ts", by="user_id",
+            direction="forward", tolerance_seconds=60,
+        ).collect()
+    }
+    assert tight["b"]["right_px"] == 20.0  # 0 s away survives
+    assert tight["a"]["right_px"] is None  # 300 s away > 60 s
+    assert tight["c"]["right_px"] is None
+
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, direction="nearest")
+
+
 def test_asof_join_tolerance(spark):
     quotes = spark.createDataFrame(
         [(1, _t(0), 10.0)], "user_id LONG, ts TIMESTAMP, px DOUBLE"
