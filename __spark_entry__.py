@@ -409,6 +409,22 @@ def _pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: every click picks up the user's NEXT purchase at
+    or after it — the conversion-labeling lookup (time-to-event)."""
+    from anndb_spark.operators.temporal import asof_join
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+
+
 def _curate_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus curation pipeline as ONE composed lazy
     plan: quality filter -> DF-threshold boilerplate removal -> exact
@@ -1029,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": _mixture_sample_documents,
         "sessionize_events": _sessionize_events,
         "asof_join_events": _asof_join_events,
+        "asof_forward_events": _asof_forward_events,
         "curate_pipeline_documents": _curate_pipeline_documents,
         "pack_sequences_documents": _pack_sequences_documents,
         "size_info_embeddings": _size_info_embeddings,
@@ -1718,6 +1735,21 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "asof_forward_events": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   p.ts AS right_ts, p.value AS right_value
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
         "decontaminate_documents": """
             WITH toks AS (
