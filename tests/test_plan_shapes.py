@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: pin the scale properties PLANS.md
+claims (shuffle counts, pushed filters, broadcast sides) so a future
+refactor can't silently turn a one-shuffle operator into a three-
+shuffle one."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from anndb_spark.session import get_spark
+
+    return get_spark()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcasts are fine and wanted);
+    # formatted output prints each node in the tree AND a detail
+    # section, so count only the "(N) Exchange" detail headers
+    import re
+
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", line.strip())
+        and "Broadcast" not in line
+        and "Reused" not in line
+    )
+
+
+def test_asof_join_one_shuffle_pushed_filters(spark):
+    from anndb_spark.operators.temporal import asof_join
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(asof_join(left, right, on="ts", by="user_id"))
+    assert _exchanges(plan) == 1  # the union trick's single key shuffle
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,click)" in plan
+
+
+def test_sampling_ops_are_shuffle_free(spark):
+    from anndb_spark.operators.curation import mixture_sample
+    from anndb_spark.operators.sampling import hash_sample, hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert _exchanges(_plan(hash_sample(docs, 0.2, salt="t"))) == 0
+    assert _exchanges(_plan(hash_split(docs, [0.8, 0.2], ["a", "b"]))) == 0
+    assert _exchanges(_plan(mixture_sample(docs, {"src0": 0.5}))) == 0
+
+
+def test_token_stream_offsets_one_window_shuffle(spark):
+    from anndb_spark.operators.text import token_stream_offsets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(token_stream_offsets(docs, seq_len=512))
+    assert _exchanges(plan) == 1  # per-bucket cumulative window only
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    from anndb_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(decontaminate(corpus, bench, n=4))
+    assert "BroadcastHashJoin" in plan  # gram match never shuffles the corpus
+    # the only shuffles: per-doc hit count agg + the final id left join
+    assert _exchanges(plan) <= 3
+
+
+def test_knn_exact_broadcasts_queries(spark):
+    from anndb_spark.sources.tables import lineitem_vec
+
+    vecs = lineitem_vec(spark, SF)
+    from anndb_spark.operators.knn import knn_exact
+
+    qdf = spark.createDataFrame(
+        [("q0", [1.0] * 8)], "query_id STRING, query_vector ARRAY<DOUBLE>"
+    )
+    plan = _plan(knn_exact(vecs, qdf, k=5, space="euclidean"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
