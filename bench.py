@@ -376,6 +376,13 @@ def main():
         lambda: entry._dedup_minhash_pairs(spark, sf_dir).collect(),
     )
 
+    # q12b: the composed curation pipeline (quality -> boilerplate ->
+    # exact dedup -> split) as one lazy plan over documents
+    timed(
+        "curate_pipeline",
+        lambda: entry._curate_pipeline_documents(spark, sf_dir).collect(),
+    )
+
     # q13: the reference ann-benchmark protocol at fashion-mnist scale
     # (BASELINE.md contract): 60k×784 euclidean, build M=16/efC=500,
     # search ef=20/k=10, recall@10 vs exact ground truth.  One build
