@@ -38,6 +38,67 @@ pair_st = st.lists(
 )
 
 
+def _model_sessions(rows, gap_s):
+    """Pure-python sessionize model: rows = [(key, ts, value)]."""
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for k, ts, v in rows:
+        per_key[k].append((ts, v))
+    out = {}
+    for k, evs in per_key.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        for ts, v in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                seq += 1
+                out[(k, seq)] = [ts, ts, 0, 0.0]
+            s = out[(k, seq)]
+            s[1] = ts
+            s[2] += 1
+            s[3] += v
+            prev = ts
+    return {
+        k: (v[0], v[1], v[2], round(v[3], 2)) for k, v in out.items()
+    }
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    events=pair_st,
+    gap_s=st.sampled_from([30, 120, 600]),
+)
+def test_sessionize_matches_model(spark, events, gap_s):
+    from anndb_spark.operators.temporal import sessionize
+
+    rows = [
+        (k, _BASE + dt.timedelta(seconds=s), round(float(i) * 0.25, 2))
+        for i, (k, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k LONG, ts TIMESTAMP, value DOUBLE")
+    got = {
+        (r["k"], r["session_seq"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            round(r["sum_value"], 2),
+        )
+        for r in sessionize(
+            df, gap_seconds=gap_s, key_col="k", value_col="value"
+        ).collect()
+    }
+    assert got == _model_sessions(rows, gap_s)
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=10,
