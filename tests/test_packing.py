@@ -72,6 +72,40 @@ def test_pack_oversize_and_exact_fit(spark):
     _check_invariants(list(out.values()), 10)
 
 
+def test_pack_random_corpora_invariants(spark):
+    """Randomized doc lengths (hypothesis): invariants hold for every
+    drawn corpus, including all-oversize and all-tiny extremes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        lens=st.lists(st.integers(1, 40), min_size=1, max_size=40),
+        seq_len=st.sampled_from([8, 16, 64]),
+    )
+    def run(lens, seq_len):
+        rows = [
+            (f"d{i:03d}", " ".join(["w"] * n), "s") for i, n in enumerate(lens)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id STRING, text STRING, source STRING"
+        )
+        out = pack_sequences(df, seq_len=seq_len).collect()
+        assert len(out) == len(lens)
+        _check_invariants(out, seq_len)
+        got = {r["id"]: r["n_tokens"] for r in out}
+        assert got == {f"d{i:03d}": n for i, n in enumerate(lens)}
+
+    run()
+
+
 def test_pack_sub_buckets_bound_group_size(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = pack_sequences(docs, seq_len=128, sub_buckets=4)
