@@ -515,6 +515,14 @@ def _boilerplate_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _mixture_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup per (source, lang): docs, tokens, and
+    token share — the input to mixture planning."""
+    from anndb_spark.operators.curation import mixture_report
+
+    return mixture_report(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture resampling: src0 kept whole, src1 halved, src2
     quartered, every other source downweighted to 10%."""
@@ -1043,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": _decontaminate_documents,
         "boilerplate_filter_documents": _boilerplate_filter_documents,
         "mixture_sample_documents": _mixture_sample_documents,
+        "mixture_report_documents": _mixture_report_documents,
         "sessionize_events": _sessionize_events,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
@@ -1799,6 +1808,19 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_filter(w,
                         x -> NOT list_contains(fl, x)), ' ') AS text_clean
             FROM toks, flist
+        """,
+        "mixture_report_documents": """
+            WITH agg AS (
+                SELECT source, lang,
+                       count(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source, lang
+            )
+            SELECT source, lang, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE)
+                       / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+            FROM agg
         """,
         "mixture_sample_documents": """
             SELECT doc_id, lang, source FROM documents

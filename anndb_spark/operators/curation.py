@@ -151,6 +151,37 @@ def mixture_sample(
     return df.filter(expr)
 
 
+def mixture_report(
+    df: DataFrame,
+    bucket_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket corpus composition: documents, tokens, and each
+    bucket's share of all tokens — the planning artifact that feeds
+    ``mixture_sample`` rates.  One groupBy plus a whole-frame window
+    over the (tiny) bucket-level rollup; the window moves bucket rows,
+    never documents."""
+    from pyspark.sql import Window
+
+    buckets = bucket_cols or ["source", "lang"]
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    agg = df.groupBy(*buckets).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        *buckets,
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(total).cast("double")
+        ).alias("token_share"),
+    )
+
+
 def mixture_thresholds(
     rates: dict[str, float], default_rate: float = 1.0
 ) -> dict[str, str]:

@@ -83,6 +83,24 @@ def test_boilerplate_filter_preserves_order_and_dups(spark):
     assert out[1]["n_removed"] == 2
 
 
+def test_mixture_report_shares(spark):
+    from anndb_spark.operators.curation import mixture_report
+
+    rows = [
+        (1, "a b c", "web", "en"),       # 3 tokens
+        (2, "d e", "web", "en"),         # 2
+        (3, "f g h i j", "books", "en"), # 5
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, lang STRING"
+    )
+    out = {r["source"]: r for r in mixture_report(df).collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 5
+    assert out["books"]["n_tokens"] == 5
+    assert abs(out["web"]["token_share"] - 0.5) < 1e-12
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-12
+
+
 def test_mixture_sample_rates_and_determinism(spark):
     rows = [(i, f"doc {i}", "web" if i % 2 else "books") for i in range(2000)]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
