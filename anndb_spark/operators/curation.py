@@ -66,14 +66,14 @@ def decontaminate(
     n_hits counts the distinct word n-grams it shares with ANY
     benchmark document.  Callers drop ``contaminated`` rows (or the
     whole document set a hit belongs to) before training."""
-    toks = lambda df: F.split(F.col(text_col), " ")  # noqa: E731
+    toks = F.split(F.col(text_col), " ")
     bench_grams = (
-        benchmark.select(F.explode(_word_ngrams(toks(benchmark), n)).alias("g"))
+        benchmark.select(F.explode(_word_ngrams(toks, n)).alias("g"))
         .distinct()
     )
     corpus_grams = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(_word_ngrams(toks(corpus), n))).alias("g"),
+        F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("g"),
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "g")
