@@ -781,7 +781,14 @@ def test_local_serve_matches_task_path(spark, tmp_path):
             spark, path, queries, 6, ef=60, config=cfg, strategy=strategy,
             cache_token="t-local", local_mode="force",
         ).collect()
-        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), strategy
+        # ids/ranks must be identical; distances only to float32 GEMM
+        # reproducibility (driver BLAS may pick a different sgemm kernel
+        # than the OMP_NUM_THREADS=1 Spark worker -> ~1 ulp accumulation
+        # differences on the brute path).
+        sa, sb = sorted(map(tuple, a)), sorted(map(tuple, b))
+        assert [r[:3] for r in sa] == [r[:3] for r in sb], strategy
+        for ra, rb in zip(sa, sb):
+            assert ra[3] == pytest.approx(rb[3], rel=1e-5), strategy
         assert len(b) == 180
 
     # the local result is a real DataFrame: column ops compose on it
