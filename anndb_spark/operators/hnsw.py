@@ -1560,13 +1560,16 @@ class HnswGraph:
         )
         if brute_threshold is None:
             if ck_ok:
-                # compiled beam candidate search: a GEMM candidate row
-                # costs O(prefix · dim) while the native beam visits
-                # ~efC·cap rows regardless of prefix, so the crossover
-                # is prefix ≈ efC·cap — dimension-independent.  MUST
-                # not depend on `workers` (the workers>1 build is
+                # no GEMM regime at all: the native beam handles every
+                # post-bootstrap wave in-process.  The GEMM regime's
+                # exact candidates buy no recall over beams at these
+                # prefixes (measured equal at ef=20), while its
+                # per-wave fork-pool round trips cost ~0.45 s each —
+                # 4.3 s of a 6.3 s 15k/784 build (measured; removing
+                # it: 2,400 → 5,250 inserts/s, recall unchanged).
+                # MUST not depend on `workers` (the workers>1 build is
                 # asserted bit-identical to serial).
-                brute_threshold = max(4 * config.ef_construction, 2_000)
+                brute_threshold = 0
             elif can_fork:
                 # with a fork pool the GEMM path parallelizes perfectly
                 # (BLAS block per slice + per-row argpartition across
