@@ -994,6 +994,27 @@ def _ann_routed_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curves.orderBy("nprobe")
 
 
+def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream: users who viewed, then
+    clicked strictly after their first view, then purchased strictly
+    after that click — per-stage reach counts."""
+    from anndb_spark.operators.temporal import funnel
+    from anndb_spark.sources.tables import load_events
+
+    return funnel(load_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms: top-3 by in-doc frequency,
+    rare-first (corpus df ascending) then lexicographic on ties —
+    the integer tf-idf ordering (bit-reproducible, no floats)."""
+    from anndb_spark.operators.text import top_terms
+
+    return top_terms(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, min_len=4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: single-query exact kNN over lineitem_vec at sf0.001
     (TakeOrderedAndProject partial+final top-k)."""
@@ -1053,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": _mixture_sample_documents,
         "mixture_report_documents": _mixture_report_documents,
         "sessionize_events": _sessionize_events,
+        "funnel_events": _funnel_events,
+        "top_terms_documents": _top_terms_documents,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
         "curate_pipeline_documents": _curate_pipeline_documents,
@@ -1702,6 +1725,56 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'test'
                    END AS split
             FROM dd WHERE doc_id = keeper
+        """,
+        "funnel_events": """
+            WITH s1 AS (
+                SELECT user_id AS k, min(ts) AS rt FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id AS k, min(e.ts) AS rt FROM events e
+                JOIN s1 ON e.user_id = s1.k
+                WHERE e.event_type = 'click' AND e.ts > s1.rt
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id AS k, min(e.ts) AS rt FROM events e
+                JOIN s2 ON e.user_id = s2.k
+                WHERE e.event_type = 'purchase' AND e.ts > s2.rt
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INTEGER) AS step, 'view' AS stage,
+                   count(*) AS n_keys FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3
+        """,
+        "top_terms_documents": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            ft AS (SELECT * FROM toks WHERE length(term) >= 4),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM ft GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ),
+            ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+                       ) AS rank
+                FROM tf JOIN dfreq USING (term)
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+                   CAST(tf AS BIGINT) AS tf, df
+            FROM ranked WHERE rank <= 3
         """,
         "sessionize_events": """
             WITH e AS (

@@ -145,3 +145,55 @@ def asof_join(
             ],
         )
     return filled.drop("_is_left")
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many keys reached each stage of
+    ``stages`` IN ORDER (each stage's event strictly after the
+    previous stage's earliest qualifying event).  Returns
+    (step, stage, n_keys) with step 1-based.
+
+    The standard relational encoding: stage 1 is a grouped min(ts);
+    stage k is a grouped min(ts) over events joined to the stage
+    k-1 table on the key with ts > prev stage's ts.  Scale shape:
+    each stage is one filtered scan + one equi-join on the key + one
+    partial/final min — the join's build side is stage k-1's
+    per-key row (monotonically shrinking, broadcast-able under AQE),
+    the probe side is the filtered event scan (predicate pushed to
+    parquet).  No windows over the full stream, no per-key state.
+    """
+    if len(stages) < 1:
+        raise ValueError("need at least one stage")
+    out = []
+    prev = None  # (key, reach_ts) of the previous stage
+    for step, stage in enumerate(stages, start=1):
+        ev = events.filter(F.col(type_col) == stage).select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_t")
+        )
+        if prev is None:
+            cur = ev.groupBy("_k").agg(F.min("_t").alias("_rt"))
+        else:
+            cur = (
+                ev.join(prev, on="_k")
+                .filter(F.col("_t") > F.col("_rt"))
+                .groupBy("_k")
+                .agg(F.min("_t").alias("_rt"))
+            )
+        out.append(
+            cur.agg(
+                F.lit(step).cast("int").alias("step"),
+                F.lit(stage).alias("stage"),
+                F.count("*").alias("n_keys"),
+            )
+        )
+        prev = cur
+    res = out[0]
+    for d in out[1:]:
+        res = res.unionByName(d)
+    return res

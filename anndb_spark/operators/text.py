@@ -8,7 +8,7 @@ row loop) and kept portable so each query has an exact SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -239,4 +239,49 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.size(_tokens(t)).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("bpe_tokens"),
         (F.length(t).cast("double") / F.lit(4.0)).alias("est_tokens_chars4"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 3,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document characteristic terms: the ``k`` terms of length
+    >= ``min_len`` with the highest in-document frequency, rare-first
+    on ties (ascending corpus document frequency — the integer
+    tf-idf ordering, no float scores so results are reproducible
+    bit-for-bit across engines), then lexicographic.  Returns
+    (id, rank, term, tf, df).
+
+    Scale shape: explode -> two hash aggregations (per-doc tf, corpus
+    df) + one equi-join on the term, then a per-doc top-k window.
+    The df table is |vocabulary| rows (zipf-small vs the corpus) and
+    broadcast-able; the window's partial TopK (WindowGroupLimit)
+    prunes each map task to k rows per document before the shuffle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = tf.join(dfreq, on="term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "df",
+        )
     )

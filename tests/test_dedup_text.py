@@ -406,3 +406,23 @@ def test_token_stream_offsets_layout(spark):
     assert [out[k]["seq_index"] for k in ("a1", "a2", "a3")] == [0, 0, 1]
     assert [out[k]["seq_offset"] for k in ("a1", "a2", "a3")] == [0, 3, 1]
     assert (out["b1"]["stream_offset"], out["b1"]["bucket"]) == (0, "books")
+
+
+def test_top_terms_ranking_and_ties(spark):
+    from anndb_spark.operators.text import top_terms
+
+    rows = [
+        # doc 1: "zebra" tf=2 wins; "apple"/"mango" tie at tf=1 ->
+        # rarer term first (mango df=1 < apple df=2), then lexicographic
+        (1, "zebra zebra apple mango the the"),
+        (2, "apple apple banana cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = top_terms(df, k=3, min_len=4)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out.collect()}
+    assert got[(1, 1)] == ("zebra", 2, 1)
+    assert got[(1, 2)] == ("mango", 1, 1)   # df=1 beats apple's df=2
+    assert got[(1, 3)] == ("apple", 1, 2)
+    assert got[(2, 1)] == ("apple", 2, 2)
+    # short tokens ("the") never appear
+    assert all(len(t) >= 4 for t, _, _ in got.values())

@@ -141,3 +141,38 @@ def test_asof_join_tolerance(spark):
     }
     assert out["near"]["right_px"] == 10.0
     assert out["stale"]["right_px"] is None  # match exists but too old
+
+
+def test_funnel_ordered_stages(spark):
+    from anndb_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "purchase"),
+        # user 2: clicked BEFORE first view -> stops at stage 1
+        (2, _t(1), "view"), (2, _t(0), "click"),
+        # user 3: view+click, purchase same second as the click
+        # (strictly-after) -> stops at stage 2
+        (3, _t(0), "view"), (3, _t(1), "click"), (3, _t(1), "purchase"),
+        # user 4: never viewed -> not in the funnel at all
+        (4, _t(0), "click"), (4, _t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_type STRING")
+    out = {r["stage"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert [out[s]["step"] for s in ("view", "click", "purchase")] == [1, 2, 3]
+    assert out["view"]["n_keys"] == 3      # users 1, 2, 3
+    assert out["click"]["n_keys"] == 2     # users 1, 3 (user 2 out of order)
+    assert out["purchase"]["n_keys"] == 1  # user 1 only
+
+
+def test_funnel_counts_never_increase(spark):
+    from anndb_spark.operators.temporal import funnel
+    from anndb_spark.sources.tables import load_events
+
+    out = funnel(
+        load_events(spark, "/root/testdata/sf0.001"),
+        ["view", "click", "purchase"],
+    ).orderBy("step").collect()
+    counts = [r["n_keys"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0
