@@ -1560,16 +1560,18 @@ class HnswGraph:
         )
         if brute_threshold is None:
             if ck_ok:
-                # no GEMM regime at all: the native beam handles every
-                # post-bootstrap wave in-process.  The GEMM regime's
-                # exact candidates buy no recall over beams at these
-                # prefixes (measured equal at ef=20), while its
-                # per-wave fork-pool round trips cost ~0.45 s each —
-                # 4.3 s of a 6.3 s 15k/784 build (measured; removing
-                # it: 2,400 → 5,250 inserts/s, recall unchanged).
-                # MUST not depend on `workers` (the workers>1 build is
-                # asserted bit-identical to serial).
-                brute_threshold = 0
+                # keep the exact-GEMM prefix: it seeds a well-formed
+                # core graph that every later beam navigates cheaply —
+                # on a noisy 784-d corpus a beam-built prefix degrades
+                # ALL downstream walks (measured: 60k single-graph
+                # build 23 s → 205 s with no prefix).  But run the
+                # prefix IN-PROCESS (threaded BLAS + native
+                # selection), never through the fork pool: the pool's
+                # per-wave round trips cost ~0.45 s each — 4.3 s of a
+                # 6.3 s 15k/784 build (measured).  MUST not depend on
+                # `workers` (the workers>1 build is asserted
+                # bit-identical to serial).
+                brute_threshold = max(4 * config.ef_construction, 2_000)
             elif can_fork:
                 # with a fork pool the GEMM path parallelizes perfectly
                 # (BLAS block per slice + per-row argpartition across
@@ -1798,6 +1800,7 @@ class HnswGraph:
                 ids = list(range(i, j))
                 if (
                     can_fork
+                    and not ck_ok  # ck builds: short prefix, in-process
                     and not config.extend_candidates
                     and len(ids) >= 8 * workers
                 ):
