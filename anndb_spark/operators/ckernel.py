@@ -880,6 +880,36 @@ int hnsw_descend(
     }
     return 0;
 }
+
+/* Batched entry seeding: per query, argmin distance over a packed
+   seed matrix (the graph's upper-level vertices).  OMP over queries —
+   deterministic threading, no BLAS-pool dependency (python-thread +
+   BLAS seeding was measured anywhere from 0.02 s to 0.45 s for
+   10k x 1024 x 784 depending on the host's BLAS thread config). */
+int hnsw_seed_argmin(
+    const float* restrict seeds, const float* restrict sn2,
+    const float* restrict sn, int64_t ns, int32_t dim, int32_t space,
+    const float* restrict queries, int64_t nq,
+    int64_t* restrict out_best, float* restrict out_d, int32_t nthreads)
+{
+    #pragma omp parallel for schedule(static) \
+        num_threads(nthreads > 1 ? nthreads : 1)
+    for (int64_t qi = 0; qi < nq; qi++) {
+        const float* q = queries + qi * dim;
+        float qn2 = dotf(q, q, dim);
+        float qn = sqrtf(qn2);
+        int64_t best = 0;
+        float bd = dist_one(space, seeds, q, dim, sn2[0], sn[0], qn2, qn);
+        for (int64_t s = 1; s < ns; s++) {
+            float d = dist_one(space, seeds + s * dim, q, dim,
+                               sn2[s], sn[s], qn2, qn);
+            if (d < bd) { bd = d; best = s; }
+        }
+        out_best[qi] = best;
+        out_d[qi] = space == 0 ? sqrtf(bd) : bd;
+    }
+    return 0;
+}
 """
 
 _CACHE_ROOT = os.environ.get(
@@ -1010,6 +1040,13 @@ def _load():
             p_f32, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int32,
             p_i64, p_f32,
+        ]
+        lib.hnsw_seed_argmin.restype = ctypes.c_int
+        lib.hnsw_seed_argmin.argtypes = [
+            p_f32, p_f32, p_f32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            p_f32, ctypes.c_int64,
+            p_i64, p_f32, ctypes.c_int32,
         ]
         _lib = lib
     except Exception:
@@ -1421,3 +1458,53 @@ class WaveCommitState:
             g.adj[i][0] = set(pad[i, :li].tolist())
         if hasattr(g, "_ck_bufs"):
             del g._ck_bufs
+
+
+def seed_argmin(g, seeds: np.ndarray, Qf: np.ndarray, threads: int = 1):
+    """Native batched entry seeding: per query the argmin-distance
+    member of ``seeds`` (graph vertex ids).  Returns (best_pos,
+    dists) with best_pos indexing INTO ``seeds`` — or None when the
+    kernel is unavailable.  OMP over queries, so the wall is
+    independent of the host's BLAS thread configuration (the
+    python-thread + BLAS chunking it replaces measured 0.02-0.45 s
+    for 10k x 1024 x 784 depending on BLAS pools)."""
+    lib = _load()
+    if lib is None:
+        return None
+    space = _SPACE_CODE.get(g.cfg.space)
+    if space is None:
+        return None
+    pack = getattr(g, "_ck_seedpack", None)
+    if (
+        pack is None
+        or pack["n"] != len(g.levels)
+        or not np.array_equal(pack["seeds"], seeds)
+    ):
+        sv = np.ascontiguousarray(g.vectors[seeds], dtype=np.float32)
+        sn2 = np.ascontiguousarray(g.norms2[seeds], dtype=np.float32)
+        sn = np.ascontiguousarray(g.norms[seeds], dtype=np.float32)
+        pack = {
+            "n": len(g.levels), "seeds": seeds.copy(),
+            "sv": sv, "sn2": sn2, "sn": sn,
+        }
+        g._ck_seedpack = pack
+    Qf = np.ascontiguousarray(Qf, dtype=np.float32)
+    nq = Qf.shape[0]
+    out_b = np.empty(nq, dtype=np.int64)
+    out_d = np.empty(nq, dtype=np.float32)
+    rc = lib.hnsw_seed_argmin(
+        _as_c(pack["sv"], ctypes.c_float),
+        _as_c(pack["sn2"], ctypes.c_float),
+        _as_c(pack["sn"], ctypes.c_float),
+        ctypes.c_int64(len(seeds)),
+        ctypes.c_int32(Qf.shape[1]),
+        ctypes.c_int32(space),
+        _as_c(Qf, ctypes.c_float),
+        ctypes.c_int64(nq),
+        _as_c(out_b, ctypes.c_int64),
+        _as_c(out_d, ctypes.c_float),
+        ctypes.c_int32(max(threads, 1)),
+    )
+    if rc != 0:
+        return None
+    return out_b, out_d

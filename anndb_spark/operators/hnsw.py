@@ -306,6 +306,14 @@ class HnswGraph:
         # per-vertex metadata maps aligned with the vector matrix
         self.item_meta: list[dict | None] | None = None
 
+    def __getstate__(self):
+        # ctypes handles (kernel pointer caches like _ck_sel_ctx) are
+        # per-process and unpicklable — rebuilt lazily on first use in
+        # the receiving process
+        return {
+            k: v for k, v in self.__dict__.items() if not k.startswith("_ck_")
+        }
+
     # -- level assignment (index/hnsw.go:249-251) ----------------------
     def random_level(self, u: float | None = None) -> int:
         if u is None:
@@ -931,7 +939,7 @@ class HnswGraph:
         # drops from the whole matrix to a cluster's worth, which is
         # what the (bandwidth-bound) kernel actually pays for.
         Qf = np.ascontiguousarray(Q, dtype=np.float32)
-        entry, entry_d, order, inv = self._seed_entries(Qf)
+        entry, entry_d, order, inv = self._seed_entries(Qf, threads=threads)
         if use_ck:
             res = _ck.search_level0(
                 self,
@@ -1000,7 +1008,7 @@ class HnswGraph:
             return _ck.search_level0(
                 self, Qf, k, ef, ent[0], deleted=dele, threads=threads
             )
-        entry, entry_d, order, inv = self._seed_entries(Qf)
+        entry, entry_d, order, inv = self._seed_entries(Qf, threads=threads)
         res = _ck.search_level0(
             self,
             np.ascontiguousarray(Qf[order]),
@@ -1015,13 +1023,23 @@ class HnswGraph:
         ids, ds = res
         return ids[inv], ds[inv]
 
-    def _seed_entries(self, Qf: np.ndarray):
+    def _seed_entries(self, Qf: np.ndarray, threads: int = 1):
         """Seed-GEMM entry selection + locality sort for a query batch:
         one (q × S) BLAS pass against the graph's own upper-level
         vertices replaces the greedy descent; sorting by assigned seed
         makes concurrent beams walk the SAME region of the vector
         matrix.  Returns (entry, entry_d, order, inv)."""
         seeds = self._seed_set()
+        from anndb_spark.operators import ckernel as _ckm_seed
+
+        native = _ckm_seed.seed_argmin(self, seeds, Qf, threads=threads)
+        if native is not None:
+            best_n, entry_d_n = native
+            entry = seeds[best_n]
+            order = np.argsort(best_n, kind="stable")  # locality sort
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            return entry, entry_d_n, order, inv
         nq = Qf.shape[0]
         qn2 = np.einsum("ij,ij->i", Qf, Qf, dtype=np.float32)
         sv = self.vectors[seeds]
@@ -1092,7 +1110,7 @@ class HnswGraph:
         n = len(self.levels)
         Qf = np.ascontiguousarray(Q, dtype=np.float32)
         if n >= 4096 and self._max_level() > 0:
-            entry, _, order, inv = self._seed_entries(Qf)
+            entry, _, order, inv = self._seed_entries(Qf, threads=threads)
             res = _ck.build_candidates(
                 self,
                 np.ascontiguousarray(Qf[order]),
