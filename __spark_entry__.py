@@ -1004,6 +1004,32 @@ def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(load_events(spark, sf_dir), ["view", "click", "purchase"])
 
 
+def _attribution_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (bucketed equi-join, no nested loop): every
+    purchase within 10 minutes at-or-after a click by the same user,
+    with the exact microsecond delta."""
+    from anndb_spark.operators.temporal import range_join
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = range_join(
+        clicks, purchases, on="ts", by="user_id",
+        lower_seconds=0, upper_seconds=600,
+    )
+    return out.select(
+        "click_id",
+        F.col("right_purchase_id").alias("purchase_id"),
+        "user_id",
+        "delta_us",
+    )
+
+
 def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document characteristic terms: top-3 by in-doc frequency,
     rare-first (corpus df ascending) then lexicographic on ties —
@@ -1075,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report_documents": _mixture_report_documents,
         "sessionize_events": _sessionize_events,
         "funnel_events": _funnel_events,
+        "attribution_pairs_events": _attribution_pairs_events,
         "top_terms_documents": _top_terms_documents,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
@@ -1749,6 +1776,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
             UNION ALL
             SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3
+        """,
+        "attribution_pairs_events": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.click_id, p.purchase_id, c.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 600 SECOND
         """,
         "top_terms_documents": """
             WITH toks AS (

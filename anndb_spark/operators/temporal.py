@@ -197,3 +197,69 @@ def funnel(
     for d in out[1:]:
         res = res.unionByName(d)
     return res
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 60.0,
+    prefix: str = "right_",
+) -> DataFrame:
+    """Interval join: every (left, right) pair with right.``on`` in
+    [left.on + lower_seconds, left.on + upper_seconds] (inclusive),
+    per key — the attribution/correlation join ("purchases within 10
+    minutes of a click").  Right columns arrive as ``prefix + name``.
+
+    Spark's native encoding of a time-range predicate is a nested-loop
+    join (O(|L|·|R|) comparisons per key).  This is the bucketed
+    equi-join instead: with bucket width = the window span, each right
+    row lands in exactly ONE bucket and each left row's window spans
+    at most TWO, so the left explodes to ≤2 (key, bucket) rows and the
+    join is a plain hash equi-join on (key, bucket) + an exact range
+    filter.  One shuffle each side, output-linear work, AQE handles
+    hot buckets — survives any key/time skew at 100 TB.  Times are
+    compared in exact integer microseconds (timestamps exceed
+    double's 2^53 exact range).  Assumes epoch-nonnegative window
+    starts (integer DIV, not floor-div).
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    lo_us = int(round(lower_seconds * 1_000_000))
+    hi_us = int(round(upper_seconds * 1_000_000))
+    w = max(hi_us - lo_us, 1)
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    rattrs = [c for c in right.columns if c not in by_cols]
+
+    # NTZ-safe micros: unix_micros only accepts TIMESTAMP (LTZ); the
+    # NTZ->LTZ cast shifts both sides by the same session-zone offset,
+    # so deltas and window membership are unchanged (bucket boundaries
+    # shift uniformly — membership is relative to the left time).
+    def _us(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    l2 = left.withColumn("_lus", _us(F.col(on))).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"(_lus + {lo_us}) DIV {w}"),
+                F.expr(f"(_lus + {hi_us}) DIV {w}"),
+            )
+        ),
+    )
+    r2 = right.select(
+        *by_cols, *[F.col(c).alias(prefix + c) for c in rattrs]
+    ).withColumn("_rus", _us(F.col(prefix + on))).withColumn(
+        "_bkt", F.expr(f"_rus DIV {w}")
+    )
+    joined = l2.join(r2, on=by_cols + ["_bkt"]).filter(
+        (F.col("_rus") >= F.col("_lus") + F.lit(lo_us))
+        & (F.col("_rus") <= F.col("_lus") + F.lit(hi_us))
+    )
+    return joined.select(
+        *left.columns,
+        *[prefix + c for c in rattrs],
+        (F.col("_rus") - F.col("_lus")).alias("delta_us"),
+    )

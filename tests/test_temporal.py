@@ -176,3 +176,57 @@ def test_funnel_counts_never_increase(spark):
     counts = [r["n_keys"] for r in out]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > 0
+
+
+def test_range_join_window_bounds(spark):
+    from anndb_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(10, 1, _t(10))], "lid LONG, user_id LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (20, 1, _t(9, 59)),   # 1 s before the window -> out
+            (21, 1, _t(10)),      # same instant, inclusive lower -> in
+            (22, 1, _t(12)),      # inside -> in
+            (23, 1, _t(15)),      # exactly upper bound (300 s) -> in
+            (24, 1, _t(15, 1)),   # 1 s past -> out
+            (25, 2, _t(11)),      # other user -> out
+        ],
+        "rid LONG, user_id LONG, ts TIMESTAMP",
+    )
+    out = range_join(
+        left, right, on="ts", by="user_id",
+        lower_seconds=0, upper_seconds=300,
+    )
+    rows = {(r["lid"], r["right_rid"]): r["delta_us"] for r in out.collect()}
+    assert set(rows) == {(10, 21), (10, 22), (10, 23)}
+    assert rows[(10, 21)] == 0
+    assert rows[(10, 22)] == 120_000_000
+    assert rows[(10, 23)] == 300_000_000
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Bucketed equi-join == the naive cross-filter on random data,
+    including a window that starts before the left time."""
+    import random
+
+    from anndb_spark.operators.temporal import range_join
+
+    rnd = random.Random(42)
+    lrows = [(i, rnd.randint(1, 5), _t(rnd.randint(0, 50), rnd.randint(0, 59)))
+             for i in range(40)]
+    rrows = [(100 + i, rnd.randint(1, 5), _t(rnd.randint(0, 50), rnd.randint(0, 59)))
+             for i in range(60)]
+    left = spark.createDataFrame(lrows, "lid LONG, user_id LONG, ts TIMESTAMP")
+    right = spark.createDataFrame(rrows, "rid LONG, user_id LONG, ts TIMESTAMP")
+    lo, hi = -90, 150  # seconds; window spans the left time itself
+    out = range_join(left, right, on="ts", by="user_id",
+                     lower_seconds=lo, upper_seconds=hi)
+    got = {(r["lid"], r["right_rid"]) for r in out.collect()}
+    want = set()
+    for lid, lu, lts in lrows:
+        for rid, ru, rts in rrows:
+            if lu == ru and lo <= (rts - lts).total_seconds() <= hi:
+                want.add((lid, rid))
+    assert got == want
