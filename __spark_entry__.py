@@ -1030,6 +1030,22 @@ def _attribution_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _length_quantiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    quantiles (Spark `percentile` == DuckDB `quantile_cont`, verified
+    bit-identical) + count — the corpus-profiling rollup that sizes
+    packing budgets and length filters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = F.percentile(F.col("n_chars"), F.lit([0.25, 0.5, 0.75, 0.99]))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        qs.getItem(0).alias("p25"),
+        qs.getItem(1).alias("p50"),
+        qs.getItem(2).alias("p75"),
+        qs.getItem(3).alias("p99"),
+    )
+
+
 def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document characteristic terms: top-3 by in-doc frequency,
     rare-first (corpus df ascending) then lexicographic on ties —
@@ -1102,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "funnel_events": _funnel_events,
         "attribution_pairs_events": _attribution_pairs_events,
+        "length_quantiles_documents": _length_quantiles_documents,
         "top_terms_documents": _top_terms_documents,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
@@ -1792,6 +1809,15 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 600 SECOND
+        """,
+        "length_quantiles_documents": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.50) AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang
         """,
         "top_terms_documents": """
             WITH toks AS (

@@ -1016,3 +1016,60 @@ def test_build_hub_heavy_corpus_respects_caps():
         for q in range(40)
     )
     assert hits / 400 >= 0.85, hits / 400
+
+
+def test_seed_argmin_matches_numpy():
+    """Native entry seeding == the numpy argmin over exact distances
+    (identical entry choice modulo distance ties) for every space."""
+    from anndb_spark.operators import ckernel
+
+    if not ckernel.available():
+        pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(23)
+    n, dim, nq = 5000, 48, 200
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    Q = rng.normal(0, 1, (nq, dim)).astype(np.float32)
+    for space in ("euclidean", "cosine", "manhattan"):
+        cfg = HnswConfig(m=8, ef_construction=64, space=space)
+        lr = np.random.default_rng(5)
+        levels = np.floor(
+            -np.log(np.clip(lr.random(n), 1e-12, 1 - 1e-12))
+            * cfg.level_multiplier
+        ).astype(int).tolist()
+        g = HnswGraph.build(mat, levels, cfg).finalize()
+        seeds = g._seed_set()
+        got = ckernel.seed_argmin(g, seeds, Q, threads=4)
+        assert got is not None
+        best, dists = got
+        for qi in range(nq):
+            d = _dist_many(space, mat[seeds], Q[qi])
+            # same minimum distance (ties may pick either index)
+            assert dists[qi] == pytest.approx(float(d.min()), rel=2e-5), (
+                space, qi)
+            assert d[best[qi]] == pytest.approx(float(d.min()), rel=2e-5)
+
+
+def test_built_graph_is_picklable():
+    """Graphs must survive pickling (Spark closures, tool caches) —
+    the kernel pointer caches (_ck_*) are per-process and must be
+    excluded from state."""
+    import pickle
+
+    from anndb_spark.operators import ckernel
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(0, 1, (3000, 24)).astype(np.float32)
+    cfg = HnswConfig(m=8, ef_construction=64)
+    lr = np.random.default_rng(5)
+    levels = np.floor(
+        -np.log(np.clip(lr.random(3000), 1e-12, 1 - 1e-12))
+        * cfg.level_multiplier
+    ).astype(int).tolist()
+    g = HnswGraph.build(mat, levels, cfg, workers=4).finalize()
+    Q = rng.normal(0, 1, (10, 24)).astype(np.float32)
+    res_before = g.search_fast_batch(Q, 5, ef=32)
+    g2 = pickle.loads(pickle.dumps(g))
+    res_after = g2.search_fast_batch(Q, 5, ef=32)
+    assert [{i for _, i in r} for r in res_before] == [
+        {i for _, i in r} for r in res_after
+    ]
