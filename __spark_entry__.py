@@ -1030,6 +1030,53 @@ def _attribution_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stream-stream interval join (watermarked state, Spark's
+    native time-range join) run with an availableNow trigger over the
+    events table — the streaming twin of attribution_pairs_events, held
+    to the same batch-SQL oracle.  Single-file sources keep the run to
+    one micro-batch so the watermark never drops rows mid-replay."""
+    import tempfile
+
+    from anndb_spark.sources.tables import load_events
+    from anndb_spark.streaming.attribution import stream_attribution
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    base = tempfile.mkdtemp(prefix="anndb_entry_attrib_")
+    clicks.coalesce(1).write.parquet(f"{base}/clicks")
+    purchases.coalesce(1).write.parquet(f"{base}/purchases")
+    cs = spark.readStream.schema(
+        spark.read.parquet(f"{base}/clicks").schema
+    ).parquet(f"{base}/clicks")
+    ps = spark.readStream.schema(
+        spark.read.parquet(f"{base}/purchases").schema
+    ).parquet(f"{base}/purchases")
+    out = stream_attribution(
+        cs, ps, on="ts", by="user_id", lower_seconds=0, upper_seconds=600,
+        watermark_seconds=30 * 24 * 3600,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(f"{base}/out").select(
+        "click_id",
+        F.col("right_purchase_id").alias("purchase_id"),
+        "user_id",
+        "delta_us",
+    )
+
+
 def _length_quantiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length distribution: exact interpolated
     quantiles (Spark `percentile` == DuckDB `quantile_cont`, verified
@@ -1118,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "funnel_events": _funnel_events,
         "attribution_pairs_events": _attribution_pairs_events,
+        "stream_attribution_events": _stream_attribution_events,
         "length_quantiles_documents": _length_quantiles_documents,
         "top_terms_documents": _top_terms_documents,
         "asof_join_events": _asof_join_events,
@@ -1795,6 +1843,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3
         """,
         "attribution_pairs_events": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purchase_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT c.click_id, p.purchase_id, c.user_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+            FROM clicks c JOIN purchases p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 600 SECOND
+        """,
+        "stream_attribution_events": """
             WITH clicks AS (
                 SELECT event_id AS click_id, user_id, ts FROM events
                 WHERE event_type = 'click'
