@@ -1030,6 +1030,17 @@ def _attribution_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_span_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication coverage (Lee et al. 2022 signal):
+    token positions inside any word 8-gram occurring >= 2 times in the
+    corpus, per document."""
+    from anndb_spark.operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=8, min_count=2
+    )
+
+
 def _stream_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL stream-stream interval join (watermarked state, Spark's
     native time-range join) run with an availableNow trigger over the
@@ -1166,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": _funnel_events,
         "attribution_pairs_events": _attribution_pairs_events,
         "stream_attribution_events": _stream_attribution_events,
+        "dup_span_coverage_documents": _dup_span_coverage_documents,
         "length_quantiles_documents": _length_quantiles_documents,
         "top_terms_documents": _top_terms_documents,
         "asof_join_events": _asof_join_events,
@@ -1873,6 +1885,32 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL 600 SECOND
+        """,
+        "dup_span_coverage_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, len(t) AS n_tokens,
+                       unnest(generate_series(1, len(t) - 7)) AS start, t
+                FROM toks
+            ),
+            grams AS (
+                SELECT doc_id, n_tokens, start,
+                       md5(array_to_string(t[start : start + 7], ' ')) AS g
+                FROM starts
+            ),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT doc_id, n_tokens,
+                       unnest(generate_series(start, start + 7)) AS pos
+                FROM grams JOIN dup USING (g)
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_dup_positions,
+                   CAST(count(*) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS dup_frac
+            FROM cov GROUP BY doc_id, n_tokens
         """,
         "length_quantiles_documents": """
             SELECT lang,

@@ -683,3 +683,78 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("dist") < F.lit(float(threshold)))
     )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication coverage: for every document, how
+    many of its token positions fall inside a word ``n``-gram that
+    occurs at least ``min_count`` times across the WHOLE corpus
+    (within- and cross-document) — the exact-substring dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), reduced from suffix arrays to the n-gram-anchor
+    approximation that one shuffle can compute.  Returns
+    (id, n_tokens, n_dup_positions, dup_frac) for documents with at
+    least one covered position.
+
+    Scale shape: grams are built per-row with JVM higher-order
+    functions (slice inside transform — no Python, no shuffle); the
+    only wide exchanges are the gram-frequency aggregation and the
+    coverage distinct, both keyed on md5(gram) (32-hex — fixed-width,
+    dialect-exact, carries no document text).  Hot grams (boilerplate)
+    are exactly the rows AQE's skew split handles.  Position coverage
+    explodes ≤ n rows per duplicated gram — output-linear, never O(N²).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    # 1-based start positions [1, size-n+1]; empty when the doc is
+    # shorter than n (sequence() would flip descending on start>stop)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    toks_c = toks  # captured for the lambda below
+    gram_arr = F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice(toks_c, i, n), " ")),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode(gram_arr).alias("pos0", "g"),
+    ).select(
+        id_col, "n_tokens", (F.col("pos0") + 1).alias("start"), "g"
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    cov = (
+        grams.join(dup, on="g")
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return cov.groupBy(id_col, "n_tokens").agg(
+        F.count("*").cast("long").alias("n_dup_positions")
+    ).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_positions",
+        (
+            F.col("n_dup_positions").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_frac"),
+    )

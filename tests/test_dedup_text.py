@@ -426,3 +426,26 @@ def test_top_terms_ranking_and_ties(spark):
     assert got[(2, 1)] == ("apple", 2, 2)
     # short tokens ("the") never appear
     assert all(len(t) >= 4 for t, _, _ in got.values())
+
+
+def test_duplicate_span_coverage_handbuilt(spark):
+    from anndb_spark.operators.dedup import duplicate_span_coverage
+
+    rows = [
+        # docs 1 and 2 share the 3-gram "a b c" once each; doc 1 also
+        # repeats "x y z" twice WITHIN itself
+        (1, "a b c q x y z r x y z"),
+        (2, "p a b c s t u"),
+        (3, "entirely unique words here only"),
+        (4, "sh ort"),  # shorter than n -> no grams, never crashes
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in duplicate_span_coverage(df, n=3).collect()}
+    # doc 1: "a b c" covers pos 1-3; "x y z" (x2) covers pos 5-7, 9-11
+    assert out[1]["n_dup_positions"] == 9
+    assert out[1]["n_tokens"] == 11
+    # doc 2: "a b c" covers positions 2-4 only
+    assert out[2]["n_dup_positions"] == 3
+    assert out[2]["dup_frac"] == pytest.approx(3 / 7)
+    # docs 3 and 4: no duplicated grams -> absent from the output
+    assert 3 not in out and 4 not in out
