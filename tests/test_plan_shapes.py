@@ -100,3 +100,51 @@ def test_knn_exact_broadcasts_queries(spark):
     )
     plan = _plan(knn_exact(vecs, qdf, k=5, space="euclidean"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The whole point of the bucketed encoding: Catalyst must plan a
+    hash equi-join on (key, bucket), never BroadcastNestedLoopJoin
+    (which is what a bare time-range predicate produces)."""
+    from anndb_spark.operators.temporal import range_join
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, SF)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    plan = _plan(
+        range_join(clicks, purchases, on="ts", by="user_id",
+                   lower_seconds=0, upper_seconds=600)
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # event_type filters reach the parquet scan
+    assert plan.count("PushedFilters: [IsNotNull(event_type)") >= 1
+
+
+def test_duplicate_span_coverage_no_text_on_shuffles(spark):
+    """Gram hashing happens before any exchange: no shuffle carries
+    the text column, and the plan has exactly the three wide stages
+    the docstring claims (gram count, coverage distinct, final agg)."""
+    from anndb_spark.operators.dedup import duplicate_span_coverage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_span_coverage(docs, n=8))
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "text" not in line, line
+    assert _exchanges(plan) <= 5, plan  # AQE may split but never balloon
+
+
+def test_funnel_stage_joins_are_equi_joins(spark):
+    from anndb_spark.operators.temporal import funnel
+    from anndb_spark.sources.tables import load_events
+
+    plan = _plan(funnel(load_events(spark, SF), ["view", "click", "purchase"]))
+    assert "NestedLoop" not in plan, plan
+    # every stage's event-type filter reaches the scan
+    assert "PushedFilters" in plan
