@@ -376,6 +376,17 @@ def main():
         lambda: entry._dedup_minhash_pairs(spark, sf_dir).collect(),
     )
 
+    # q12a2: bucketed interval join (attribution) + exact substring
+    # duplication coverage — the r7c temporal/dedup additions
+    timed(
+        "attribution_range_join",
+        lambda: entry._attribution_pairs_events(spark, sf_dir).collect(),
+    )
+    timed(
+        "dup_span_coverage",
+        lambda: entry._dup_span_coverage_documents(spark, sf_dir).collect(),
+    )
+
     # q12b: the composed curation pipeline (quality -> boilerplate ->
     # exact dedup -> split) as one lazy plan over documents
     timed(
