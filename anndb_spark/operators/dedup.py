@@ -712,6 +712,7 @@ def duplicate_span_coverage(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    df = ensure_parallelism(df)  # gram hashing is compute-heavy per row
     toks = F.split(F.col(text_col), " ")
     # 1-based start positions [1, size-n+1]; empty when the doc is
     # shorter than n (sequence() would flip descending on start>stop)
@@ -736,25 +737,40 @@ def duplicate_span_coverage(
         .filter(F.col("cnt") >= min_count)
         .select("g")
     )
-    cov = (
+    # coverage = |union of [start, start+n)| per doc.  Interval-union
+    # fold over the SORTED start set (starts ascending => each gram
+    # adds (start+n) - max(prev_end, start) positions, always >= 0)
+    # instead of explode(n positions) + global DISTINCT: one grouped
+    # collect per doc and a JVM higher-order fold, no n-times row
+    # amplification through a shuffle.  The DuckDB oracle keeps the
+    # explode+distinct form — same values, different plan.
+    per_doc = (
         grams.join(dup, on="g")
-        .select(
-            id_col,
-            "n_tokens",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + n - 1)
-            ).alias("pos"),
-        )
-        .distinct()
+        .groupBy(id_col, "n_tokens")
+        .agg(F.sort_array(F.collect_set("start")).alias("_ss"))
     )
-    return cov.groupBy(id_col, "n_tokens").agg(
-        F.count("*").cast("long").alias("n_dup_positions")
-    ).select(
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cov"),
+        F.lit(0).cast("long").alias("end"),
+    )
+    n_dup = F.aggregate(
+        "_ss",
+        acc0,
+        lambda a, s: F.struct(
+            (
+                a["cov"]
+                + (s.cast("long") + n)
+                - F.greatest(a["end"], s.cast("long"))
+            ).alias("cov"),
+            (s.cast("long") + n).alias("end"),
+        ),
+        lambda a: a["cov"],
+    )
+    return per_doc.select(
         id_col,
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        "n_dup_positions",
+        n_dup.alias("n_dup_positions"),
         (
-            F.col("n_dup_positions").cast("double")
-            / F.col("n_tokens").cast("double")
+            n_dup.cast("double") / F.col("n_tokens").cast("double")
         ).alias("dup_frac"),
     )
