@@ -304,6 +304,19 @@ def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_pairs(emb, bits=32, max_hamming=2, threshold=0.8)
 
 
+def _dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding-LSH near-dup pairs →
+    (id, cluster_id): the keeper assignment for embedding-level dedup,
+    composing the two 100 TB-shaped stages (LSH candidate join +
+    pointer-jumping CC).  Oracle: recursive-CTE transitive closure
+    over the bit-exact LSH pair twin."""
+    from anndb_spark.operators.dedup import dedup_clusters, embedding_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_lsh_pairs(emb, bits=32, max_hamming=2, threshold=0.8)
+    return dedup_clusters(pairs)
+
+
 def _knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self similarity join: each embedding's 5 nearest *other* embeddings."""
     from anndb_spark.operators.knn import knn_join
@@ -1157,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_documents": _simhash_pairs_documents,
         "simhash64_pairs_documents": _simhash64_pairs_documents,
         "embedding_lsh_pairs": _embedding_lsh_pairs,
+        "dedup_clusters_embedding": _dedup_clusters_embedding,
         "embedding_neardup": _embedding_neardup,
         "knn_join_embeddings": _knn_join_embeddings,
         "random_vectors_orders": _random_vectors_orders,
@@ -1306,6 +1320,49 @@ def _embedding_lsh_oracle(
         JOIN embeddings ea ON ea.vec_id = id_a
         JOIN embeddings eb ON eb.vec_id = id_b
         WHERE {dist} < {threshold}
+    """
+
+
+def _embedding_lsh_cluster_oracle(
+    bits: int = 32, max_hamming: int = 2, threshold: float = 0.8
+) -> str:
+    """Recursive-CTE transitive closure over the bit-exact embedding
+    LSH pair twin (same pattern as dedup_clusters_minhash)."""
+    from anndb_spark.functions.spaces import pair_distance_sql
+    from anndb_spark.operators.dedup import (
+        lsh_hyperplanes,
+        lsh_signature_sql,
+        simhash_band_bounds,
+    )
+
+    planes = lsh_hyperplanes(bits, 64)
+    sig = lsh_signature_sql("embedding", planes)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, (sig >> {off}) & {(1 << width) - 1} AS val FROM s"
+        for b, (off, width) in enumerate(simhash_band_bounds(bits, max_hamming))
+    )
+    dist = pair_distance_sql("ea.embedding", "eb.embedding", 64, space="cosine")
+    return f"""
+        WITH RECURSIVE s AS (SELECT vec_id AS id, {sig} AS sig FROM embeddings),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                 FROM bands a JOIN bands b2
+                   ON a.band = b2.band AND a.val = b2.val AND a.id < b2.id),
+        p AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+            WHERE {dist} < {threshold}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach AS (
+            SELECT a AS src, a AS dst FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        )
+        SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
     """
 
 
@@ -1671,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash64_pairs_documents": _simhash64_pairs_oracle(),
         "embedding_lsh_pairs": _embedding_lsh_oracle(),
+        "dedup_clusters_embedding": _embedding_lsh_cluster_oracle(),
         "token_counts_documents": """
             SELECT doc_id AS id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
