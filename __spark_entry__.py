@@ -304,6 +304,44 @@ def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_pairs(emb, bits=32, max_hamming=2, threshold=0.8)
 
 
+def _stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation run as a REAL stream
+    (availableNow, single-file source = one deterministic micro-batch).
+    Append mode emits exactly the windows the FINAL watermark
+    (max ts - 2h) has closed — the oracle mirrors that contract with a
+    HAVING clause; the held-back tail is watermark semantics, not
+    loss.  Window start == date_trunc('hour') for tumbling 1-hour
+    windows."""
+    import tempfile
+
+    from anndb_spark.sources.tables import load_events
+    from anndb_spark.streaming.changelog import windowed_event_counts
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermark needs LTZ
+    )
+    base = tempfile.mkdtemp(prefix="anndb_entry_hourly_")
+    ev.coalesce(1).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{base}/src").schema
+    ).parquet(f"{base}/src")
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(f"{base}/out").select(
+        F.col("window_start").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the embedding-LSH near-dup pairs →
     (id, cluster_id): the keeper assignment for embedding-level dedup,
@@ -1146,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1ish": _tpch_q1ish,
         "top_orders_per_nation": _top_orders_per_nation,
         "events_hourly": _events_hourly,
+        "stream_hourly_events": _stream_hourly_events,
         "route_partition_counts": _route_partition_counts,
         "crud_compaction_state": _crud_compaction_state,
         "crud_rejects": _crud_rejects,
@@ -1609,6 +1648,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,        "stream_hourly_events": """
+            -- only windows the final watermark (max ts - 2h) has CLOSED
+            -- are emitted by the append-mode stream; the held-back tail
+            -- is the watermark contract, not loss
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+                   <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
         """,
         "route_partition_counts": """
             SELECT CAST(l_orderkey % 8 AS INT) AS partition_id, COUNT(*) AS cnt
