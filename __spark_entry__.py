@@ -342,6 +342,44 @@ def _stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization run as a REAL stream
+    (availableNow, one micro-batch).  Append mode emits sessions the
+    final watermark (max ts - 1d) closed — closed means no event could
+    extend it, i.e. session_end + gap <= watermark; the oracle mirrors
+    both the >=-gap split (session_window semantics) and that emission
+    contract."""
+    import tempfile
+
+    from anndb_spark.sources.tables import load_events
+    from anndb_spark.streaming.changelog import session_rollups
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    base = tempfile.mkdtemp(prefix="anndb_entry_sess_")
+    ev.coalesce(1).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{base}/src").schema
+    ).parquet(f"{base}/src")
+    out = session_rollups(stream, gap="8 hours", watermark="1 day")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.read.parquet(f"{base}/out").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the embedding-LSH near-dup pairs →
     (id, cluster_id): the keeper assignment for embedding-level dedup,
@@ -1185,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_nation": _top_orders_per_nation,
         "events_hourly": _events_hourly,
         "stream_hourly_events": _stream_hourly_events,
+        "stream_sessions_events": _stream_sessions_events,
         "route_partition_counts": _route_partition_counts,
         "crud_compaction_state": _crud_compaction_state,
         "crud_rejects": _crud_rejects,
@@ -1648,7 +1687,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
-        """,        "stream_hourly_events": """
+        """,        "stream_sessions_events": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 >= 28800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS seq
+                FROM e
+            ),
+            r AS (
+                SELECT user_id, min(ts) AS session_start,
+                       max(ts) AS session_end,
+                       count(*) AS n_events,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           AS sum_value
+                FROM s GROUP BY user_id, seq
+            )
+            -- emitted = closed by the final watermark: no later event
+            -- could extend the session (end + gap <= max ts - 1 day)
+            SELECT user_id, session_start, session_end, n_events, sum_value
+            FROM r
+            WHERE session_end + INTERVAL 8 HOUR
+                  <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+        """,
+        "stream_hourly_events": """
             -- only windows the final watermark (max ts - 2h) has CLOSED
             -- are emitted by the append-mode stream; the held-back tail
             -- is the watermark contract, not loss
