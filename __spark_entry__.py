@@ -1018,9 +1018,10 @@ def _token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline: synthesize media rows from documents,
-    run the (stubbed, deterministic) decode + feature extraction, and
-    reduce each feature vector to a stable digest.  No SQL oracle — the
-    pseudo-decode is not SQL-expressible; deterministic rows-only check."""
+    run the (stubbed, deterministic) decode + feature extraction through
+    the REAL mapInPandas path, and reduce each feature vector to a stable
+    digest.  The fake decode hashes in the hex-string domain, so the
+    oracle replays decode -> features -> digest bit-exactly in SQL."""
     from anndb_spark.operators.multimodal import extract_features, media_from_documents
 
     media = media_from_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -2100,6 +2101,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.75) AS p75,
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY lang
+        """,
+        "multimodal_features": """
+            WITH b AS (
+                SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                       'image' AS kind,
+                       md5(md5(text) || '0') AS bh
+                FROM documents
+            )
+            SELECT media_id, kind,
+                   md5(array_to_string(list_transform(range(0, 16), i ->
+                       CAST(CAST(CAST(
+                           (CASE WHEN substr(bh, CAST(2*i+1 AS INT), 1) BETWEEN '0' AND '9'
+                                 THEN ascii(substr(bh, CAST(2*i+1 AS INT), 1)) - 48
+                                 ELSE ascii(substr(bh, CAST(2*i+1 AS INT), 1)) - 87 END) * 16
+                         + (CASE WHEN substr(bh, CAST(2*i+2 AS INT), 1) BETWEEN '0' AND '9'
+                                 THEN ascii(substr(bh, CAST(2*i+2 AS INT), 1)) - 48
+                                 ELSE ascii(substr(bh, CAST(2*i+2 AS INT), 1)) - 87 END)
+                           AS FLOAT) / CAST(256.0 AS FLOAT) AS FLOAT) AS VARCHAR)
+                   ), ',')) AS feature_digest
+            FROM b
         """,
         "top_terms_documents": """
             WITH toks AS (

@@ -59,14 +59,19 @@ def _require_real_codec(kind: str):
 
 def _fake_pixels(content: bytes, n: int) -> np.ndarray:
     """Deterministic pseudo-decode: expand the content digest into n
-    float32 values in [0, 1)."""
+    float32 values in [0, 1).  Hashing stays in the hex-STRING domain
+    (md5(hex_digest || str(counter))) so the fake decode is replayable
+    in ANSI SQL — the driver oracle reproduces the whole feature
+    pipeline bit-exactly (k/256 float32 values format identically in
+    Spark and DuckDB, verified for all 256 byte values)."""
     out = np.empty(n, dtype=np.float32)
-    h = hashlib.md5(content).digest()
+    hhex = hashlib.md5(content).hexdigest()
     filled = 0
     counter = 0
     while filled < n:
         block = np.frombuffer(
-            hashlib.md5(h + counter.to_bytes(4, "big")).digest(), dtype=np.uint8
+            hashlib.md5((hhex + str(counter)).encode()).digest(),
+            dtype=np.uint8,
         ).astype(np.float32) / 256.0
         take = min(len(block), n - filled)
         out[filled : filled + take] = block[:take]
