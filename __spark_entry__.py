@@ -1084,6 +1084,33 @@ def _ann_routed_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curves.orderBy("nprobe")
 
 
+def _value_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value moments with ORDER-INDEPENDENT arithmetic: the
+    raw power sums accumulate as exact DECIMAL (value has 2 fractional
+    digits -> value^2 has 4; both exact), and mean/variance come from
+    the closed forms on those exact sums — so the result is
+    bit-identical under any partitioning, unlike float avg/var_pop
+    whose accumulation order varies per plan."""
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("_s1"),
+        F.sum((v * v).cast("decimal(28,4)")).alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        (s1 / n).alias("mean_value"),
+        (s2 / n - (s1 / n) * (s1 / n)).alias("var_pop_value"),
+    )
+
+
 def _funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over the event stream: users who viewed, then
     clicked strictly after their first view, then purchased strictly
@@ -1223,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1ish": _tpch_q1ish,
         "top_orders_per_nation": _top_orders_per_nation,
         "events_hourly": _events_hourly,
+        "value_stats_events": _value_stats_events,
         "stream_hourly_events": _stream_hourly_events,
         "stream_sessions_events": _stream_sessions_events,
         "route_partition_counts": _route_partition_counts,
@@ -1681,6 +1709,23 @@ def oracle_sql() -> dict[str, str]:
                 JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
             ) WHERE rnk <= 3
+        """,
+        "value_stats_events": """
+            WITH a AS (
+                SELECT event_type, count(*) AS n,
+                       SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+                       SUM(CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+                           AS s2
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS var_pop_value
+            FROM a
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
