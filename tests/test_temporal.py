@@ -230,3 +230,36 @@ def test_range_join_matches_bruteforce(spark):
             if lu == ru and lo <= (rts - lts).total_seconds() <= hi:
                 want.add((lid, rid))
     assert got == want
+
+
+def test_value_stats_partitioning_independent(spark):
+    """Decimal power sums make the moment rollup bit-identical under
+    any partitioning — the property float avg/var_pop lacks."""
+    import __spark_entry__ as e
+
+    base = e._value_stats_events(spark, "/root/testdata/sf0.001")
+    a = {r["event_type"]: (r["n"], r["mean_value"], r["var_pop_value"])
+         for r in base.collect()}
+
+    from anndb_spark.sources.tables import load_events
+    from pyspark.sql import functions as F2
+
+    ev = load_events(spark, "/root/testdata/sf0.001").repartition(17, "value")
+    v = F2.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F2.count("*").alias("n"),
+        F2.sum(v).alias("_s1"),
+        F2.sum((v * v).cast("decimal(28,4)")).alias("_s2"),
+    )
+    n = F2.col("n").cast("double")
+    s1 = F2.col("_s1").cast("double")
+    s2 = F2.col("_s2").cast("double")
+    b = {
+        r["event_type"]: (r["n"], r["mean_value"], r["var_pop_value"])
+        for r in agg.select(
+            "event_type", "n",
+            (s1 / n).alias("mean_value"),
+            (s2 / n - (s1 / n) * (s1 / n)).alias("var_pop_value"),
+        ).collect()
+    }
+    assert a == b  # BIT-identical, not approx
