@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from anndb_spark.functions.spaces import distance_sql, pair_distance_sql
@@ -1084,6 +1084,67 @@ def _ann_routed_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curves.orderBy("nprobe")
 
 
+def _market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-flavored market share: revenue share of each nation
+    within its order year, across a 4-table join (lineitem - orders -
+    customer - nation).  Revenue accumulates as exact DECIMAL so the
+    rollup is order-independent; the share division happens once on
+    the exact sums.  Scale shape: the three dimension joins broadcast
+    (orders->customer->nation are successively smaller), the fact scan
+    never shuffles before the partial agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(18,2)")
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("n_name"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                - rev.cast("decimal(28,4)")
+            ).cast("decimal(28,4)").alias("rev"),
+        )
+    )
+    per = base.groupBy("o_year", "n_name").agg(F.sum("rev").alias("_r"))
+    w = Window.partitionBy("o_year")
+    return per.select(
+        "o_year",
+        "n_name",
+        F.col("_r").cast("double").alias("revenue"),
+        (
+            F.col("_r").cast("double")
+            / F.sum("_r").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+def _top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters per language: the 5 most frequent terms of
+    length >= 4 per lang (count desc, term asc) — integer/string only,
+    bit-reproducible."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") >= 4)
+    cnt = toks.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", F.col("rank").cast("int").alias("rank"), "term", "cnt")
+    )
+
+
 def _value_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value moments with ORDER-INDEPENDENT arithmetic: the
     raw power sums accumulate as exact DECIMAL (value has 2 fractional
@@ -1251,6 +1312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_nation": _top_orders_per_nation,
         "events_hourly": _events_hourly,
         "value_stats_events": _value_stats_events,
+        "market_share_by_nation": _market_share_by_nation,
+        "top_terms_by_lang": _top_terms_by_lang,
         "stream_hourly_events": _stream_hourly_events,
         "stream_sessions_events": _stream_sessions_events,
         "route_partition_counts": _route_partition_counts,
@@ -1709,6 +1772,49 @@ def oracle_sql() -> dict[str, str]:
                 JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
             ) WHERE rnk <= 3
+        """,
+        "market_share_by_nation": """
+            WITH base AS (
+                SELECT year(o.o_orderdate) AS o_year, n.n_name,
+                       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            - CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                   * CAST(l.l_discount AS DECIMAL(18,2))
+                                   AS DECIMAL(28,4))
+                            AS DECIMAL(28,4)) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ),
+            per AS (
+                SELECT o_year, n_name, SUM(rev) AS r
+                FROM base GROUP BY o_year, n_name
+            )
+            SELECT o_year, n_name,
+                   CAST(r AS DOUBLE) AS revenue,
+                   CAST(r AS DOUBLE)
+                     / CAST(SUM(r) OVER (PARTITION BY o_year) AS DOUBLE)
+                       AS share
+            FROM per
+        """,
+        "top_terms_by_lang": """
+            WITH toks AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            cnt AS (
+                SELECT lang, term, count(*) AS cnt FROM toks
+                WHERE length(term) >= 4 GROUP BY lang, term
+            ),
+            ranked AS (
+                SELECT lang, term, cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, term ASC
+                       ) AS rank
+                FROM cnt
+            )
+            SELECT lang, CAST(rank AS INTEGER) AS rank, term, cnt
+            FROM ranked WHERE rank <= 5
         """,
         "value_stats_events": """
             WITH a AS (
