@@ -148,3 +148,15 @@ def test_funnel_stage_joins_are_equi_joins(spark):
     assert "NestedLoop" not in plan, plan
     # every stage's event-type filter reaches the scan
     assert "PushedFilters" in plan
+
+
+def test_market_share_broadcasts_dimensions(spark):
+    """The Q8-style join chain must broadcast every dimension side —
+    the fact scan reaches the partial agg without a pre-join shuffle;
+    only the rollup and the per-year window exchange."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry._market_share_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _exchanges(plan) <= 2, plan
