@@ -103,7 +103,20 @@ def boilerplate_filter(
     with its high-document-frequency units removed (order and
     duplicates among survivors preserved).  Exactly one of
     ``min_doc_frac`` (fraction of all documents — scale-invariant) or
-    ``min_docs`` (absolute count) sets the threshold."""
+    ``min_docs`` (absolute count) sets the threshold.
+
+    Two physical plans with identical output:
+
+    * ``min_doc_frac`` mode — the frequent set is PROVABLY bounded
+      (at most total_units / (frac * n_docs) distinct units can clear
+      the bar), so it is collected into one broadcast row and probed
+      per-token.  Cheap: no shuffle of the corpus itself.
+    * ``min_docs`` mode — the frequent set is unbounded (min_docs=2
+      on a web corpus ≈ every repeated unit), so NOTHING is
+      collected: posexplode -> anti-join on the unit -> re-assemble
+      in position order.  Two shuffles (anti-join on u, groupBy id),
+      both output-linear; survives any threshold at 100 TB.
+    """
     if (min_doc_frac is None) == (min_docs is None):
         raise ValueError("set exactly one of min_doc_frac / min_docs")
     w = F.split(F.col(text_col), sep)
@@ -112,12 +125,40 @@ def boilerplate_filter(
     )
     dfreq = units.groupBy("u").agg(F.count("*").alias("df"))
     if min_docs is not None:
-        freq = dfreq.filter(F.col("df") >= int(min_docs))
-    else:
-        total = df.agg(F.countDistinct(id_col).alias("_n"))
-        freq = dfreq.join(total).filter(
-            F.col("df") >= F.ceil(F.lit(float(min_doc_frac)) * F.col("_n"))
+        # unbounded-set mode: anti-join plan, no driver collect.
+        freq = dfreq.filter(F.col("df") >= int(min_docs)).select("u")
+        toks = df.select(
+            F.col(id_col), F.posexplode(w).alias("_pos", "u")
         )
+        kept = toks.join(freq, "u", "left_anti")
+        reassembled = kept.groupBy(id_col).agg(
+            F.count("*").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "u"))),
+                    lambda s: s["u"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        return (
+            df.select(F.col(id_col), F.size(w).cast("long").alias("n_units"))
+            .join(reassembled, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("n_units"),
+                (
+                    F.col("n_units") - F.coalesce(F.col("_n_kept"), F.lit(0))
+                ).cast("long").alias("n_removed"),
+                F.coalesce(F.col("text_clean"), F.lit("")).alias(
+                    "text_clean"
+                ),
+            )
+        )
+    total = df.agg(F.countDistinct(id_col).alias("_n"))
+    freq = dfreq.join(total).filter(
+        F.col("df") >= F.ceil(F.lit(float(min_doc_frac)) * F.col("_n"))
+    )
     flist = freq.agg(F.collect_set("u").alias("fl"))
     clean = F.filter(w, lambda x: ~F.array_contains(F.col("fl"), x))
     return (

@@ -1,0 +1,61 @@
+"""Grouped distribution statistics with an explicit exact/approx split.
+
+Spark's exact ``percentile`` materializes EVERY value of a group in one
+aggregation buffer (OpenHashMap of value -> count inside a single
+ImperativeAggregate) — at 100 TB a hot group is billions of entries in
+one task's heap, an OOM by construction.  ``approx_percentile`` is the
+scale path: a KLL/GK-style mergeable sketch whose buffer is bounded by
+the ``accuracy`` knob (~accuracy entries), with rank error <=
+1/accuracy, and it merges map-side like any other partial aggregate.
+
+Rule of thumb encoded here: ``exact=True`` is for oracle rows and
+small-cardinality profiling at test scale; production profiling goes
+through the sketch.  The default accuracy 10000 bounds rank error to
+1e-4 — for a length distribution that is far below any decision
+threshold a corpus filter would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ACCURACY = 10_000
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    probs: list[float],
+    value_col: str,
+    by: str | list[str] | None = None,
+    exact: bool = False,
+    accuracy: int = DEFAULT_ACCURACY,
+    names: list[str] | None = None,
+) -> DataFrame:
+    """(by..., n, q_<p>...) per group.
+
+    ``exact=False`` (default, the 100 TB path): ``approx_percentile``
+    sketch, buffer O(accuracy) per group whatever the group size, rank
+    error <= 1/accuracy, integer-valued results for integer inputs (the
+    sketch returns actual data values, no interpolation).
+
+    ``exact=True`` (oracle/test path): Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` bit-identically, but buffers every group
+    value — refuse to reach for this on unbounded groups.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    if names is None:
+        names = [f"p{str(p).replace('0.', '')}" for p in probs]
+    if len(names) != len(probs):
+        raise ValueError("names must align with probs")
+    v = F.col(value_col)
+    if exact:
+        qs = F.percentile(v, F.lit(probs))
+    else:
+        qs = F.approx_percentile(v, F.lit(probs), F.lit(int(accuracy)))
+    aggs = [F.count("*").alias("n_rows")] + [
+        qs.getItem(i).alias(nm) for i, nm in enumerate(names)
+    ]
+    if by_cols:
+        return df.groupBy(*by_cols).agg(*aggs)
+    return df.agg(*aggs)

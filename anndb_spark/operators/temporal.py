@@ -51,6 +51,11 @@ def sessionize(
     same key is more than ``gap_seconds`` older.  ``order_cols``
     breaks timestamp ties deterministically (default: none — supply
     an id column when (key, ts) is not unique)."""
+    if not key_col:
+        raise ValueError(
+            "sessionize needs a key_col: an un-keyed session window "
+            "sorts the whole stream in ONE partition (serial at scale)"
+        )
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
@@ -97,6 +102,17 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    if not by_cols:
+        import warnings
+
+        warnings.warn(
+            "asof_join with by=None sorts the whole union in ONE "
+            "partition (Window.partitionBy() with no keys): correct but "
+            "serial — pass `by=` keys for any input that doesn't fit "
+            "one task",
+            UserWarning,
+            stacklevel=2,
+        )
     rattrs = [c for c in right.columns if c not in set(by_cols) | {on}]
     carried = [prefix + on] + [prefix + c for c in rattrs]
 
@@ -233,14 +249,24 @@ def range_join(
     by_cols = [by] if isinstance(by, str) else list(by or [])
     rattrs = [c for c in right.columns if c not in by_cols]
 
-    # NTZ-safe micros: unix_micros only accepts TIMESTAMP (LTZ); the
-    # NTZ->LTZ cast shifts both sides by the same session-zone offset,
-    # so deltas and window membership are unchanged (bucket boundaries
-    # shift uniformly — membership is relative to the left time).
-    def _us(c: Column) -> Column:
+    # NTZ-safe micros with NO zone round-trip: timestamp_diff against
+    # the epoch NTZ literal is exact integer micros regardless of the
+    # session timezone or DST (a NTZ->LTZ cast is NOT a uniform shift
+    # across a DST transition).  LTZ columns keep unix_micros, which
+    # is zone-free by definition.
+    from pyspark.sql.types import TimestampNTZType
+
+    _epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def _us(c: Column, is_ntz: bool) -> Column:
+        if is_ntz:
+            return F.timestamp_diff("MICROSECOND", _epoch_ntz, c)
         return F.unix_micros(c.cast("timestamp"))
 
-    l2 = left.withColumn("_lus", _us(F.col(on))).withColumn(
+    l_ntz = isinstance(left.schema[on].dataType, TimestampNTZType)
+    r_ntz = isinstance(right.schema[on].dataType, TimestampNTZType)
+
+    l2 = left.withColumn("_lus", _us(F.col(on), l_ntz)).withColumn(
         "_bkt",
         F.explode(
             F.sequence(
@@ -251,7 +277,7 @@ def range_join(
     )
     r2 = right.select(
         *by_cols, *[F.col(c).alias(prefix + c) for c in rattrs]
-    ).withColumn("_rus", _us(F.col(prefix + on))).withColumn(
+    ).withColumn("_rus", _us(F.col(prefix + on), r_ntz)).withColumn(
         "_bkt", F.expr(f"_rus DIV {w}")
     )
     joined = l2.join(r2, on=by_cols + ["_bkt"]).filter(

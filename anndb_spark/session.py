@@ -26,6 +26,14 @@ def get_spark(app_name: str = "anndb-spark", cpus: int | None = None) -> SparkSe
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # Pin the session (and JVM) timezone: NTZ<->LTZ casts in the
+        # temporal operators must not depend on the host zone.  Without
+        # this, range_join's delta_us and hourly-window oracle parity are
+        # host-timezone-dependent (wrong across DST transitions on
+        # non-UTC hosts).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -3,6 +3,7 @@
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from anndb_spark.operators.temporal import asof_join, sessionize
 
@@ -263,3 +264,66 @@ def test_value_stats_partitioning_independent(spark):
         ).collect()
     }
     assert a == b  # BIT-identical, not approx
+
+
+def test_unkeyed_degenerations_guarded(spark):
+    """VERDICT r7 Wrong #5: un-keyed sessionize/asof silently serialize
+    onto one window partition.  sessionize now refuses; asof_join warns
+    (correct output, documented escape = pass `by=` keys)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from anndb_spark.operators.temporal import asof_join, sessionize
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id LONG, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    with _pytest.raises(ValueError, match="key_col"):
+        sessionize(df, gap_seconds=60, key_col=None)
+
+    right = df.select("ts", F.lit(7).alias("x"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = asof_join(df, right, on="ts", by=None)
+        assert any("ONE partition" in str(w.message) for w in rec)
+    assert out.collect()[0]["right_x"] == 7
+
+    # the documented escape: keyed call emits no warning
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        asof_join(df, df.select("user_id", "ts", F.lit(1).alias("x")),
+                  on="ts", by="user_id")
+        assert not [w for w in rec if "ONE partition" in str(w.message)]
+
+
+def test_range_join_ntz_micros_zone_free(spark):
+    """ADVICE r7: NTZ micros must not round-trip through the session
+    zone.  delta_us on NTZ inputs is exact wall-clock micros whatever
+    zone the session runs in (checked by flipping the session zone)."""
+    from anndb_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-03-10 01:59:00")], "k LONG, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(1, "2024-03-10 03:01:00")], "k LONG, ts STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        deltas = {}
+        # America/New_York DST springs forward inside this interval;
+        # an LTZ round-trip would shift delta_us by 3600s there.
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = range_join(
+                left, right, on="ts", by="k",
+                lower_seconds=0, upper_seconds=7200,
+            ).collect()
+            assert len(row) == 1, tz
+            deltas[tz] = row[0]["delta_us"]
+        assert deltas["UTC"] == deltas["America/New_York"] == 62 * 60 * 1_000_000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -74,7 +74,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    # local gate checks the FULL registry, not just the driver's 50-window
+    qs = getattr(entrymod, "all_queries", entrymod.queries)()
+    os_ = entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
