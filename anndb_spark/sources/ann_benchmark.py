@@ -15,10 +15,14 @@ read is a parallel, column-pruned, predicate-pushed scan.  The vectors
 are stored as ARRAY<FLOAT> — float32 like the source data, halving
 vector I/O vs double on the scan path; operators up-cast per use.
 
-h5py is not installed in this container, so the HDF5 decode step is
-import-gated (`ImportError` with instructions); the matrix→DataFrame
-plumbing (`matrix_to_df`, `neighbors_to_df`, the converter's chunking
-and the parquet contract) is real and tested against synthetic arrays.
+h5py is not installed in this container; the decode step therefore
+falls back to the vendored pure-Python reader (`sources/hdf5lite.py`,
+written against the public HDF5 File Format Specification) which
+covers the exact corner ann-benchmarks files occupy: v0 superblock,
+root-level contiguous/chunked numeric datasets, deflate/shuffle
+filters.  h5py is preferred when present (same API, broader format
+coverage).  Chunked conversion stays O(chunk) driver memory on both
+paths (hdf5lite row-slices contiguous data through mmap).
 """
 
 from __future__ import annotations
@@ -38,16 +42,57 @@ TEST_SCHEMA = "query_id BIGINT, query_vector ARRAY<FLOAT>"
 NEIGHBORS_SCHEMA = "query_id BIGINT, rank INT, id BIGINT"
 
 
+class _Hdf5File:
+    """h5py.File-compatible shim over the vendored pure-Python reader
+    (indexable datasets with .shape, row-slice reads)."""
+
+    class _DS:
+        def __init__(self, path: str, name: str, shape: tuple[int, ...]):
+            self._path, self._name, self.shape = path, name, shape
+
+        def __getitem__(self, key):
+            from anndb_spark.sources import hdf5lite
+
+            if isinstance(key, slice):
+                return hdf5lite.read_dataset(
+                    self._path, self._name, key.start, key.stop
+                )
+            if key == ():
+                return hdf5lite.read_dataset(self._path, self._name)
+            raise TypeError(f"unsupported index {key!r}")
+
+    def __init__(self, path: str, mode: str = "r"):
+        from anndb_spark.sources import hdf5lite
+
+        if mode != "r":
+            raise ValueError("hdf5lite shim is read-only")
+        self._path = path
+        self._meta = hdf5lite.list_datasets(path)
+
+    def __getitem__(self, name: str) -> "_Hdf5File._DS":
+        return self._DS(self._path, name, self._meta[name][0])
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 def _h5py():
+    """h5py when installed, else the vendored hdf5lite shim (exposes
+    the one sliver of the h5py API this module uses: File(path, 'r'),
+    f[name].shape, f[name][a:b], f[name][()])."""
     try:
         import h5py  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - exercised via monkeypatch
-        raise ImportError(
-            "reading ann-benchmarks HDF5 requires h5py; convert offline with "
-            "`pip install h5py` + ann_benchmark_to_parquet(path, out_dir), "
-            "then read the parquet with read_ann_benchmark(spark, out_dir)"
-        ) from e
-    return h5py
+
+        return h5py
+    except ImportError:
+
+        class _Shim:
+            File = _Hdf5File
+
+        return _Shim()
 
 
 def matrix_to_df(

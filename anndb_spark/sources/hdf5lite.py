@@ -1,0 +1,449 @@
+"""Minimal pure-Python HDF5 reader for ann-benchmarks files.
+
+The container has no h5py/libhdf5, but the reference's benchmark input
+(`/root/reference/cmd/benchmark/ann-benchmark/main.go:23-99`) is a
+fixed, simple corner of HDF5: a root group holding a handful of 1-2D
+numeric datasets (`train`, `test`, `neighbors`, `distances`) written by
+h5py with default settings.  That corner needs only:
+
+* superblock v0 (h5py ``libver='earliest'`` default) or v2/v3
+* v1 object headers (+ continuation blocks)
+* v1 group B-tree + local heap + SNOD symbol tables (v0 superblock),
+  or v2 "link info/link message" headers are NOT needed for v0 files
+* dataspace (v1/v2), datatype classes 0 (fixed-point) and 1 (float),
+  little-endian
+* data layout v3: compact (0), contiguous (1), and chunked (2) with
+  the v1 chunk B-tree; filters deflate (zlib, stdlib) and shuffle
+  (byte de-interleave, numpy)
+
+Everything here follows the public HDF5 File Format Specification
+(Version 2.x); no HDF5 library code is used.  Out-of-scope features
+(big-endian data, v2 B-trees, fractal heaps, szip) raise a clear
+``UnsupportedHdf5Feature`` instead of misreading.
+"""
+
+from __future__ import annotations
+
+import mmap
+import zlib
+from contextlib import contextmanager
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = [
+    "UnsupportedHdf5Feature",
+    "list_datasets",
+    "read_dataset",
+]
+
+_SIGNATURE = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+class UnsupportedHdf5Feature(ValueError):
+    """The file is valid HDF5 but uses a feature outside the
+    ann-benchmarks corner this reader supports."""
+
+
+@dataclass
+class _Dataset:
+    shape: tuple[int, ...]
+    dtype: np.dtype
+    layout_class: int          # 0 compact, 1 contiguous, 2 chunked
+    data_address: int          # contiguous: address; chunked: btree addr
+    data_size: int             # contiguous/compact byte size
+    compact_data: bytes | None
+    chunk_dims: tuple[int, ...] | None
+    filters: list[tuple[int, tuple[int, ...]]]  # (filter_id, client_data)
+
+
+def _u(buf: bytes, off: int, n: int) -> int:
+    return int.from_bytes(buf[off : off + n], "little")
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.b = data
+        if data[:8] != _SIGNATURE:
+            # superblock may sit at offset 512/1024/...; ann-benchmarks
+            # files have it at 0, but scan per the spec anyway
+            off = 512
+            while off < len(data):
+                if data[off : off + 8] == _SIGNATURE:
+                    break
+                off *= 2
+            else:
+                raise ValueError("not an HDF5 file (no superblock signature)")
+            raise UnsupportedHdf5Feature("non-zero superblock offset")
+        ver = data[8]
+        if ver == 0:
+            self.off_size = data[13]
+            self.len_size = data[14]
+            # v0: sizes(2) + versions(5+reserved) .. root symbol table
+            # entry starts after 24 fixed bytes + 4 addresses
+            p = 24 + 4 * self.off_size
+            # symbol table entry: link name offset, object header addr
+            self.root_header = _u(data, p + self.off_size, self.off_size)
+        elif ver in (2, 3):
+            self.off_size = data[9]
+            self.len_size = data[10]
+            # flags(1) base(o) ext(o) eof(o) root_header(o) checksum(4)
+            p = 12 + 3 * self.off_size
+            self.root_header = _u(data, p, self.off_size)
+        else:
+            raise UnsupportedHdf5Feature(f"superblock version {ver}")
+        if self.off_size != 8 or self.len_size != 8:
+            raise UnsupportedHdf5Feature(
+                f"offset/length sizes {self.off_size}/{self.len_size}"
+            )
+
+    # --- object headers -------------------------------------------------
+
+    def _messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (type, body) messages of the object header at addr,
+        following continuation messages; v1 and v2 headers."""
+        b = self.b
+        out: list[tuple[int, bytes]] = []
+        if b[addr : addr + 4] == b"OHDR":  # v2
+            p = addr + 4
+            ver = b[p]
+            if ver != 2:
+                raise UnsupportedHdf5Feature(f"OHDR version {ver}")
+            flags = b[p + 1]
+            p += 2
+            if flags & 0x20:
+                p += 8  # times
+            if flags & 0x10:
+                p += 4  # max compact/dense attrs
+            size_bytes = 1 << (flags & 0x3)
+            chunk_size = _u(b, p, size_bytes)
+            p += size_bytes
+            end = p + chunk_size
+            creation_order = bool(flags & 0x4)
+            while p + 4 <= end:
+                mtype = b[p]
+                msize = _u(b, p + 1, 2)
+                p += 4
+                if creation_order:
+                    p += 2
+                out.append((mtype, b[p : p + msize]))
+                p += msize
+            return out
+        # v1
+        nmsgs = _u(b, addr + 2, 2)
+        hdr_size = _u(b, addr + 8, 4)
+        blocks = [(addr + 16, hdr_size)]
+        got = 0
+        while blocks and got < nmsgs:
+            p, remaining = blocks.pop(0)
+            end = p + remaining
+            while p + 8 <= end and got < nmsgs:
+                mtype = _u(b, p, 2)
+                msize = _u(b, p + 2, 2)
+                body = b[p + 8 : p + 8 + msize]
+                got += 1
+                p += 8 + msize
+                if mtype == 0x0010:  # continuation
+                    blocks.append((_u(body, 0, 8), _u(body, 8, 8)))
+                else:
+                    out.append((mtype, body))
+        return out
+
+    # --- root group -> {name: header addr} -------------------------------
+
+    def datasets(self) -> dict[str, int]:
+        msgs = self._messages(self.root_header)
+        for mtype, body in msgs:
+            if mtype == 0x0011:  # symbol table message
+                btree = _u(body, 0, 8)
+                heap = _u(body, 8, 8)
+                return self._walk_group_btree(btree, heap)
+        # v2-style groups (link messages) — h5py only emits these for
+        # libver='latest'; ann-benchmarks files don't use them
+        links: dict[str, int] = {}
+        for mtype, body in msgs:
+            if mtype == 0x0006:  # link message
+                links.update(self._parse_link_message(body))
+        if links:
+            return links
+        raise UnsupportedHdf5Feature("root group has no symbol table or links")
+
+    def _parse_link_message(self, body: bytes) -> dict[str, int]:
+        ver, flags = body[0], body[1]
+        p = 2
+        if flags & 0x8:
+            if body[p] != 0:
+                return {}  # not a hard link
+            p += 1
+        if flags & 0x4:
+            p += 8  # creation order
+        if flags & 0x10:
+            p += 1  # charset
+        nlen_size = 1 << (flags & 0x3)
+        nlen = _u(body, p, nlen_size)
+        p += nlen_size
+        name = body[p : p + nlen].decode()
+        p += nlen
+        return {name: _u(body, p, 8)}
+
+    def _heap_name(self, heap_addr: int, name_off: int) -> str:
+        b = self.b
+        if b[heap_addr : heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        data_addr = _u(b, heap_addr + 24, 8)
+        end = b.find(b"\x00", data_addr + name_off)  # mmap has find, not index
+        return b[data_addr + name_off : end].decode()
+
+    def _walk_group_btree(self, btree_addr: int, heap_addr: int) -> dict[str, int]:
+        b = self.b
+        out: dict[str, int] = {}
+
+        def walk(addr: int) -> None:
+            if b[addr : addr + 4] == b"SNOD":
+                nsyms = _u(b, addr + 6, 2)
+                p = addr + 8
+                for _ in range(nsyms):
+                    name_off = _u(b, p, 8)
+                    hdr = _u(b, p + 8, 8)
+                    out[self._heap_name(heap_addr, name_off)] = hdr
+                    p += 40  # 8+8+4+4+16
+                return
+            if b[addr : addr + 4] != b"TREE":
+                raise ValueError("bad group B-tree signature")
+            level = b[addr + 5]
+            n = _u(b, addr + 6, 2)
+            p = addr + 8 + 2 * 8  # skip siblings
+            p += 8  # key 0
+            for _ in range(n):
+                child = _u(b, p, 8)
+                p += 8 + 8  # child + next key
+                if level == 0 and b[child : child + 4] == b"TREE":
+                    walk(child)
+                else:
+                    walk(child)
+
+        walk(btree_addr)
+        return out
+
+    # --- dataset metadata -------------------------------------------------
+
+    def dataset_info(self, hdr_addr: int) -> _Dataset:
+        shape: tuple[int, ...] = ()
+        dtype: np.dtype | None = None
+        layout_class = -1
+        data_address = _UNDEF
+        data_size = 0
+        compact: bytes | None = None
+        chunk_dims: tuple[int, ...] | None = None
+        filters: list[tuple[int, tuple[int, ...]]] = []
+        for mtype, body in self._messages(hdr_addr):
+            if mtype == 0x0001:  # dataspace
+                ver = body[0]
+                rank = body[1]
+                if ver == 1:
+                    p = 8
+                elif ver == 2:
+                    p = 4
+                else:
+                    raise UnsupportedHdf5Feature(f"dataspace v{ver}")
+                shape = tuple(_u(body, p + 8 * i, 8) for i in range(rank))
+            elif mtype == 0x0003:  # datatype
+                dtype = self._parse_datatype(body)
+            elif mtype == 0x0008:  # data layout
+                ver = body[0]
+                if ver != 3:
+                    raise UnsupportedHdf5Feature(f"layout v{ver}")
+                layout_class = body[1]
+                if layout_class == 0:  # compact
+                    data_size = _u(body, 2, 2)
+                    compact = body[4 : 4 + data_size]
+                elif layout_class == 1:  # contiguous
+                    data_address = _u(body, 2, 8)
+                    data_size = _u(body, 10, 8)
+                elif layout_class == 2:  # chunked
+                    rank = body[2]
+                    data_address = _u(body, 3, 8)
+                    chunk_dims = tuple(
+                        _u(body, 11 + 4 * i, 4) for i in range(rank - 1)
+                    )
+                else:
+                    raise UnsupportedHdf5Feature(f"layout class {layout_class}")
+            elif mtype == 0x000B:  # filter pipeline
+                ver = body[0]
+                nfilters = body[1]
+                p = 8 if ver == 1 else 2
+                for _ in range(nfilters):
+                    fid = _u(body, p, 2)
+                    if ver == 1 or fid >= 256:
+                        nlen = _u(body, p + 2, 2)
+                        flags = _u(body, p + 4, 2)
+                        ncd = _u(body, p + 6, 2)
+                        p += 8 + ((nlen + 7) & ~7)
+                    else:
+                        flags = _u(body, p + 2, 2)
+                        ncd = _u(body, p + 4, 2)
+                        p += 6
+                    cd = tuple(_u(body, p + 4 * i, 4) for i in range(ncd))
+                    p += 4 * ncd
+                    if ver == 1 and ncd % 2 == 1:
+                        p += 4
+                    filters.append((fid, cd))
+        if dtype is None or layout_class < 0:
+            raise ValueError("object is not a dataset (missing dtype/layout)")
+        return _Dataset(
+            shape, dtype, layout_class, data_address, data_size,
+            compact, chunk_dims, filters,
+        )
+
+    @staticmethod
+    def _parse_datatype(body: bytes) -> np.dtype:
+        cls = body[0] & 0x0F
+        ver = body[0] >> 4
+        bits0 = body[1]
+        size = _u(body, 4, 4)
+        if ver not in (1, 2, 3):
+            raise UnsupportedHdf5Feature(f"datatype version {ver}")
+        if bits0 & 0x1:
+            raise UnsupportedHdf5Feature("big-endian data")
+        if cls == 0:  # fixed-point
+            signed = bool(bits0 & 0x08)
+            return np.dtype(f"<{'i' if signed else 'u'}{size}")
+        if cls == 1:  # floating-point
+            if size not in (2, 4, 8):
+                raise UnsupportedHdf5Feature(f"float size {size}")
+            return np.dtype(f"<f{size}")
+        raise UnsupportedHdf5Feature(f"datatype class {cls}")
+
+    # --- data -------------------------------------------------------------
+
+    def read(self, info: _Dataset) -> np.ndarray:
+        n = int(np.prod(info.shape)) if info.shape else 1
+        if info.layout_class == 0:
+            arr = np.frombuffer(info.compact_data, dtype=info.dtype, count=n)
+            return arr.reshape(info.shape).copy()
+        if info.layout_class == 1:
+            if info.data_address == _UNDEF:
+                return np.zeros(info.shape, dtype=info.dtype)
+            arr = np.frombuffer(
+                self.b, dtype=info.dtype, count=n, offset=info.data_address
+            )
+            return arr.reshape(info.shape).copy()
+        # chunked
+        out = np.zeros(info.shape, dtype=info.dtype)
+        if info.data_address == _UNDEF:
+            return out
+        itemsize = info.dtype.itemsize
+        for offsets, address, nbytes, fmask in self._chunks(
+            info.data_address, len(info.shape) + 1
+        ):
+            raw = self.b[address : address + nbytes]
+            for i, (fid, cd) in enumerate(reversed(info.filters)):
+                if fmask & (1 << (len(info.filters) - 1 - i)):
+                    continue
+                if fid == 1:  # deflate
+                    raw = zlib.decompress(raw)
+                elif fid == 2:  # shuffle
+                    width = cd[0] if cd else itemsize
+                    a = np.frombuffer(raw, dtype=np.uint8)
+                    a = a.reshape(width, len(raw) // width).T
+                    raw = a.tobytes()
+                else:
+                    raise UnsupportedHdf5Feature(f"filter id {fid}")
+            chunk = np.frombuffer(raw, dtype=info.dtype)
+            chunk = chunk.reshape(info.chunk_dims)
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offsets, info.chunk_dims, info.shape)
+            )
+            src = tuple(slice(0, s.stop - s.start) for s in sel)
+            out[sel] = chunk[src]
+        return out
+
+    def _chunks(self, btree_addr: int, key_rank: int):
+        """Yield (chunk_offsets, address, nbytes, filter_mask) from the
+        v1 raw-data chunk B-tree (node type 1)."""
+        b = self.b
+
+        def walk(addr: int):
+            if b[addr : addr + 4] != b"TREE":
+                raise ValueError("bad chunk B-tree signature")
+            level = b[addr + 5]
+            n = _u(b, addr + 6, 2)
+            key_size = 8 + 8 * key_rank  # size(4)+mask(4)+offsets(8 each)
+            p = addr + 8 + 2 * 8
+            for i in range(n):
+                nbytes = _u(b, p, 4)
+                fmask = _u(b, p + 4, 4)
+                offs = tuple(
+                    _u(b, p + 8 + 8 * j, 8) for j in range(key_rank - 1)
+                )
+                child = _u(b, p + key_size, 8)
+                if level == 0:
+                    yield offs, child, nbytes, fmask
+                else:
+                    yield from walk(child)
+                p += key_size + 8
+
+        yield from walk(btree_addr)
+
+
+@contextmanager
+def _mapped(path: str):
+    """mmap the file: metadata walks and row slices touch only the
+    pages they read — a 100 GB file costs O(slice), not O(file)."""
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            yield _Reader(mm)
+        finally:
+            mm.close()
+
+
+def list_datasets(path: str) -> dict[str, tuple[tuple[int, ...], str]]:
+    """{name: (shape, dtype_str)} for every root-level dataset."""
+    with _mapped(path) as r:
+        out = {}
+        for name, hdr in r.datasets().items():
+            try:
+                info = r.dataset_info(hdr)
+            except ValueError:
+                continue  # sub-group or non-dataset object
+            out[name] = (info.shape, str(info.dtype))
+        return out
+
+
+def read_dataset(
+    path: str, name: str, start: int | None = None, stop: int | None = None
+) -> np.ndarray:
+    """Read one root-level dataset (optionally a [start, stop) row
+    slice — contiguous layouts read only those rows' bytes; chunked
+    layouts decode fully then slice)."""
+    with _mapped(path) as r:
+        table = r.datasets()
+        if name not in table:
+            raise KeyError(f"dataset {name!r} not in {sorted(table)}")
+        info = r.dataset_info(table[name])
+        if (
+            (start is not None or stop is not None)
+            and info.layout_class == 1
+            and info.shape
+            and info.data_address != _UNDEF
+        ):
+            nrows = info.shape[0]
+            s = max(0, nrows if start is None else min(start, nrows))
+            e = max(s, nrows if stop is None else min(stop, nrows))
+            row_elems = int(np.prod(info.shape[1:])) if len(info.shape) > 1 else 1
+            arr = np.frombuffer(
+                r.b,
+                dtype=info.dtype,
+                count=(e - s) * row_elems,
+                offset=info.data_address + s * row_elems * info.dtype.itemsize,
+            )
+            out = arr.reshape((e - s,) + info.shape[1:]).copy()
+            del arr  # drop the mmap view before the map closes
+            return out
+        out = r.read(info)
+        if start is not None or stop is not None:
+            out = out[start:stop].copy()
+        return out

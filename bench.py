@@ -688,6 +688,12 @@ def main():
             extra["sift1m"] = json.load(_f)
     except (OSError, ValueError):
         pass
+    # same passthrough for the angular twin (tools/bench_glove1m.py)
+    try:
+        with open("/tmp/anndb_bench_cache/glove1m_meta.json") as _f:
+            extra["glove1m"] = json.load(_f)
+    except (OSError, ValueError):
+        pass
 
     total = round(sum(timings.values()), 3)
     print(
