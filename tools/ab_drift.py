@@ -37,19 +37,14 @@ def main():
     spark = get_spark("ab-drift", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    import bench
-    from pyspark.sql import functions as F
-    from anndb_spark.operators.hnsw import (
-        HnswConfig,
-        build_index,
-        save_index,
-        search_index_path,
-    )
-    from anndb_spark.operators.ivf import assign_clusters, train_centroids
-    from anndb_spark.sources.tables import lineitem_vec
-
     scratch = tempfile.mkdtemp(prefix="ab_drift_")
     legs: dict[str, list[float]] = {}
+    only = set(
+        x for x in os.environ.get("AB_LEGS", "").split(",") if x.strip()
+    )
+
+    def want(name: str) -> bool:
+        return not only or name in only
 
     def timed(name, fn, repeats=REPEATS):
         ts = []
@@ -60,6 +55,25 @@ def main():
         legs[name] = ts
 
     # --- scatter legs: identical setup to bench.py q3/q4 ---
+    if want("hnsw_search_1kq") or want("hnsw_search_1kq_beam"):
+        _scatter_legs(spark, sf_dir, cpus, scratch, timed, want)
+    if want("fm_search_1kq_routed"):
+        _routed_leg(spark, cpus, scratch, timed)
+
+    print(json.dumps({"label": label, "tree": tree, "legs": legs}))
+    spark.stop()
+
+
+def _scatter_legs(spark, sf_dir, cpus, scratch, timed, want):
+    from pyspark.sql import functions as F
+    from anndb_spark.operators.hnsw import (
+        HnswConfig,
+        build_index,
+        save_index,
+        search_index_path,
+    )
+    from anndb_spark.sources.tables import lineitem_vec
+
     vecs = lineitem_vec(spark, sf_dir).select("id", "vector").repartition(cpus).cache()
     vecs.count()
     sample = (
@@ -91,6 +105,17 @@ def main():
         ).collect(),
     )
 
+
+def _routed_leg(spark, cpus, scratch, timed):
+    import bench
+    from anndb_spark.operators.hnsw import (
+        HnswConfig,
+        build_index,
+        save_index,
+        search_index_path,
+    )
+    from anndb_spark.operators.ivf import assign_clusters, train_centroids
+
     # --- fm routed leg: bench.py q13b at the r6/r7 headline nprobe=2 ---
     fm = bench.fm_table(spark, cpus).cache()
     fm.count()
@@ -117,9 +142,6 @@ def main():
             ef=20, config=cfg_fm, strategy="beam", cache_token="bench-fm-r",
         ).collect(),
     )
-
-    print(json.dumps({"label": label, "tree": tree, "legs": legs}))
-    spark.stop()
 
 
 if __name__ == "__main__":
