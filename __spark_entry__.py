@@ -465,6 +465,74 @@ def _language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _pii_text(sf_dir: str, spark: SparkSession) -> DataFrame:
+    """documents with deterministic synthetic PII injected (the fixture
+    corpus carries none): every 7th doc an email, 11th a phone, 13th a
+    bare IPv4, 17th an SSN shape — the SAME concat expression the
+    DuckDB oracle builds, so detection/redaction outputs hash-match."""
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    inj = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" contact user"), s(1000),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.concat(F.lit(" call 555-"), F.lpad(s(1000), 3, "0"),
+                        F.lit("-"), F.lpad(s(10000), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.concat(F.lit(" from 10."), s(256), F.lit(".0.1"))
+               ).otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.concat(F.lit(" ssn 123-45-"), F.lpad(s(10000), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", inj.alias("text"))
+    )
+
+
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                    || CAST(doc_id % 1000 AS VARCHAR) || '@example.com now'
+               ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+               ELSE '' END
+           || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+    FROM documents
+"""
+
+
+def _pii_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection counts (email/phone/SSN/IPv4) — pure
+    regexp_count column expressions, zero shuffles (the corpus-scrub
+    report step).  Patterns are RE2-compatible so the DuckDB oracle
+    matches bit-exactly."""
+    from anndb_spark.operators.pii import pii_stats
+
+    return pii_stats(_pii_text(sf_dir, spark))
+
+
+def _pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction (bracket tokens, email-before-IP
+    order) + redaction count — the scrub step itself, still a pure
+    projection."""
+    from anndb_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_text(sf_dir, spark))
+
+
 def _fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.text import fingerprint
 
@@ -1415,6 +1483,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_embeddings_top10": _ivfpq_embeddings_top10,
         "pq_exact_rerank_top10": _pq_exact_rerank_top10,
         "ivfpq_full_probe_top10": _ivfpq_full_probe_top10,
+        "pii_stats_documents": _pii_stats_documents,
+        "pii_redact_documents": _pii_redact_documents,
     }
 
 
@@ -1449,10 +1519,13 @@ _DRIVER_WINDOW = [
     "mixture_report_documents",
     "curate_pipeline_documents",
     "pack_sequences_documents",
-    # -- one representative per family (green r1-r7) --
+    # -- new in r8 --
+    "pii_stats_documents",
+    "pii_redact_documents",
+    # -- one representative per family (green r1-r7; knn euclidean is
+    # covered by knn_lineitem_prefilter, recall legs by pytest) --
     "knn_lineitem_manhattan",
     "knn_lineitem_prefilter",
-    "knn_embeddings_euclidean",
     "knn_embeddings_cosine",
     "tpch_q1ish",
     "events_hourly",
@@ -1465,7 +1538,6 @@ _DRIVER_WINDOW = [
     "ann_embeddings_top10",
     "ann_tombstone_delete",
     "ann_filtered_label_top10",
-    "ann_recall_at10",
     "ivf_embeddings_top10",
     "quality_score_documents",
     "multimodal_features",
@@ -2211,6 +2283,46 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) % 512 AS BIGINT) AS seq_offset
             FROM documents
+        """,
+        "pii_stats_documents": f"""
+            WITH inj AS ({_PII_INJECT_SQL})
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                        AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT)
+                        AS n_ipv4,
+                   (n_email + n_phone + n_ssn + n_ipv4) > 0 AS has_pii
+            FROM inj
+        """,
+        "pii_redact_documents": f"""
+            WITH inj AS ({_PII_INJECT_SQL})
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                           '[EMAIL]', 'g'),
+                         '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g'),
+                       '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+                     '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IPV4]', 'g')
+                     AS text_redacted,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                      + len(regexp_extract_all(text,
+                        '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))
+                      + len(regexp_extract_all(text,
+                        '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b'))
+                      + len(regexp_extract_all(text,
+                        '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS BIGINT)
+                        AS n_redacted
+            FROM inj
         """,
         # BFD packing replayed exactly in SQL: the recursive CTE walks
         # each bucket's documents in pack order (tokens DESC, id ASC)
