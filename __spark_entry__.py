@@ -533,6 +533,29 @@ def _pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(_pii_text(sf_dir, spark))
 
 
+def _unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM fluency scores (CCNet-style
+    filter core).  Bit-deterministic: log-probs rounded to 10 decimals
+    (absorbs the measured 1-ULP JVM-vs-libm ln disagreement), summed in
+    pinned position order."""
+    from anndb_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _gopher_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021) over documents — word
+    bounds, mean word length, symbol ratio, alpha-word fraction,
+    stopword floor; thresholds relaxed to the synthetic corpus's
+    40-120-word regime so `passes_gopher` splits the data."""
+    from anndb_spark.operators.text import gopher_signals
+
+    return gopher_signals(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_words=50, max_words=110,
+    )
+
+
 def _fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.text import fingerprint
 
@@ -1485,6 +1508,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_full_probe_top10": _ivfpq_full_probe_top10,
         "pii_stats_documents": _pii_stats_documents,
         "pii_redact_documents": _pii_redact_documents,
+        # past the driver window this round (local gate + pytest only);
+        # rotation candidates for r9's window
+        "gopher_signals_documents": _gopher_signals_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
     }
 
 
@@ -2283,6 +2310,82 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ), 0) % 512 AS BIGINT) AS seq_offset
             FROM documents
+        """,
+        # unigram LM fluency: lp rounded to 10 decimals on BOTH sides
+        # (JVM Math.log vs libm ln differ 1 ULP on ~2% of inputs —
+        # measured; round10 reconciles 100% on this corpus), fold in
+        # position order (list(... ORDER BY pos) + list_reduce ==
+        # Spark's array_sort + aggregate left fold; the 0.0 seed adds
+        # exactly).
+        "unigram_logprob_documents": """
+            WITH w0 AS (
+                SELECT doc_id, string_split(text, ' ') ws FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, u.pos, u.tok
+                FROM (
+                    SELECT doc_id,
+                           unnest([{'pos': i, 'tok': ws[i]}
+                                   for i in range(1, len(ws) + 1)]) u
+                    FROM w0
+                )
+            ),
+            freq AS (SELECT tok, count(*) c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c) t FROM freq),
+            lp AS (
+                SELECT tok,
+                       round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 10) lp
+                FROM freq, tot
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       list_reduce(list(lp.lp ORDER BY toks.pos),
+                                   (a, b) -> a + b) AS sum_logprob
+                FROM toks JOIN lp USING (tok)
+                GROUP BY doc_id
+            )
+            SELECT doc_id AS id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   sum_logprob,
+                   sum_logprob / CAST(n_tokens AS DOUBLE) AS mean_logprob
+            FROM per_doc
+        """,
+        "gopher_signals_documents": """
+            WITH w0 AS (
+                SELECT doc_id, text, string_split(text, ' ') ws
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       len(ws) AS n_words,
+                       list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+                       len(list_filter(ws,
+                           x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                       len(regexp_extract_all(text, '#'))
+                         + len(regexp_extract_all(text, '\\.\\.\\.'))
+                           AS n_symbols,
+                       len(list_filter(ws, x -> x IN
+                           ('the','a','of','and','to','is','in')))
+                           AS n_stop
+                FROM w0
+            )
+            SELECT doc_id AS id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS mean_word_len,
+                   CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS symbol_word_ratio,
+                   CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS alpha_word_frac,
+                   CAST(n_stop AS BIGINT) AS n_stopwords,
+                   (n_words >= 50 AND n_words <= 110
+                    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+                    AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+                    AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+                    AND n_stop >= 2) AS passes_gopher
+            FROM c
         """,
         "pii_stats_documents": f"""
             WITH inj AS ({_PII_INJECT_SQL})

@@ -60,6 +60,124 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col).alias("id"), score.alias("quality"))
 
 
+def gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style corpus quality rules (Rae et al. 2021 §A1.1): word
+    count bounds, mean word length bounds, symbol-to-word ratio ('#'
+    and '...'), fraction of words containing a letter, and minimum
+    stopword hits — the standard pre-filter battery for web corpora.
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_frac, n_stopwords, passes_gopher).  Pure JVM column
+    expressions (higher-order functions + regexp_count) — a projection
+    at scan speed, no shuffle; exact SQL oracle (integer counts, one
+    double division each, same operation order)."""
+    t = F.col(text_col)
+    w = _tokens(t)
+    n = F.size(w)
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    )
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    mean_len = sum_len / nd
+    sym_ratio = symbols.cast("double") / nd
+    alpha_frac = alpha.cast("double") / nd
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop.cast("long").alias("n_stopwords"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Per-document fluency score under the corpus's OWN unigram LM —
+    the CCNet-style perplexity filter's cheap core: documents whose
+    tokens are corpus-typical score high (less negative mean log-prob),
+    gibberish/outlier documents score low.
+
+    Returns (id, n_tokens, sum_logprob, mean_logprob).
+
+    Scale shape: token-frequency groupBy (one shuffle), probability
+    join on the token (AQE broadcasts the vocab when small), then one
+    groupBy(id) with a POSITION-ORDERED left fold over each document's
+    log-probs.  The fold order is pinned (array_sort on (pos, lp)
+    structs) because double addition is not associative; with identical
+    inputs and identical order the sum is bit-deterministic under any
+    partitioning.  Log-probs are rounded to ``round_digits`` decimals
+    before the fold: JVM Math.log and C libm ln disagree by 1 ULP on
+    ~2% of inputs (measured), and the rounding absorbs that so the
+    DuckDB oracle hash-matches."""
+    t = F.col(text_col)
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(t)).alias("pos", "tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")),
+            round_digits,
+        ).alias("lp"),
+    )
+    per_doc = (
+        toks.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_logprob"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col).alias("id"),
+        "n_tokens",
+        "sum_logprob",
+        (F.col("sum_logprob") / F.col("n_tokens").cast("double")).alias(
+            "mean_logprob"
+        ),
+    )
+
+
 def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language-ID heuristic: per-language hit ratio +
     argmax prediction (deterministic tiebreak by language code)."""
