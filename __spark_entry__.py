@@ -132,6 +132,58 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sliding_3h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 3-hour windows every hour (each event
+    lands in 3 overlapping windows) per event type — Spark's native
+    F.window(slide) path, epoch-aligned, so the oracle is the
+    3-way hour-truncation expansion.  Decimal sum for order-independent
+    doubles (the repo-wide aggregation contract)."""
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "3 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _corpus_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (source, lang): doc and token totals at every
+    grouping level in one pass (Spark Expand + single aggregate; the
+    relational 'grouping sets' category from SURVEY §2.2).  Null group
+    keys are labeled ALL (the fixture has no real nulls)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("source", "lang", toks.alias("n_toks"))
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
 def _crud_changelog(spark: SparkSession, sf_dir: str):
     """Synthesized changelog over lineitem/orders: linenumber 1 = insert,
     others = update (8k+ orders lack linenumber 1 → natural reject cases),
@@ -1512,6 +1564,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation candidates for r9's window
         "gopher_signals_documents": _gopher_signals_documents,
         "unigram_logprob_documents": _unigram_logprob_documents,
+        "events_sliding_3h1h": _events_sliding_3h1h,
+        "corpus_cube_source_lang": _corpus_cube_source_lang,
     }
 
 
@@ -2048,6 +2102,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # Spark's epoch-aligned window(3h, slide 1h): an event at t is
+        # in windows starting trunc_h(t)-2h .. trunc_h(t)
+        "events_sliding_3h1h": """
+            SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events, (SELECT unnest([0, 1, 2]) AS k)
+            GROUP BY 1, 2
+        """,
+        "corpus_cube_source_lang": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       AS n_tokens
+            FROM documents
+            GROUP BY CUBE (documents.source, documents.lang)
         """,        "stream_sessions_events": """
             WITH e AS (
                 SELECT user_id, event_id, ts, value,
