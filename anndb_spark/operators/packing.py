@@ -104,3 +104,70 @@ def pack_sequences(
     return base.groupBy("bucket").applyInPandas(
         lambda pdf: _pack_one(pdf, seq_len), _OUT_SCHEMA
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str | None = "source",
+    sub_buckets: int = 1,
+) -> dict:
+    """The export sink at the end of the curation pipeline: pack
+    documents into ``seq_len`` bins, join the text back, and write
+    parquet shards a pretraining loader can stream **sequentially** —
+    directory-partitioned by bucket, rows sorted by (bin_id,
+    bin_offset) inside each file so one file scan yields whole bins in
+    pack order (no loader-side shuffle or sort).
+
+    Scale shape: pack_sequences' one shuffle + an id-equi-join back to
+    the text (ids-only until this join — text never rides the packing
+    shuffle) + the write's own hash partitioning by bucket.  Returns a
+    small manifest dict {bucket: {n_docs, n_bins, n_oversize}} and
+    writes it as ``_manifest.json`` next to the shards (bucket counts
+    are one tiny aggregate — driver-safe by construction).
+    """
+    import json
+    import os
+
+    packed = pack_sequences(
+        df, seq_len, text_col=text_col, id_col=id_col,
+        bucket_col=bucket_col, sub_buckets=sub_buckets,
+    )
+    text = df.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+    rows = packed.join(text, "id")
+    (
+        rows.repartition("bucket")
+        .sortWithinPartitions("bucket", "bin_id", "bin_offset")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    manifest = {
+        r["bucket"]: {
+            "n_docs": r["n_docs"],
+            "n_bins": r["n_bins"],
+            "n_oversize": r["n_oversize"],
+        }
+        for r in packed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+            F.sum(F.col("oversize").cast("int")).alias("n_oversize"),
+        )
+        .collect()
+    }
+    meta = {"seq_len": seq_len, "buckets": manifest}
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_training_shards(spark, out_dir: str) -> DataFrame:
+    """Read shards back in loader order (bucket, bin_id, bin_offset are
+    all in the data; parquet row order inside a file is preserved)."""
+    return spark.read.parquet(out_dir)

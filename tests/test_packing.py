@@ -118,3 +118,45 @@ def test_pack_sub_buckets_bound_group_size(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_len=0)
+
+
+def test_write_training_shards_round_trip(spark, tmp_path):
+    from anndb_spark.operators.packing import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    meta = write_training_shards(docs, out, seq_len=256)
+    assert meta["seq_len"] == 256
+    assert sum(b["n_docs"] for b in meta["buckets"].values()) == docs.count()
+
+    back = read_training_shards(spark, out)
+    assert back.count() == docs.count()
+    # every bin respects the budget (oversize singletons exempt)
+    from pyspark.sql import functions as F
+
+    over = (
+        back.filter(~F.col("oversize"))
+        .groupBy("bucket", "bin_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .filter(F.col("tot") > 256)
+        .count()
+    )
+    assert over == 0
+    # text survived the round trip
+    one = back.filter(F.col("text").isNotNull()).limit(1).collect()
+    assert one and len(one[0]["text"]) > 0
+    # loader order: inside one bucket, offsets are cumulative per bin
+    rows = (
+        back.filter(F.col("bucket") == one[0]["bucket"])
+        .orderBy("bin_id", "bin_offset")
+        .collect()
+    )
+    seen = {}
+    for r in rows:
+        if r["oversize"]:
+            continue
+        assert r["bin_offset"] == seen.get(r["bin_id"], 0)
+        seen[r["bin_id"]] = r["bin_offset"] + r["n_tokens"]
