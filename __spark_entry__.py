@@ -75,6 +75,60 @@ def _knn_embeddings(space: str):
     return run
 
 
+def _sq8_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the SQ8-compressed embeddings (the 4×-smaller-scan
+    path): decode-in-expression candidate scoring, top-30 per query,
+    exact rerank of those candidates against the original floats by
+    id-equi-join — the quantize-scan-then-rerank shape that survives
+    100 TB because only codes ride the scan and only k·mult rows
+    touch the float table."""
+    from anndb_spark.functions.quantize import sq8_encode_table
+    from anndb_spark.operators.knn import knn_sq8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    enc = sq8_encode_table(emb)
+    return knn_sq8(
+        enc, _queries_df(spark, EMBEDDING_QUERIES), K, original=emb,
+        rerank_mult=3,
+    )
+
+
+def _sq8_search_oracle() -> str:
+    """SQL twin: same decode arithmetic (floor(x+0.5) codes, c·scale +
+    rmin), same candidate cut (top-30 by decoded distance, id
+    tiebreak), same exact rerank."""
+    from anndb_spark.functions.quantize import sq8_oracle_sql
+
+    o = sq8_oracle_sql("embedding")
+    dec = (
+        f"list_transform(embedding, x -> "
+        f"CAST(CAST(floor((CAST(x AS DOUBLE) - {o['rmin']}) / {o['scale']}"
+        f" + 0.5) AS INT) AS DOUBLE) * {o['scale']} + {o['rmin']})"
+    )
+    branches = []
+    for qid, qv in EMBEDDING_QUERIES:
+        adist = distance_sql("dvec", qv, space="euclidean", dialect="duckdb")
+        edist = distance_sql(
+            "embedding", qv, space="euclidean", dialect="duckdb"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, id, {edist} AS score FROM ("
+            f"SELECT id, embedding FROM enc "
+            f"ORDER BY {adist} ASC, id ASC LIMIT {K * 3})"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"WITH enc AS (SELECT vec_id AS id, embedding, {dec} AS dvec "
+        f"FROM embeddings) "
+        f"SELECT query_id, rank, id, score FROM ("
+        f"SELECT query_id, id, score, CAST(row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score ASC, id ASC) AS INT) AS rank "
+        f"FROM ({union})) WHERE rank <= {K} ORDER BY query_id, rank"
+    )
+
+
 def _tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -1566,6 +1620,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _unigram_logprob_documents,
         "events_sliding_3h1h": _events_sliding_3h1h,
         "corpus_cube_source_lang": _corpus_cube_source_lang,
+        "sq8_search_embeddings": _sq8_search_embeddings,
     }
 
 
@@ -2425,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
                    sum_logprob / CAST(n_tokens AS DOUBLE) AS mean_logprob
             FROM per_doc
         """,
+        "sq8_search_embeddings": _sq8_search_oracle(),
         "gopher_signals_documents": """
             WITH w0 AS (
                 SELECT doc_id, text, string_split(text, ' ') ws

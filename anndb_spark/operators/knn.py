@@ -264,6 +264,74 @@ def knn_exact(
     )
 
 
+def knn_sq8(
+    encoded: DataFrame,
+    queries: DataFrame,
+    k: int,
+    original: DataFrame | None = None,
+    space: str = "euclidean",
+    rerank_mult: int = 3,
+    vec_col: str = "vector",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """kNN over the SQ8-compressed table: the candidate scan reads the
+    uint8 codes (4× fewer vector bytes than float32 — at 100 TB the
+    scan IS the cost), decodes in-expression, and takes
+    ``k·rerank_mult`` approximate candidates; when ``original`` (the
+    float table, ``(id, vector)``) is given, candidates are fetched by
+    id — an equi-join touching only k·mult rows per query, not the
+    table — and exactly re-ranked to the final top-k.
+
+    ``encoded`` is the `quantize.sq8_encode_table` layout
+    (id, {vec}_codes, {vec}_rmin, {vec}_scale).  All scoring is the
+    dual-dialect expression kernel, so results stay oracle-exact.
+    Returns (query_id, rank, id, score); score is the EXACT distance
+    when reranked, else the decoded-approximation distance."""
+    from anndb_spark.functions.quantize import sq8_decode
+
+    decoded = encoded.select(
+        F.col(id_col),
+        sq8_decode(
+            F.col(f"{vec_col}_codes"),
+            F.col(f"{vec_col}_rmin"),
+            F.col(f"{vec_col}_scale"),
+        ).alias(vec_col),
+    )
+    n_cand = k * rerank_mult if original is not None else k
+    cand = knn_exact(
+        decoded, queries, n_cand, space=space, vec_col=vec_col,
+        id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    if original is None:
+        return cand
+    joined = (
+        cand.select(query_id_col, id_col)
+        .join(original.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        distance_col(F.col(vec_col), F.col(query_vec_col), space).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

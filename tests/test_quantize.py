@@ -93,3 +93,31 @@ def test_sq8_table_roundtrip_through_parquet(spark, tmp_path):
         orig = np.asarray(vec)
         rec = np.asarray(got[i])
         assert np.abs(orig - rec).max() <= scale_by_id[i] / 2 + 1e-9
+
+
+def test_knn_sq8_rerank_matches_exact(spark):
+    """SQ8 candidate scan + exact rerank recovers the exact top-k on
+    the fixture (0.2% reconstruction error << neighbor separation);
+    scores equal knn_exact's bitwise (same expression kernel)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from anndb_spark.functions.quantize import sq8_encode_table
+    from anndb_spark.operators.knn import knn_exact, knn_sq8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qdf = e._queries_df(spark, e.EMBEDDING_QUERIES)
+    exact = {(r["query_id"], r["rank"]): (r["id"], r["score"])
+             for r in knn_exact(emb, qdf, 5).collect()}
+    sq8 = {(r["query_id"], r["rank"]): (r["id"], r["score"])
+           for r in knn_sq8(sq8_encode_table(emb), qdf, 5,
+                            original=emb).collect()}
+    assert sq8 == exact
+
+    # without rerank: approximate scores over decoded vectors, same ids
+    # at this error level
+    approx = knn_sq8(sq8_encode_table(emb), qdf, 5)
+    ids_a = {(r["query_id"], r["rank"]): r["id"] for r in approx.collect()}
+    assert ids_a == {k: v[0] for k, v in exact.items()}
