@@ -59,8 +59,50 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
 
 
-def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
+def _chunked_pieces(arr: np.ndarray, chunk_rows: int, deflate: bool):
+    """(layout_msg_body_maker, filter_msg, [(key_offsets, blob)]) for a
+    v1-chunk-B-tree chunked dataset, optionally deflate-compressed."""
+    import zlib
+
+    rank = arr.ndim
+    chunk_dims = (min(chunk_rows, arr.shape[0]),) + arr.shape[1:]
+    chunks = []
+    for s in range(0, arr.shape[0], chunk_dims[0]):
+        block = np.zeros(chunk_dims, dtype=arr.dtype)
+        part = arr[s : s + chunk_dims[0]]
+        block[: part.shape[0]] = part
+        raw = block.tobytes()
+        if deflate:
+            raw = zlib.compress(raw, 6)
+        offsets = (s,) + (0,) * (rank - 1)
+        chunks.append((offsets, raw))
+    filt = b""
+    if deflate:
+        # filter pipeline v1: deflate (id 1), one client value (level)
+        name = _pad8(b"deflate\x00")
+        filt = struct.pack("<BB6x", 1, 1) + struct.pack(
+            "<HHHH", 1, len(name), 1, 1
+        ) + name + struct.pack("<II", 6, 0)  # cd + even-pad
+    def layout_body(btree_addr: int) -> bytes:
+        body = struct.pack("<BBB", 3, 2, rank + 1)
+        body += struct.pack("<Q", btree_addr)
+        for d in chunk_dims:
+            body += struct.pack("<I", d)
+        body += struct.pack("<I", arr.dtype.itemsize)
+        return body
+    return layout_body, filt, chunk_dims, chunks
+
+
+def write_hdf5(
+    path: str,
+    datasets: dict[str, np.ndarray],
+    chunk_rows: dict[str, int] | None = None,
+    deflate: bool = False,
+) -> None:
+    """``chunk_rows[name]`` switches that dataset to the chunked layout
+    (v1 chunk B-tree, one leaf node), with optional deflate."""
     names = list(datasets)
+    chunk_rows = chunk_rows or {}
 
     # ---- local heap data: names at 8-aligned offsets (offset 0 kept
     # for the traditional empty entry) ----
@@ -71,16 +113,51 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
         heap_data += _pad8(n.encode() + b"\x00")
     heap_data = _pad8(heap_data)
 
-    # ---- dataset object headers (layout address patched later) ----
-    def ds_header(arr: np.ndarray, data_addr: int) -> bytes:
-        layout = struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)
-        return _object_header(
-            [
-                _message(0x0001, _dataspace_message(arr.shape)),
-                _message(0x0003, _datatype_message(arr.dtype)),
-                _message(0x0008, layout),
-            ]
+    # per-dataset pieces: chunked datasets carry a layout-body maker,
+    # filter message, chunk dims and compressed blobs
+    pieces = {
+        n: (
+            _chunked_pieces(datasets[n], chunk_rows[n], deflate)
+            if n in chunk_rows
+            else None
         )
+        for n in names
+    }
+
+    # ---- dataset object headers (layout address patched later) ----
+    def ds_header(n: str, data_addr: int) -> bytes:
+        arr = datasets[n]
+        msgs = [
+            _message(0x0001, _dataspace_message(arr.shape)),
+            _message(0x0003, _datatype_message(arr.dtype)),
+        ]
+        if pieces[n] is not None:
+            layout_body, filt, _, _ = pieces[n]
+            if filt:
+                msgs.append(_message(0x000B, filt))
+            msgs.append(_message(0x0008, layout_body(data_addr)))
+        else:
+            msgs.append(
+                _message(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
+            )
+        return _object_header(msgs)
+
+    def chunk_btree(n: str, chunk_addrs: list[int]) -> bytes:
+        """One leaf node (type 1) of the raw-data chunk B-tree."""
+        arr = datasets[n]
+        _, _, _, chunks = pieces[n]
+        key_rank = arr.ndim + 1
+        node = b"TREE" + struct.pack("<BBH", 1, 0, len(chunks))
+        node += struct.pack("<QQ", UNDEF, UNDEF)
+        for (offsets, blob), addr in zip(chunks, chunk_addrs):
+            node += struct.pack("<II", len(blob), 0)
+            for o in offsets:
+                node += struct.pack("<Q", o)
+            node += struct.pack("<Q", 0)  # element-dim offset
+            node += struct.pack("<Q", addr)
+        # final key (one past the end)
+        node += struct.pack("<II", 0, 0) + b"\x00" * (8 * key_rank)
+        return node
 
     # ---- fixed-size pieces to compute the layout ----
     superblock_size = 96
@@ -104,14 +181,24 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
     pos += snod_size
 
     ds_header_addr = {}
-    probe = {n: ds_header(datasets[n], 0) for n in names}
+    probe = {n: ds_header(n, 0) for n in names}
     for n in names:
         ds_header_addr[n] = pos
         pos += len(probe[n])
-    data_addr = {}
+    data_addr = {}       # contiguous: raw addr; chunked: btree addr
+    chunk_addrs = {}     # chunked: per-chunk blob addresses
     for n in names:
-        data_addr[n] = pos
-        pos += datasets[n].nbytes
+        if pieces[n] is None:
+            data_addr[n] = pos
+            pos += datasets[n].nbytes
+        else:
+            _, _, _, chunks = pieces[n]
+            data_addr[n] = pos
+            pos += len(chunk_btree(n, [0] * len(chunks)))
+            chunk_addrs[n] = []
+            for _, blob in chunks:
+                chunk_addrs[n].append(pos)
+                pos += len(blob)
     eof = pos
 
     # ---- assemble ----
@@ -143,12 +230,17 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray]) -> None:
     for n in sorted(names):
         out += struct.pack("<QQI4x16x", name_off[n], ds_header_addr[n], 0)
     for n in names:
-        out += ds_header(datasets[n], data_addr[n])
+        out += ds_header(n, data_addr[n])
     for n in names:
-        arr = np.ascontiguousarray(datasets[n])
-        if arr.dtype.byteorder == ">":
-            arr = arr.astype(arr.dtype.newbyteorder("<"))
-        out += arr.tobytes()
+        if pieces[n] is None:
+            arr = np.ascontiguousarray(datasets[n])
+            if arr.dtype.byteorder == ">":
+                arr = arr.astype(arr.dtype.newbyteorder("<"))
+            out += arr.tobytes()
+        else:
+            out += chunk_btree(n, chunk_addrs[n])
+            for _, blob in pieces[n][3]:
+                out += blob
     assert len(out) == eof
     with open(path, "wb") as f:
         f.write(bytes(out))

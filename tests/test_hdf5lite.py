@@ -75,3 +75,32 @@ def test_unsupported_feature_is_loud(sample):
         f.write(raw)
     with pytest.raises(hdf5lite.UnsupportedHdf5Feature, match="superblock"):
         hdf5lite.list_datasets(f.name)
+
+
+def test_chunked_deflate_round_trip(tmp_path):
+    """The chunked + deflate path (real ann-benchmarks downloads are
+    sometimes compressed): v1 chunk B-tree walk, zlib inflate, partial
+    final chunk clamped."""
+    rng = np.random.default_rng(8)
+    data = {
+        "train": rng.normal(0, 1, (37, 12)).astype(np.float32),  # 4 chunks of 10
+        "neighbors": rng.integers(0, 37, (11, 5)).astype(np.int32),
+    }
+    p = str(tmp_path / "chunked.hdf5")
+    write_hdf5(p, data, chunk_rows={"train": 10, "neighbors": 4}, deflate=True)
+    meta = hdf5lite.list_datasets(p)
+    assert meta["train"] == ((37, 12), "float32")
+    for name, arr in data.items():
+        np.testing.assert_array_equal(hdf5lite.read_dataset(p, name), arr)
+    # row slice across a chunk boundary (chunked path decodes then slices)
+    np.testing.assert_array_equal(
+        hdf5lite.read_dataset(p, "train", 8, 23), data["train"][8:23]
+    )
+
+
+def test_chunked_uncompressed_round_trip(tmp_path):
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 1000, (25, 3)).astype(np.int64)
+    p = str(tmp_path / "chunked_plain.hdf5")
+    write_hdf5(p, {"counts": arr}, chunk_rows={"counts": 7}, deflate=False)
+    np.testing.assert_array_equal(hdf5lite.read_dataset(p, "counts"), arr)
