@@ -129,6 +129,46 @@ def _sq8_search_oracle() -> str:
     )
 
 
+def _bq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over 1-bit sign signatures (binary quantization, 32× scan
+    compression): hamming-ranked top-30 candidates per query, exact
+    rerank to top-10 — deterministic via id tiebreaks, so the coarse
+    proxy is still hash-exact against the SQL twin."""
+    from anndb_spark.operators.knn import knn_binary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    return knn_binary(emb, EMBEDDING_QUERIES, K, dim=64)
+
+
+def _bq_search_oracle() -> str:
+    from anndb_spark.functions.quantize import sign_bits_py, sign_bits_sql
+
+    lo, hi = sign_bits_sql("embedding", 64)
+    branches = []
+    for qid, qv in EMBEDDING_QUERIES:
+        qlo, qhi = sign_bits_py(qv)
+        edist = distance_sql(
+            "embedding", qv, space="euclidean", dialect="duckdb"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, id, {edist} AS score FROM ("
+            f"SELECT id, embedding FROM sig "
+            f"ORDER BY bit_count(xor(lo, {qlo})) + bit_count(xor(hi, {qhi}))"
+            f" ASC, id ASC LIMIT {K * 3})"
+        )
+    union = " UNION ALL ".join(branches)
+    return (
+        f"WITH sig AS (SELECT vec_id AS id, embedding, {lo} AS lo, "
+        f"{hi} AS hi FROM embeddings) "
+        f"SELECT query_id, rank, id, score FROM ("
+        f"SELECT query_id, id, score, CAST(row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY score ASC, id ASC) AS INT) AS rank "
+        f"FROM ({union})) WHERE rank <= {K} ORDER BY query_id, rank"
+    )
+
+
 def _tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -1621,6 +1661,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_3h1h": _events_sliding_3h1h,
         "corpus_cube_source_lang": _corpus_cube_source_lang,
         "sq8_search_embeddings": _sq8_search_embeddings,
+        "bq_search_embeddings": _bq_search_embeddings,
     }
 
 
@@ -2481,6 +2522,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc
         """,
         "sq8_search_embeddings": _sq8_search_oracle(),
+        "bq_search_embeddings": _bq_search_oracle(),
         "gopher_signals_documents": """
             WITH w0 AS (
                 SELECT doc_id, text, string_split(text, ' ') ws

@@ -93,6 +93,69 @@ def sq8_oracle_sql(vec: str = "vector") -> dict[str, str]:
     return {"rmin": rmin, "scale": scale, "codes": codes, "max_err": err}
 
 
+def sign_bits_cols(vec: Column, dim: int) -> tuple[Column, Column]:
+    """1-bit (binary) quantization: the sign pattern of up to 64 dims
+    packed into two BIGINT halves (lo = dims 0-31, hi = 32-63) — 32×
+    smaller than float32, and hamming distance between signatures is a
+    cheap cosine-similarity proxy (two XORs + two bit_counts, pure
+    JVM).  Two halves instead of one 64-bit word so no term ever
+    touches the sign bit (2^63 overflows signed BIGINT); pow(2, i) is
+    exact in doubles for i ≤ 31.  Same packing as a Python-side
+    ``sum(1 << i for i where v[i] > 0)`` split at bit 32."""
+    if dim > 64:
+        raise ValueError("sign_bits_cols packs at most 64 dims")
+
+    def half(start: int, end: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(start), F.lit(end - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(vec, (i + 1).cast("int")) > 0,
+                F.pow(F.lit(2.0), (i - start).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    lo_end = min(dim, 32)
+    lo = half(0, lo_end)
+    hi = half(32, dim) if dim > 32 else F.lit(0).cast("long")
+    return lo, hi
+
+
+def sign_bits_py(vec) -> tuple[int, int]:
+    """Driver-side twin of `sign_bits_cols` for literal query vectors."""
+    lo = sum(1 << i for i in range(min(len(vec), 32)) if vec[i] > 0)
+    hi = sum(1 << (i - 32) for i in range(32, min(len(vec), 64)) if vec[i] > 0)
+    return lo, hi
+
+
+def hamming_col(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
+    """Hamming distance between two packed sign signatures."""
+    return F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(
+        hi_a.bitwiseXOR(hi_b)
+    )
+
+
+def sign_bits_sql(vec: str, dim: int) -> tuple[str, str]:
+    """DuckDB twins of `sign_bits_cols` (same exact packing)."""
+    if dim > 64:
+        raise ValueError("sign_bits_sql packs at most 64 dims")
+
+    def half(start: int, end: int) -> str:
+        terms = (
+            f"CASE WHEN {vec}[i] > 0 THEN "
+            f"CAST(pow(2, i - {start + 1}) AS BIGINT) ELSE 0 END"
+        )
+        return (
+            f"CAST(list_sum([{terms} for i in "
+            f"range({start + 1}, {end + 1})]) AS BIGINT)"
+        )
+
+    lo = half(0, min(dim, 32))
+    hi = half(32, dim) if dim > 32 else "CAST(0 AS BIGINT)"
+    return lo, hi
+
+
 def sq8_encode_table(
     df, vec_col: str = "vector", keep_vector: bool = False
 ):

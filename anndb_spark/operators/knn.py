@@ -332,6 +332,72 @@ def knn_sq8(
     )
 
 
+def knn_binary(
+    vectors: DataFrame,
+    queries: list[tuple],
+    k: int,
+    dim: int,
+    space: str = "euclidean",
+    rerank_mult: int = 3,
+    vec_col: str = "vector",
+    id_col: str = "id",
+) -> DataFrame:
+    """kNN over 1-bit sign signatures: candidates ranked by hamming
+    distance between packed sign patterns (32× smaller than float32 —
+    two XOR+bit_count ops per row, the cheapest possible scan), then
+    the k·mult shortlist exactly re-ranked against the float vectors.
+
+    ``queries`` are (query_id, vector) literals (the serving shape —
+    signatures computed driver-side, distances unrolled
+    per-candidate).  Hamming ties are broken by id, so results are
+    deterministic and oracle-exact despite the coarse 64-bit proxy.
+    Returns (query_id, rank, id, score) with score = exact distance of
+    the BQ-selected candidates (BQ recall is the accuracy knob —
+    report it against knn_exact like any ANN path)."""
+    from anndb_spark.functions.quantize import (
+        hamming_col,
+        sign_bits_cols,
+        sign_bits_py,
+    )
+
+    lo, hi = sign_bits_cols(F.col(vec_col), dim)
+    sig = vectors.select(
+        F.col(id_col), F.col(vec_col), lo.alias("_lo"), hi.alias("_hi")
+    )
+    per_query = []
+    n_cand = k * rerank_mult
+    for qid, qv in queries:
+        qlo, qhi = sign_bits_py(qv)
+        ham = hamming_col(
+            F.col("_lo"), F.col("_hi"),
+            F.lit(qlo).cast("long"), F.lit(qhi).cast("long"),
+        )
+        cand = (
+            sig.select(id_col, vec_col, ham.alias("_ham"))
+            .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+            .limit(n_cand)
+        )
+        qarr = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+        per_query.append(
+            cand.select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                distance_col(F.col(vec_col), qarr, space).alias("score"),
+            )
+        )
+    allq = per_query[0]
+    for d in per_query[1:]:
+        allq = allq.unionByName(d)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col(id_col).asc()
+    )
+    return (
+        allq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

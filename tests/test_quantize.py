@@ -121,3 +121,47 @@ def test_knn_sq8_rerank_matches_exact(spark):
     approx = knn_sq8(sq8_encode_table(emb), qdf, 5)
     ids_a = {(r["query_id"], r["rank"]): r["id"] for r in approx.collect()}
     assert ids_a == {k: v[0] for k, v in exact.items()}
+
+
+def test_knn_binary_recall_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from anndb_spark.operators.knn import knn_binary, knn_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    got = knn_binary(emb, e.EMBEDDING_QUERIES, 10, dim=64).collect()
+    assert len(got) == 20
+    # deterministic across runs / partitionings
+    got2 = knn_binary(
+        emb.repartition(7), e.EMBEDDING_QUERIES, 10, dim=64
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+    # the 64-bit sign proxy is coarse; rerank_mult is the accuracy
+    # knob — recall must rise with the candidate budget and the exact
+    # rerank must keep every candidate that IS a true neighbor
+    qdf = e._queries_df(spark, e.EMBEDDING_QUERIES)
+    exact = {(r["query_id"], r["id"]) for r in knn_exact(emb, qdf, 10).collect()}
+    hits3 = sum(1 for r in got if (r["query_id"], r["id"]) in exact)
+    wide = knn_binary(emb, e.EMBEDDING_QUERIES, 10, dim=64, rerank_mult=20)
+    hits20 = sum(
+        1 for r in wide.collect() if (r["query_id"], r["id"]) in exact
+    )
+    assert hits3 >= 4          # better than random even at mult=3
+    assert hits20 > hits3      # the knob works
+    assert hits20 >= 14        # mult=20 recovers >= 0.7 recall here
+
+
+def test_sign_bits_py_matches_cols(spark):
+    from pyspark.sql import functions as F
+
+    from anndb_spark.functions.quantize import sign_bits_cols, sign_bits_py
+
+    vec = [((i * 13) % 7 - 3) / 2.0 for i in range(64)]
+    df = spark.createDataFrame([(vec,)], "v ARRAY<DOUBLE>")
+    lo, hi = sign_bits_cols(F.col("v"), 64)
+    row = df.select(lo.alias("lo"), hi.alias("hi")).collect()[0]
+    plo, phi = sign_bits_py(vec)
+    assert (row["lo"], row["hi"]) == (plo, phi)
