@@ -1574,7 +1574,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The FULL registry (72 entries).  Local gates (tools/check_driver,
+    """The FULL registry (len(all_queries()) entries — the count grows
+    every round; never hardcode it).  Local gates (tools/check_driver,
     pytest) run all of these; the driver's per-round CORRECTNESS harness
     evaluates only the first 50 entries of ``queries()`` (observed in
     round 7: CORRECTNESS_r07 = registry positions 1-50 exactly), so

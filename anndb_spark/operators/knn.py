@@ -344,55 +344,83 @@ def knn_binary(
 ) -> DataFrame:
     """kNN over 1-bit sign signatures: candidates ranked by hamming
     distance between packed sign patterns (32× smaller than float32 —
-    two XOR+bit_count ops per row, the cheapest possible scan), then
-    the k·mult shortlist exactly re-ranked against the float vectors.
+    two XOR+bit_count ops per candidate, the cheapest possible scan),
+    then the k·mult shortlist exactly re-ranked against the float
+    vectors.
 
-    ``queries`` are (query_id, vector) literals (the serving shape —
-    signatures computed driver-side, distances unrolled
-    per-candidate).  Hamming ties are broken by id, so results are
-    deterministic and oracle-exact despite the coarse 64-bit proxy.
-    Returns (query_id, rank, id, score) with score = exact distance of
-    the BQ-selected candidates (BQ recall is the accuracy knob —
-    report it against knn_exact like any ANN path)."""
-    from anndb_spark.functions.quantize import (
-        hamming_col,
-        sign_bits_cols,
-        sign_bits_py,
-    )
+    ``queries`` are (query_id, vector) literals (the serving shape);
+    they become ONE broadcast DataFrame, so the plan is a single
+    scan ⨯ broadcast(queries) → hamming → pre-shuffle WindowGroupLimit
+    → Exchange(query_id) → top-n_cand *ids* → id-equi-join back to the
+    floats → exact rerank.  Plan size and exchange count are O(1) in
+    the number of queries (a per-query orderBy/limit union would make
+    the analyzer the bottleneck at 1k-query batches), and only
+    |Q|·k·mult candidate ids — never vectors — cross the shuffle.
 
-    lo, hi = sign_bits_cols(F.col(vec_col), dim)
-    sig = vectors.select(
-        F.col(id_col), F.col(vec_col), lo.alias("_lo"), hi.alias("_hi")
-    )
-    per_query = []
-    n_cand = k * rerank_mult
+    ``dim`` must equal the stored vector dimension (≤ 64): dims past
+    ``dim`` would be silently excluded from the signature, degrading
+    recall with no error.  Hamming ties are broken by id, so results
+    are deterministic and oracle-exact despite the coarse 64-bit
+    proxy.  Returns (query_id, rank, id, score) with score = exact
+    distance of the BQ-selected candidates (BQ recall is the accuracy
+    knob — report it against knn_exact like any ANN path)."""
+    from anndb_spark.functions.quantize import hamming_col, sign_bits_cols
+
+    queries = list(queries)
+    if not queries:
+        raise ValueError("knn_binary: queries must be non-empty")
+    if not 0 < dim <= 64:
+        raise ValueError(f"knn_binary: dim must be in 1..64, got {dim}")
     for qid, qv in queries:
-        qlo, qhi = sign_bits_py(qv)
-        ham = hamming_col(
-            F.col("_lo"), F.col("_hi"),
-            F.lit(qlo).cast("long"), F.lit(qhi).cast("long"),
-        )
-        cand = (
-            sig.select(id_col, vec_col, ham.alias("_ham"))
-            .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
-            .limit(n_cand)
-        )
-        qarr = F.array(*[F.lit(float(x)).cast("double") for x in qv])
-        per_query.append(
-            cand.select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col),
-                distance_col(F.col(vec_col), qarr, space).alias("score"),
+        if len(qv) != dim:
+            raise ValueError(
+                f"knn_binary: query {qid!r} has {len(qv)} dims, expected "
+                f"dim={dim} (extra dims would be silently dropped from "
+                "the signature)"
             )
+    spark = vectors.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in queries],
+        "query_id INT, query_vector ARRAY<DOUBLE>",
+    )
+    # the SAME column expression packs both sides — no driver-side twin
+    # to drift from
+    lo, hi = sign_bits_cols(F.col(vec_col), dim)
+    qlo, qhi = sign_bits_cols(F.col("query_vector"), dim)
+    qsig = qdf.select(
+        "query_id", qlo.alias("_qlo"), qhi.alias("_qhi")
+    )
+    sig = vectors.select(F.col(id_col), lo.alias("_lo"), hi.alias("_hi"))
+    ham = hamming_col(
+        F.col("_lo"), F.col("_hi"), F.col("_qlo"), F.col("_qhi")
+    )
+    n_cand = k * rerank_mult
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_ham").asc(), F.col(id_col).asc()
+    )
+    cand_ids = (
+        sig.crossJoin(F.broadcast(qsig))
+        .select("query_id", id_col, ham.alias("_ham"))
+        .withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= n_cand)
+        .select("query_id", id_col)
+    )
+    rerank = (
+        cand_ids.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            distance_col(F.col(vec_col), F.col("query_vector"), space).alias(
+                "score"
+            ),
         )
-    allq = per_query[0]
-    for d in per_query[1:]:
-        allq = allq.unionByName(d)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").asc(), F.col(id_col).asc()
     )
     return (
-        allq.withColumn("rank", F.row_number().over(w))
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )

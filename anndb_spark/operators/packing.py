@@ -93,8 +93,13 @@ def pack_sequences(
         F.col(bucket_col).cast("string") if bucket_col else F.lit("all")
     )
     if sub_buckets > 1:
+        # pmod, not %: Spark's % keeps the dividend's sign, which would
+        # split every bucket into 2·sub_buckets salts ("src#-3" and
+        # "src#3") — same convention as catalog.uuid_mod
         bucket = F.concat_ws(
-            "#", bucket, (F.xxhash64(F.col(id_col)) % sub_buckets).cast("string")
+            "#",
+            bucket,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_buckets)).cast("string"),
         )
     base = df.select(
         bucket.alias("bucket"),

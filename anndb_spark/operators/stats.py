@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 DEFAULT_ACCURACY = 10_000
 
 
+def _quantile_name(p: float) -> str:
+    """Deterministic column name for a probability: 0.5 -> 'p50',
+    0.25 -> 'p25', 1.0 -> 'p100', 0.999 -> 'p99_9'.  Always percent-
+    scaled and never contains '.', so names read correctly (p50, not
+    the ambiguous 'p5') and need no backquoting in column references."""
+    pct = p * 100.0
+    ipct = int(round(pct))
+    if abs(pct - ipct) < 1e-9:
+        return f"p{ipct:02d}"
+    return "p" + f"{pct:g}".replace(".", "_").replace("-", "m")
+
+
 def grouped_quantiles(
     df: DataFrame,
     probs: list[float],
@@ -45,7 +57,7 @@ def grouped_quantiles(
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if names is None:
-        names = [f"p{str(p).replace('0.', '')}" for p in probs]
+        names = [_quantile_name(p) for p in probs]
     if len(names) != len(probs):
         raise ValueError("names must align with probs")
     v = F.col(value_col)

@@ -115,6 +115,10 @@ def test_pack_sub_buckets_bound_group_size(spark):
     assert len({r["bucket"] for r in rows}) > len(
         {r["bucket"] for r in pack_sequences(docs, seq_len=128).collect()}
     )
+    # pmod salts: non-negative, and never more than sub_buckets per base
+    salts = {r["bucket"].rsplit("#", 1)[1] for r in rows}
+    assert all(not s.startswith("-") for s in salts), salts
+    assert salts <= {str(i) for i in range(4)}, salts
 
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_len=0)

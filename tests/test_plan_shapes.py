@@ -150,6 +150,53 @@ def test_funnel_stage_joins_are_equi_joins(spark):
     assert "PushedFilters" in plan
 
 
+def test_knn_binary_plan_constant_in_query_count(spark):
+    """The batched hamming search: ONE candidate shuffle + the rerank
+    join, whatever the batch size.  A 64-query batch must produce the
+    same exchange count (and a same-order plan size) as a 2-query
+    batch — the r8 per-query orderBy/limit union made plan size
+    O(n_queries) and the analyzer the bottleneck at 1k queries."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.knn import knn_binary
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs_small = [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)])
+                for i in range(2)]
+    qs_big = [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)])
+              for i in range(64)]
+    p_small = _plan(knn_binary(emb, qs_small, k=5, dim=64))
+    p_big = _plan(knn_binary(emb, qs_big, k=5, dim=64))
+    assert _exchanges(p_big) == _exchanges(p_small)
+    assert _exchanges(p_big) <= 3, p_big
+    # plan text grows only by the literal query rows, not by plan nodes
+    assert p_big.count("Window") == p_small.count("Window")
+    assert p_big.count("Union") == 0 and p_small.count("Union") == 0
+    # signature scan never carries the float vectors across the shuffle
+    for line in p_big.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "vector#" not in line, line
+
+
+def test_knn_binary_validates_inputs(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.knn import knn_binary
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        knn_binary(emb, [], k=5, dim=64)
+    with _pytest.raises(ValueError, match="dims"):
+        knn_binary(emb, [(0, [1.0] * 32)], k=5, dim=64)
+    with _pytest.raises(ValueError, match="1..64"):
+        knn_binary(emb, [(0, [1.0] * 65)], k=5, dim=65)
+
+
 def test_market_share_broadcasts_dimensions(spark):
     """The Q8-style join chain must broadcast every dimension side —
     the fact scan reaches the partial agg without a pre-join shuffle;

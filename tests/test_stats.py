@@ -37,7 +37,7 @@ def test_approx_matches_exact_at_sf001(spark):
     for lang, ar in approx.items():
         xs = vals[lang]
         assert ar["n_rows"] == len(xs)
-        for p, col in zip(probs, ("p25", "p5", "p75", "p99")):
+        for p, col in zip(probs, ("p25", "p50", "p75", "p99")):
             i = p * (len(xs) - 1)
             lo = xs[max(int(i) - 1, 0)]
             hi = xs[min(int(i) + 2, len(xs) - 1)]
