@@ -1666,68 +1666,74 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# The driver evaluates only the first 50 queries() entries.  Round-8
-# window: the 22 entries that have NEVER had a driver oracle row
-# (registered past the cap in r7) come first; the remaining 28 slots
-# keep one representative per operator family.  The 22 rotated-out
-# queries are all green in CORRECTNESS_r01..r07 (recorded history),
-# stay in all_queries(), and keep their pytest + tools/check_driver
-# coverage.
+# The driver evaluates only the first 50 queries() entries.  ROTATION
+# POLICY (enforced by tools/window_gate.py, run in pytest): every
+# oracle-backed registry entry must either hold a window slot this
+# round or have a recorded driver-green row (rows+schema+hash) within
+# the last 2 rounds — so each entry is re-proven at least every other
+# round and new entries get their driver row the round they land.
+# Window order: (1) entries with NO driver-green row ever (new this
+# round) first, (2) freshness-forced entries whose last green is 2
+# rounds old, (3) fill from last round's greens, fewest-lifetime-greens
+# first.  No-oracle entries (recall metrics, ADC approximation legs)
+# can never produce a hash verdict; they are exempt from freshness and
+# kept OUT of the window — their evidence is pytest plus their
+# hash-green exact twins (e.g. pq_exact_rerank_top10 for the ADC leg) —
+# so slots are never spent on rows the driver cannot judge.
 _DRIVER_WINDOW = [
-    # -- never driver-checked (r7 positions 51-72) --
+    # -- (1) never driver-checked (registered past the r8 cap) --
+    "gopher_signals_documents",
+    "unigram_logprob_documents",
+    "events_sliding_3h1h",
+    "corpus_cube_source_lang",
+    "sq8_search_embeddings",
+    "bq_search_embeddings",
+    # -- (2) freshness-forced: last green r7, stale after this round --
+    "knn_lineitem_euclidean",
+    "knn_lineitem_cosine",
+    "knn_embeddings_euclidean",
+    "top_orders_per_nation",
+    "value_stats_events",
+    "top_terms_by_lang",
+    "stream_hourly_events",
+    "metadata_limits_documents",
+    "token_counts_documents",
+    "minhash_signatures",
+    "simhash_documents",
+    "simhash_pairs_documents",
+    "dedup_clusters_embedding",
+    "embedding_neardup",
+    "random_vectors_orders",
+    "text_stats_documents",
+    "token_frequencies",
+    "repetition_signals_documents",
+    "events_props_stats",
+    "hash_sample_documents",
+    "hash_split_documents",
+    # -- (3) fill: green r8, fewest lifetime greens first --
     "pq_exact_rerank_top10",
     "ivfpq_full_probe_top10",
-    "pq_adc_embeddings_top10",
-    "ivfpq_embeddings_top10",
     "sq8_codes_embeddings",
-    "size_info_embeddings",
-    "sessionize_events",
-    "funnel_events",
-    "asof_join_events",
-    "asof_forward_events",
-    "attribution_pairs_events",
-    "stream_attribution_events",
-    "dup_span_coverage_documents",
-    "length_quantiles_documents",
-    "top_terms_documents",
+    "pii_stats_documents",
+    "pii_redact_documents",
     "token_stream_offsets_documents",
     "decontaminate_documents",
     "boilerplate_filter_documents",
     "mixture_sample_documents",
     "mixture_report_documents",
+    "sessionize_events",
+    "funnel_events",
+    "attribution_pairs_events",
+    "stream_attribution_events",
+    "dup_span_coverage_documents",
+    "length_quantiles_documents",
+    "top_terms_documents",
+    "asof_join_events",
+    "asof_forward_events",
     "curate_pipeline_documents",
     "pack_sequences_documents",
-    # -- new in r8 --
-    "pii_stats_documents",
-    "pii_redact_documents",
-    # -- one representative per family (green r1-r7; knn euclidean is
-    # covered by knn_lineitem_prefilter, recall legs by pytest) --
-    "knn_lineitem_manhattan",
-    "knn_lineitem_prefilter",
-    "knn_embeddings_cosine",
-    "tpch_q1ish",
-    "events_hourly",
-    "market_share_by_nation",
-    "stream_sessions_events",
     "stream_search_top10",
-    "route_partition_counts",
-    "crud_compaction_state",
-    "crud_rejects",
-    "ann_embeddings_top10",
-    "ann_tombstone_delete",
-    "ann_filtered_label_top10",
-    "ivf_embeddings_top10",
-    "quality_score_documents",
     "multimodal_features",
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "dedup_clusters_minhash",
-    "dedup_ngram_pairs",
-    "simhash64_pairs_documents",
-    "embedding_lsh_pairs",
-    "knn_join_embeddings",
-    "language_id_documents",
-    "fingerprint_documents",
 ]
 
 
