@@ -22,7 +22,9 @@ covers the exact corner ann-benchmarks files occupy: v0 superblock,
 root-level contiguous/chunked numeric datasets, deflate/shuffle
 filters.  h5py is preferred when present (same API, broader format
 coverage).  Chunked conversion stays O(chunk) driver memory on both
-paths (hdf5lite row-slices contiguous data through mmap).
+paths: hdf5lite row-slices contiguous data through mmap and, for
+chunked layouts, decodes only the HDF5 chunks overlapping the
+requested row range.
 """
 
 from __future__ import annotations
@@ -54,6 +56,12 @@ class _Hdf5File:
             from anndb_spark.sources import hdf5lite
 
             if isinstance(key, slice):
+                if key.step not in (None, 1):
+                    # h5py would stride; silently returning unstrided
+                    # rows is a wrong-data trap (ADVICE r8)
+                    raise TypeError(
+                        f"strided slices unsupported (step={key.step})"
+                    )
                 return hdf5lite.read_dataset(
                     self._path, self._name, key.start, key.stop
                 )

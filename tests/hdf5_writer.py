@@ -1,9 +1,21 @@
-"""Tiny HDF5 v0 writer used ONLY by tests, assembled byte-by-byte from
+"""Tiny HDF5 writer used ONLY by tests, assembled byte-by-byte from
 the public HDF5 File Format Specification (the same document
-sources/hdf5lite.py reads by).  Emits the exact shape h5py's defaults
-produce for an ann-benchmarks file: superblock v0, root group with a
-single-level v1 B-tree + local heap + one SNOD, v1 dataset object
-headers, little-endian int/float datatypes, contiguous layout.
+sources/hdf5lite.py reads by).  Two emission modes:
+
+* ``superblock=0`` (default) — the shape h5py's ``libver='earliest'``
+  defaults produce for an ann-benchmarks file: v0 superblock, root
+  group with a single-level v1 B-tree + local heap + one SNOD, v1
+  dataset object headers.
+* ``superblock=2`` / ``3`` — the ``libver='latest'`` shape: v2/v3
+  superblock pointing straight at a v2 ("OHDR") root object header
+  whose hard-link messages name the datasets; dataset headers are v2
+  too.
+
+Layouts: contiguous (default) and chunked (``chunk_rows``, v1 chunk
+B-tree) with optional ``deflate`` and/or ``shuffle`` filters (applied
+in h5py's order: shuffle then deflate).  ``data_gap`` pushes the raw
+data section to at least that file offset and writes the file
+SPARSELY — a cheap mock of >2 GiB addresses without 2 GiB on disk.
 
 Kept separate from the library on purpose: the engine only ever READS
 ann-benchmarks files; this exists so the reader can be exercised in a
@@ -13,6 +25,7 @@ container that has no h5py to create fixtures with.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -23,9 +36,13 @@ def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
 
 
-def _message(mtype: int, body: bytes) -> bytes:
+def _message_v1(mtype: int, body: bytes) -> bytes:
     body = _pad8(body)
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _message_v2(mtype: int, body: bytes) -> bytes:
+    return struct.pack("<BHB", mtype, len(body), 0) + body
 
 
 def _datatype_message(dtype: np.dtype) -> bytes:
@@ -54,16 +71,64 @@ def _dataspace_message(shape: tuple[int, ...]) -> bytes:
     return body
 
 
-def _object_header(messages: list[bytes]) -> bytes:
+def _object_header_v1(messages: list[bytes]) -> bytes:
     blob = b"".join(messages)
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
 
 
-def _chunked_pieces(arr: np.ndarray, chunk_rows: int, deflate: bool):
-    """(layout_msg_body_maker, filter_msg, [(key_offsets, blob)]) for a
-    v1-chunk-B-tree chunked dataset, optionally deflate-compressed."""
-    import zlib
+def _object_header_v2(message_parts: list[tuple[int, bytes]]) -> bytes:
+    """OHDR: flags=0x01 (2-byte chunk size, no times/attrs/creation
+    order), messages, 4-byte checksum (unverified by the reader but
+    present per spec)."""
+    blob = b"".join(_message_v2(t, b) for t, b in message_parts)
+    return (
+        b"OHDR"
+        + bytes([2, 0x01])
+        + struct.pack("<H", len(blob))
+        + blob
+        + b"\x00\x00\x00\x00"
+    )
 
+
+def _link_message(name: str, hdr_addr: int) -> bytes:
+    # version 1, flags 0: hard link, 1-byte name length
+    nb = name.encode()
+    return bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", hdr_addr)
+
+
+def _shuffle_bytes(raw: bytes, width: int) -> bytes:
+    a = np.frombuffer(raw, dtype=np.uint8)
+    return a.reshape(len(raw) // width, width).T.tobytes()
+
+
+def _filter_pipeline(deflate: bool, shuffle: bool, itemsize: int) -> bytes:
+    """Filter pipeline message v1, filters in APPLICATION order
+    (shuffle first, deflate second — h5py's order)."""
+    entries = []
+    if shuffle:
+        name = _pad8(b"shuffle\x00")
+        entries.append(
+            struct.pack("<HHHH", 2, len(name), 1, 1)
+            + name
+            + struct.pack("<II", itemsize, 0)  # cd + odd-count pad
+        )
+    if deflate:
+        name = _pad8(b"deflate\x00")
+        entries.append(
+            struct.pack("<HHHH", 1, len(name), 1, 1)
+            + name
+            + struct.pack("<II", 6, 0)
+        )
+    if not entries:
+        return b""
+    return struct.pack("<BB6x", 1, len(entries)) + b"".join(entries)
+
+
+def _chunked_pieces(
+    arr: np.ndarray, chunk_rows: int, deflate: bool, shuffle: bool
+):
+    """(layout_msg_body_maker, filter_msg, chunk_dims, [(offsets, blob)])
+    for a v1-chunk-B-tree chunked dataset."""
     rank = arr.ndim
     chunk_dims = (min(chunk_rows, arr.shape[0]),) + arr.shape[1:]
     chunks = []
@@ -72,17 +137,14 @@ def _chunked_pieces(arr: np.ndarray, chunk_rows: int, deflate: bool):
         part = arr[s : s + chunk_dims[0]]
         block[: part.shape[0]] = part
         raw = block.tobytes()
+        if shuffle:
+            raw = _shuffle_bytes(raw, arr.dtype.itemsize)
         if deflate:
             raw = zlib.compress(raw, 6)
         offsets = (s,) + (0,) * (rank - 1)
         chunks.append((offsets, raw))
-    filt = b""
-    if deflate:
-        # filter pipeline v1: deflate (id 1), one client value (level)
-        name = _pad8(b"deflate\x00")
-        filt = struct.pack("<BB6x", 1, 1) + struct.pack(
-            "<HHHH", 1, len(name), 1, 1
-        ) + name + struct.pack("<II", 6, 0)  # cd + even-pad
+    filt = _filter_pipeline(deflate, shuffle, arr.dtype.itemsize)
+
     def layout_body(btree_addr: int) -> bytes:
         body = struct.pack("<BBB", 3, 2, rank + 1)
         body += struct.pack("<Q", btree_addr)
@@ -90,6 +152,7 @@ def _chunked_pieces(arr: np.ndarray, chunk_rows: int, deflate: bool):
             body += struct.pack("<I", d)
         body += struct.pack("<I", arr.dtype.itemsize)
         return body
+
     return layout_body, filt, chunk_dims, chunks
 
 
@@ -98,26 +161,24 @@ def write_hdf5(
     datasets: dict[str, np.ndarray],
     chunk_rows: dict[str, int] | None = None,
     deflate: bool = False,
+    shuffle: bool = False,
+    superblock: int = 0,
+    data_gap: int = 0,
 ) -> None:
     """``chunk_rows[name]`` switches that dataset to the chunked layout
-    (v1 chunk B-tree, one leaf node), with optional deflate."""
+    (v1 chunk B-tree, one leaf node) with optional deflate/shuffle.
+    ``superblock`` picks the v0 (symbol-table) or v2/v3 (link-message)
+    file shape.  ``data_gap`` forces the raw-data section to start at
+    >= that offset, writing the hole sparsely."""
+    if superblock not in (0, 2, 3):
+        raise ValueError("superblock must be 0, 2 or 3")
     names = list(datasets)
     chunk_rows = chunk_rows or {}
+    v2 = superblock >= 2
 
-    # ---- local heap data: names at 8-aligned offsets (offset 0 kept
-    # for the traditional empty entry) ----
-    heap_data = b"\x00" * 8
-    name_off = {}
-    for n in names:
-        name_off[n] = len(heap_data)
-        heap_data += _pad8(n.encode() + b"\x00")
-    heap_data = _pad8(heap_data)
-
-    # per-dataset pieces: chunked datasets carry a layout-body maker,
-    # filter message, chunk dims and compressed blobs
     pieces = {
         n: (
-            _chunked_pieces(datasets[n], chunk_rows[n], deflate)
+            _chunked_pieces(datasets[n], chunk_rows[n], deflate, shuffle)
             if n in chunk_rows
             else None
         )
@@ -127,20 +188,22 @@ def write_hdf5(
     # ---- dataset object headers (layout address patched later) ----
     def ds_header(n: str, data_addr: int) -> bytes:
         arr = datasets[n]
-        msgs = [
-            _message(0x0001, _dataspace_message(arr.shape)),
-            _message(0x0003, _datatype_message(arr.dtype)),
+        parts = [
+            (0x0001, _dataspace_message(arr.shape)),
+            (0x0003, _datatype_message(arr.dtype)),
         ]
         if pieces[n] is not None:
             layout_body, filt, _, _ = pieces[n]
             if filt:
-                msgs.append(_message(0x000B, filt))
-            msgs.append(_message(0x0008, layout_body(data_addr)))
+                parts.append((0x000B, filt))
+            parts.append((0x0008, layout_body(data_addr)))
         else:
-            msgs.append(
-                _message(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
+            parts.append(
+                (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
             )
-        return _object_header(msgs)
+        if v2:
+            return _object_header_v2(parts)
+        return _object_header_v1([_message_v1(t, b) for t, b in parts])
 
     def chunk_btree(n: str, chunk_addrs: list[int]) -> bytes:
         """One leaf node (type 1) of the raw-data chunk B-tree."""
@@ -159,32 +222,47 @@ def write_hdf5(
         node += struct.pack("<II", 0, 0) + b"\x00" * (8 * key_rank)
         return node
 
-    # ---- fixed-size pieces to compute the layout ----
-    superblock_size = 96
-    root_header = _object_header(
-        [_message(0x0011, struct.pack("<QQ", 0, 0))]  # patched
-    )
-    heap_header_size = 32
-    btree_size = 8 + 16 + 8 + 8 + 8  # sig+meta, siblings, key0, child0, key1
-    snod_size = 8 + 40 * len(names)
-
-    pos = superblock_size
-    root_header_addr = pos
-    pos += len(root_header)
-    heap_addr = pos
-    pos += heap_header_size
-    heap_data_addr = pos
-    pos += len(heap_data)
-    btree_addr = pos
-    pos += btree_size
-    snod_addr = pos
-    pos += snod_size
+    # ---- layout ----
+    if v2:
+        superblock_size = 48
+        pos = superblock_size
+        # root header size depends only on name lengths, not addresses
+        probe_root = _object_header_v2(
+            [(0x0006, _link_message(n, 0)) for n in names]
+        )
+        root_header_addr = pos
+        pos += len(probe_root)
+    else:
+        superblock_size = 96
+        heap_data = b"\x00" * 8
+        name_off = {}
+        for n in names:
+            name_off[n] = len(heap_data)
+            heap_data += _pad8(n.encode() + b"\x00")
+        heap_data = _pad8(heap_data)
+        heap_header_size = 32
+        btree_size = 8 + 16 + 8 + 8 + 8
+        snod_size = 8 + 40 * len(names)
+        pos = superblock_size
+        root_header_addr = pos
+        pos += len(
+            _object_header_v1([_message_v1(0x0011, struct.pack("<QQ", 0, 0))])
+        )
+        heap_addr = pos
+        pos += heap_header_size
+        heap_data_addr = pos
+        pos += len(heap_data)
+        btree_addr = pos
+        pos += btree_size
+        snod_addr = pos
+        pos += snod_size
 
     ds_header_addr = {}
     probe = {n: ds_header(n, 0) for n in names}
     for n in names:
         ds_header_addr[n] = pos
         pos += len(probe[n])
+    pos = max(pos, data_gap)  # sparse hole before the data section
     data_addr = {}       # contiguous: raw addr; chunked: btree addr
     chunk_addrs = {}     # chunked: per-chunk blob addresses
     for n in names:
@@ -201,46 +279,57 @@ def write_hdf5(
                 pos += len(blob)
     eof = pos
 
-    # ---- assemble ----
+    # ---- assemble the metadata segment ----
     out = bytearray()
     out += b"\x89HDF\r\n\x1a\n"
-    out += bytes([0, 0, 0, 0, 0, 8, 8, 0])  # versions + offset/len sizes
-    out += struct.pack("<HHI", 4, 16, 0)  # leaf k, internal k, flags
-    out += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
-    # root symbol table entry: name offset 0, header addr, cache type 1,
-    # scratch = (btree, heap)
-    out += struct.pack("<QQI4xQQ", 0, root_header_addr, 1, btree_addr, heap_addr)
-    assert len(out) == superblock_size
-
-    out += _object_header(
-        [_message(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
-    )
-    out += b"HEAP" + struct.pack(
-        "<B3xQQQ", 0, len(heap_data), UNDEF, heap_data_addr
-    )
-    out += heap_data
-    # group B-tree: one leaf pointing at the SNOD
-    out += b"TREE" + struct.pack("<BBH", 0, 0, 1)
-    out += struct.pack("<QQ", UNDEF, UNDEF)
-    out += struct.pack("<Q", 0)  # key 0
-    out += struct.pack("<Q", snod_addr)
-    out += struct.pack("<Q", name_off[sorted(names)[-1]])  # key 1
-    # SNOD: entries must be name-ordered (B-tree invariant)
-    out += b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
-    for n in sorted(names):
-        out += struct.pack("<QQI4x16x", name_off[n], ds_header_addr[n], 0)
+    if v2:
+        out += bytes([superblock, 8, 8, 0])
+        out += struct.pack("<QQQQ", 0, UNDEF, eof, root_header_addr)
+        out += b"\x00\x00\x00\x00"  # checksum (unverified)
+        assert len(out) == superblock_size
+        out += _object_header_v2(
+            [(0x0006, _link_message(n, ds_header_addr[n])) for n in names]
+        )
+    else:
+        out += bytes([0, 0, 0, 0, 0, 8, 8, 0])
+        out += struct.pack("<HHI", 4, 16, 0)  # leaf k, internal k, flags
+        out += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+        out += struct.pack(
+            "<QQI4xQQ", 0, root_header_addr, 1, btree_addr, heap_addr
+        )
+        assert len(out) == superblock_size
+        out += _object_header_v1(
+            [_message_v1(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+        )
+        out += b"HEAP" + struct.pack(
+            "<B3xQQQ", 0, len(heap_data), UNDEF, heap_data_addr
+        )
+        out += heap_data
+        out += b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        out += struct.pack("<QQ", UNDEF, UNDEF)
+        out += struct.pack("<Q", 0)  # key 0
+        out += struct.pack("<Q", snod_addr)
+        out += struct.pack("<Q", name_off[sorted(names)[-1]])  # key 1
+        out += b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+        for n in sorted(names):
+            out += struct.pack("<QQI4x16x", name_off[n], ds_header_addr[n], 0)
     for n in names:
         out += ds_header(n, data_addr[n])
+
+    # ---- data segments, written sparsely past any gap ----
+    segments = [(0, bytes(out))]
     for n in names:
         if pieces[n] is None:
             arr = np.ascontiguousarray(datasets[n])
             if arr.dtype.byteorder == ">":
                 arr = arr.astype(arr.dtype.newbyteorder("<"))
-            out += arr.tobytes()
+            segments.append((data_addr[n], arr.tobytes()))
         else:
-            out += chunk_btree(n, chunk_addrs[n])
-            for _, blob in pieces[n][3]:
-                out += blob
-    assert len(out) == eof
+            segments.append((data_addr[n], chunk_btree(n, chunk_addrs[n])))
+            for (_, blob), addr in zip(pieces[n][3], chunk_addrs[n]):
+                segments.append((addr, blob))
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        for addr, blob in segments:
+            f.seek(addr)
+            f.write(blob)
+        f.truncate(eof)
