@@ -124,14 +124,22 @@ def train_centroids(
     if mat.shape[0] < n_clusters:
         raise ValueError(f"sample ({mat.shape[0]}) smaller than n_clusters ({n_clusters})")
     rng = np.random.default_rng(seed)
-    # k-means++ seeding
-    cents = [mat[rng.integers(mat.shape[0])]]
+    # k-means++ seeding, incremental: d2 tracks each point's distance
+    # to its NEAREST chosen centroid, updated only against the latest
+    # pick — O(k·n·d), not the O(k²·n·d) recompute-all form (which at
+    # the IVFPQ coarse-quantizer scale, k=1024, is ~10^12 FLOPs and
+    # effectively hangs).  Same RNG call sequence and bit-identical d2
+    # (min is exact), so historical centroids are unchanged.
+    first = mat[rng.integers(mat.shape[0])]
+    cents = [first]
+    diff = mat - first
+    d2 = np.einsum("ij,ij->i", diff, diff)
     for _ in range(n_clusters - 1):
-        d2 = np.min(
-            [np.einsum("ij,ij->i", mat - c, mat - c) for c in cents], axis=0
-        )
         p = d2 / d2.sum() if d2.sum() > 0 else None
-        cents.append(mat[rng.choice(mat.shape[0], p=p)])
+        nxt = mat[rng.choice(mat.shape[0], p=p)]
+        cents.append(nxt)
+        diff = mat - nxt
+        d2 = np.minimum(d2, np.einsum("ij,ij->i", diff, diff))
     cent = np.stack(cents)
     for _ in range(iters):
         if space == "cosine":

@@ -311,6 +311,7 @@ def search_ivfpq(
     cache_token: str | None = None,
     queries_per_task: int | None = None,
     space: str | None = None,
+    cells_per_task: int = 1,
 ) -> DataFrame:
     """Serving-shape IVFADC top-k → (query_id, rank, id, score).
 
@@ -376,10 +377,15 @@ def search_ivfpq(
     for c in cids:
         n_chunks = max(1, -(-len(by_cid[c]) // qpt))
         plan_rows.extend((c, i) for i in range(n_chunks))
+    # ``cells_per_task`` packs several (cell, chunk) work items into one
+    # task (the scorer loops over every item in its partition anyway).
+    # 1 = maximal parallelism, the right default when cells are large;
+    # raise it for small-cell indexes where per-task fixed costs would
+    # otherwise dominate (e.g. 1M rows / 1024 cells ≈ 1k rows per cell:
+    # scheduling 1024 tiny tasks costs more than the ADC math).
+    n_slices = max(1, -(-len(plan_rows) // max(cells_per_task, 1)))
     plan = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            plan_rows or [(-1, 0)], max(len(plan_rows), 1)
-        ),
+        spark.sparkContext.parallelize(plan_rows or [(-1, 0)], n_slices),
         "cid INT, chunk INT",
     )
     bq = spark.sparkContext.broadcast((qid_arr, Q, by_cid))
