@@ -178,6 +178,28 @@ def sq8_encode_table(
     return out if keep_vector else out.drop(vec_col)
 
 
+def bq_encode_table(
+    df, dim: int, vec_col: str = "vector", id_col: str = "id",
+    keep_vector: bool = False,
+):
+    """Materialize the 1-bit signature table: (id, {vec}_sig_lo,
+    {vec}_sig_hi) — two BIGINTs per row, 32× smaller than the float32
+    vector column.  Write it with plain ``.write.parquet`` and hand it
+    to ``knn_binary(..., sig_table=...)``: the hamming candidate scan
+    then reads 16 bytes/row instead of decoding floats and packing
+    signatures on the fly — at 100 TB the scan IS the cost, so this is
+    the artifact that makes the "32× smaller scan" claim literal."""
+    if not 0 < dim <= 64:
+        raise ValueError(f"bq_encode_table: dim must be in 1..64, got {dim}")
+    lo, hi = sign_bits_cols(F.col(vec_col), dim)
+    out = df.withColumns(
+        {f"{vec_col}_sig_lo": lo, f"{vec_col}_sig_hi": hi}
+    )
+    if keep_vector:
+        return out
+    return out.select(id_col, f"{vec_col}_sig_lo", f"{vec_col}_sig_hi")
+
+
 def sq8_decode_table(df, vec_col: str = "vector"):
     """Inverse of `sq8_encode_table`: reconstructs ``vec_col`` (float64
     within scale/2 of the original) from the codes+params columns and

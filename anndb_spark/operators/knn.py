@@ -341,6 +341,7 @@ def knn_binary(
     rerank_mult: int = 3,
     vec_col: str = "vector",
     id_col: str = "id",
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """kNN over 1-bit sign signatures: candidates ranked by hamming
     distance between packed sign patterns (32× smaller than float32 —
@@ -363,7 +364,14 @@ def knn_binary(
     are deterministic and oracle-exact despite the coarse 64-bit
     proxy.  Returns (query_id, rank, id, score) with score = exact
     distance of the BQ-selected candidates (BQ recall is the accuracy
-    knob — report it against knn_exact like any ANN path)."""
+    knob — report it against knn_exact like any ANN path).
+
+    ``sig_table`` (the `quantize.bq_encode_table` layout: id,
+    {vec}_sig_lo, {vec}_sig_hi) makes the candidate scan read the
+    16-byte stored signatures instead of packing them from the float
+    vectors on the fly — the float table is then touched only by the
+    k·mult-row rerank fetch.  Results are identical either way (same
+    packing expression produced the table)."""
     from anndb_spark.functions.quantize import hamming_col, sign_bits_cols
 
     queries = list(queries)
@@ -385,12 +393,21 @@ def knn_binary(
     )
     # the SAME column expression packs both sides — no driver-side twin
     # to drift from
-    lo, hi = sign_bits_cols(F.col(vec_col), dim)
     qlo, qhi = sign_bits_cols(F.col("query_vector"), dim)
     qsig = qdf.select(
         "query_id", qlo.alias("_qlo"), qhi.alias("_qhi")
     )
-    sig = vectors.select(F.col(id_col), lo.alias("_lo"), hi.alias("_hi"))
+    if sig_table is not None:
+        sig = sig_table.select(
+            F.col(id_col),
+            F.col(f"{vec_col}_sig_lo").alias("_lo"),
+            F.col(f"{vec_col}_sig_hi").alias("_hi"),
+        )
+    else:
+        lo, hi = sign_bits_cols(F.col(vec_col), dim)
+        sig = vectors.select(
+            F.col(id_col), lo.alias("_lo"), hi.alias("_hi")
+        )
     ham = hamming_col(
         F.col("_lo"), F.col("_hi"), F.col("_qlo"), F.col("_qhi")
     )

@@ -116,6 +116,55 @@ def fm_corpus_np(cpus: int):
     return [str(i) for i in range(FM_N)], mat
 
 
+HEADLINE_EXTRA_KEYS = (
+    "fm_search_q_per_s_matched_protocol",
+    "fm_recall_at_10_single_graph",
+    "fm_single_build_inserts_per_s",
+    "fm_build_inserts_per_s",
+    "fm_recall_at_10",
+    "hnsw_build_inserts_per_s",
+    "hnsw_search_q_per_s_beam",
+    "fm_search_q_per_s_routed",
+    "fm_recall_at_10_routed",
+    "baseline_fm_search_q_per_s_m16",
+    "baseline_fm_build_inserts_per_s_m16",
+    "baseline_fm_recall_at_10_m16",
+)
+
+
+def compact_summary_line(total, timings, sf, extra) -> str:
+    """The driver-parseable record: one JSON line, guaranteed < 1.5 KB
+    so it survives the driver's 2000-char stdout tail.  Leg medians +
+    a fixed set of headline extras (incl. the 1M-corpus passthrough
+    numbers, whose meta dicts self-prefix their keys)."""
+    hl = {k: extra[k] for k in HEADLINE_EXTRA_KEYS if k in extra}
+    for nest in ("sift1m", "glove1m", "pq1m"):
+        sub = extra.get(nest)
+        if isinstance(sub, dict):
+            for k in (
+                f"{nest}_search_q_per_s",
+                f"{nest}_recall_at_10",
+                f"{nest}_build_inserts_per_s",
+                f"{nest}_best_q_per_s",
+                f"{nest}_best_recall_at_10",
+            ):
+                if k in sub:
+                    hl[k] = sub[k]
+    compact = {
+        "metric": "anndb_spark_headline_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "extra": hl,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # hard guard: the tail must stay parseable
+        compact["extra"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -268,6 +317,21 @@ def main():
     ).cache()
     n_emb = emb.count()
     timed("knn_embeddings", lambda: knn_exact(emb, emb_q, 10).collect())
+
+    # q9b: binary-quantized scan kNN, 1k-query batch — exercises the
+    # r9 batched plan (one hamming join + id-equi rerank, O(1) plan
+    # size in the batch; the r8 per-query-union form would spend
+    # minutes in the analyzer on this leg before running anything)
+    from anndb_spark.operators.knn import knn_binary
+
+    rng_bq = np.random.default_rng(11)
+    bq_queries = [
+        (i, rng_bq.normal(0, 1, 64).tolist()) for i in range(1000)
+    ]
+    timed(
+        "bq_search_1kq",
+        lambda: knn_binary(emb, bq_queries, 10, dim=64).collect(),
+    )
 
     # q10: IVF scale path over embeddings — train coarse quantizer,
     # assign clusters, persist partitioned by cluster (the serving
@@ -694,6 +758,12 @@ def main():
             extra["glove1m"] = json.load(_f)
     except (OSError, ValueError):
         pass
+    # and for the IVFPQ-at-1M experiment (tools/bench_pq1m.py)
+    try:
+        with open("/tmp/anndb_bench_cache/pq1m_meta.json") as _f:
+            extra["pq1m"] = json.load(_f)
+    except (OSError, ValueError):
+        pass
 
     total = round(sum(timings.values()), 3)
     print(
@@ -709,6 +779,13 @@ def main():
             }
         )
     )
+    # The driver records only the last ~2000 chars of stdout and tries
+    # to json-parse the final line; the full line above exceeds that, so
+    # every round's machine-readable record came back `parsed: null`
+    # (VERDICT r8 wrong #4).  Emit a compact (<1.5 KB) summary LAST:
+    # leg medians + headline extras only — full detail stays on the
+    # previous line / in the local verify JSONs.
+    print(compact_summary_line(total, timings, sf, extra))
     spark.stop()
 
 

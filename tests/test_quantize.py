@@ -152,6 +152,16 @@ def test_knn_binary_recall_and_determinism(spark):
     assert hits3 >= 4          # better than random even at mult=3
     assert hits20 > hits3      # the knob works
     assert hits20 >= 14        # mult=20 recovers >= 0.7 recall here
+    # precomputed signature table (the stored-artifact scan path):
+    # byte-identical results to on-the-fly packing
+    from anndb_spark.functions.quantize import bq_encode_table
+
+    sig = bq_encode_table(emb, dim=64)
+    assert sig.columns == ["id", "vector_sig_lo", "vector_sig_hi"]
+    got_sig = knn_binary(
+        emb, e.EMBEDDING_QUERIES, 10, dim=64, sig_table=sig
+    ).collect()
+    assert sorted(map(tuple, got_sig)) == sorted(map(tuple, got))
 
 
 def test_sign_bits_py_matches_cols(spark):
