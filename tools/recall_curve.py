@@ -18,11 +18,17 @@ This tool builds graphs at several M values over parameterized corpus
 geometries and reports recall@10 at matched ef, entirely in-process
 (no Spark — recall is a property of the graph, not the serving path):
 
-* ``blobs``   — centers + isotropic noise (the bench_sift1m geometry)
-* ``lowdim``  — centers + anisotropic noise through a shared linear
+* ``blobs``    — centers + isotropic noise (the bench_sift1m geometry)
+* ``lowdim``   — centers + anisotropic noise through a shared linear
   map with eigenvalue spectrum λ_j ∝ exp(-j/eff_rank): local ID ≈
   eff_rank, global spread unchanged (renormalized to match the
   isotropic noise energy)
+* ``manifold`` — x = tanh(W z + b) for an eff_rank-dim latent z: a
+  SMOOTH connected manifold (no cluster islands), intrinsic dim =
+  eff_rank, plus ``noise``·N(0, I) ambient jitter.  Real SIFT is a
+  continuum with low local intrinsic dimension; the island geometries
+  above produce recall-vs-M curves that are non-monotone at 1M
+  (cluster-hopping failures at mid M), which real SIFT never shows.
 
 Usage:
   python tools/recall_curve.py [--n 200000] [--geometry lowdim]
@@ -75,6 +81,22 @@ def make_corpus(
         W = (q_mat * spec[None, :]).astype(np.float32)  # cols scaled
     elif geometry == "blobs":
         W = None
+    elif geometry == "manifold":
+        g = np.random.default_rng(SEED + 4)
+        Wm = (g.normal(0, 1, (DIM, eff_rank)) / np.sqrt(eff_rank)).astype(
+            np.float32
+        )
+        bm = g.normal(0, 1, DIM).astype(np.float32)
+
+        def draw_manifold(m: int, seed: int) -> np.ndarray:
+            r = np.random.default_rng(seed)
+            z = r.normal(0, 1, (m, eff_rank)).astype(np.float32)
+            x = np.tanh(z @ Wm.T + bm[None, :])
+            if noise > 0:
+                x = x + r.normal(0, noise, (m, DIM)).astype(np.float32)
+            return x.astype(np.float32)
+
+        return draw_manifold(n, SEED + 10), draw_manifold(nq, SEED + 11)
     else:
         raise ValueError(f"unknown geometry {geometry!r}")
 
@@ -141,7 +163,7 @@ def main():
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--nq", type=int, default=1_000)
     ap.add_argument("--geometry", default="lowdim",
-                    choices=["blobs", "lowdim"])
+                    choices=["blobs", "lowdim", "manifold"])
     ap.add_argument("--eff-rank", type=int, default=16)
     ap.add_argument("--noise", type=float, default=1.0)
     ap.add_argument("--n-centers", type=int, default=N_CENTERS)
@@ -163,7 +185,9 @@ def main():
     result = {
         "n": args.n,
         "geometry": args.geometry,
-        "eff_rank": args.eff_rank if args.geometry == "lowdim" else None,
+        "eff_rank": (
+            args.eff_rank if args.geometry in ("lowdim", "manifold") else None
+        ),
         "noise": args.noise,
         "n_centers": args.n_centers,
         "ef": args.ef,
