@@ -1,8 +1,15 @@
 """Driver-registry contract: the driver evaluates only the first 50
 queries() entries (observed r7), so the window must stay <=50, stay a
-subset of all_queries(), and keep every oracle pair consistent."""
+subset of all_queries(), keep every oracle pair consistent, and follow
+the rotation policy (never-driver-green entries first; freshness debt
+enforced by tools/window_gate.py, which has its own test module)."""
+
+import sys
 
 import __spark_entry__ as e
+
+sys.path.insert(0, "/root/repo/tools")
+from window_gate import load_green_history  # noqa: E402
 
 
 def test_window_size_and_membership():
@@ -10,21 +17,6 @@ def test_window_size_and_membership():
     aq = e.all_queries()
     assert len(q) <= 50
     assert set(q) <= set(aq)
-    # every never-driver-checked r7 entry must sit inside the window
-    must_have = {
-        "pq_exact_rerank_top10", "ivfpq_full_probe_top10",
-        "pq_adc_embeddings_top10", "ivfpq_embeddings_top10",
-        "sq8_codes_embeddings", "size_info_embeddings",
-        "sessionize_events", "funnel_events", "asof_join_events",
-        "asof_forward_events", "attribution_pairs_events",
-        "stream_attribution_events", "dup_span_coverage_documents",
-        "length_quantiles_documents", "top_terms_documents",
-        "token_stream_offsets_documents", "decontaminate_documents",
-        "boilerplate_filter_documents", "mixture_sample_documents",
-        "mixture_report_documents", "curate_pipeline_documents",
-        "pack_sequences_documents",
-    }
-    assert must_have <= set(q)
 
 
 def test_oracle_keys_match_registry():
@@ -39,9 +31,13 @@ def test_oracle_keys_match_registry():
     }
 
 
-def test_window_order_puts_unchecked_first():
+def test_window_order_puts_never_green_first():
+    """Entries with no driver-green row in ANY recorded round lead the
+    window, so a truncated evaluation still reaches them first."""
     names = list(e.queries())
-    # the 22 previously-unchecked entries occupy the first 22 slots
-    assert "pq_exact_rerank_top10" == names[0]
-    assert "pack_sequences_documents" in names[:22]
-    assert "knn_lineitem_manhattan" in names[22:]
+    green, _, _ = load_green_history()
+    oracle_backed = set(e.oracle_sql())
+    never = [n for n in names if n in oracle_backed and not green.get(n)]
+    if never:
+        head = names[: len(never)]
+        assert set(never) <= set(head), (never, head)
