@@ -346,6 +346,64 @@ def _crud_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (the at-least-once → exactly-once
+    repair) run as a REAL stream: the source is the events table with
+    every 7th event REDELIVERED (duplicate event_id, identical
+    payload — the Kafka/file-replay reality), the stream drops
+    duplicates within a 1-day watermark (state bounded by rate ×
+    horizon, never stream length), and the deduped feed is rolled up
+    per event_type.  The oracle aggregates the original table: a
+    correct dedup makes the redelivery invisible."""
+    import tempfile
+
+    from anndb_spark.sources.tables import load_events
+    from anndb_spark.streaming.dedup import dedup_stream
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    base = tempfile.mkdtemp(prefix="anndb_entry_sdedup_")
+    dup.coalesce(1).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{base}/src").schema
+    ).parquet(f"{base}/src")
+    out = dedup_stream(stream, keys=("event_id",), watermark="1 day")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_finite_stream(q, base)
+    deduped = spark.read.parquet(f"{base}/out")
+    rollup = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return _collect_and_cleanup(spark, rollup, base)
+
+
+def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type user cardinality (`stats.grouped_distinct`,
+    exact=True — the ORACLE form; the library default is the
+    HyperLogLog++ sketch with an O(1/rsd²) mergeable buffer, the only
+    form that survives a hot group at 100 TB; parity pytest in
+    tests/test_stats.py)."""
+    from anndb_spark.operators.stats import grouped_distinct
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return grouped_distinct(
+        ev, "user_id", by="event_type", exact=True, name="n_users"
+    )
+
+
 def _route_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.catalog import route_by_key
 
@@ -1663,6 +1721,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube_source_lang": _corpus_cube_source_lang,
         "sq8_search_embeddings": _sq8_search_embeddings,
         "bq_search_embeddings": _bq_search_embeddings,
+        # new in r9
+        "stream_dedup_events": _stream_dedup_events,
+        "events_distinct_users": _events_distinct_users,
     }
 
 
@@ -1688,6 +1749,8 @@ _DRIVER_WINDOW = [
     "corpus_cube_source_lang",
     "sq8_search_embeddings",
     "bq_search_embeddings",
+    "stream_dedup_events",
+    "events_distinct_users",
     # -- (2) freshness-forced: last green r7, stale after this round --
     "knn_lineitem_euclidean",
     "knn_lineitem_cosine",
@@ -1732,8 +1795,6 @@ _DRIVER_WINDOW = [
     "asof_forward_events",
     "curate_pipeline_documents",
     "pack_sequences_documents",
-    "stream_search_top10",
-    "multimodal_features",
 ]
 
 
@@ -2205,6 +2266,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # a correct streaming dedup makes the injected redelivery
+        # invisible: the rollup equals the one over the ORIGINAL table
+        "stream_dedup_events": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type
         """,
         # Spark's epoch-aligned window(3h, slide 1h): an event at t is
         # in windows starting trunc_h(t)-2h .. trunc_h(t)

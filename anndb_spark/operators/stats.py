@@ -35,6 +35,35 @@ def _quantile_name(p: float) -> str:
     return "p" + f"{pct:g}".replace(".", "_").replace("-", "m")
 
 
+def grouped_distinct(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    exact: bool = False,
+    rsd: float = 0.05,
+    name: str = "n_distinct",
+) -> DataFrame:
+    """(by..., n_rows, <name>): distinct-value cardinality per group,
+    with the same exact/approx split as `grouped_quantiles`.
+
+    ``exact=False`` (default, the 100 TB path): HyperLogLog++ sketch
+    (`approx_count_distinct`) — fixed O(1/rsd²) buffer per group that
+    merges map-side like any partial aggregate; relative error ≤ rsd.
+    ``exact=True`` (oracle/test path): ``count_distinct``, which
+    plans a per-group de-dup Expand+Exchange — exact, but a hot group
+    shuffles every distinct value to one task; refuse it on unbounded
+    key domains."""
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col)
+    agg = (
+        F.count_distinct(v) if exact else F.approx_count_distinct(v, rsd)
+    ).alias(name)
+    aggs = [F.count("*").alias("n_rows"), agg]
+    if by_cols:
+        return df.groupBy(*by_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def grouped_quantiles(
     df: DataFrame,
     probs: list[float],

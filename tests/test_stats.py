@@ -56,6 +56,44 @@ def test_approx_plan_has_no_exact_percentile(spark):
     )
 
 
+def test_grouped_distinct_exact_and_sketch(spark):
+    from anndb_spark.operators.stats import grouped_distinct
+    from anndb_spark.sources.tables import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.01")
+    exact = {
+        r["event_type"]: r
+        for r in grouped_distinct(
+            ev, "user_id", by="event_type", exact=True, name="n_users"
+        ).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in grouped_distinct(
+            ev, "user_id", by="event_type", name="n_users"
+        ).collect()
+    }
+    assert exact.keys() == approx.keys() and exact
+    for et, row in exact.items():
+        # HLL++ at rsd=0.05: allow 3 sigma
+        assert abs(approx[et]["n_users"] - row["n_users"]) <= max(
+            3, 0.15 * row["n_users"]
+        )
+        assert approx[et]["n_rows"] == row["n_rows"]
+    # the sketch path must plan approx_count_distinct, the exact path
+    # a real distinct aggregate — the whole point of the split
+    plan_a = (
+        grouped_distinct(ev, "user_id", by="event_type")
+        ._jdf.queryExecution().toString()
+    )
+    assert "approx_count_distinct" in plan_a
+    plan_e = (
+        grouped_distinct(ev, "user_id", by="event_type", exact=True)
+        ._jdf.queryExecution().toString()
+    )
+    assert "count(distinct" in plan_e or "count(user_id" in plan_e
+
+
 def test_ungrouped_and_name_validation(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     row = grouped_quantiles(docs, [0.5], "n_chars", names=["median"]).collect()[0]
