@@ -455,6 +455,25 @@ def _dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def _dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH pairs → connected
+    components → one representative per cluster (longest text, id
+    tiebreak) → corpus minus the losers.  The materialization users
+    actually run; the corpus itself never shuffles (losers ride a
+    broadcast anti-join)."""
+    from anndb_spark.operators.dedup import (
+        canonicalize_corpus,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs, threshold=0.5))
+    return canonicalize_corpus(docs, clusters).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.dedup import simhash_col
 
@@ -1724,6 +1743,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9
         "stream_dedup_events": _stream_dedup_events,
         "events_distinct_users": _events_distinct_users,
+        "dedup_canonical_documents": _dedup_canonical_documents,
     }
 
 
@@ -1751,6 +1771,7 @@ _DRIVER_WINDOW = [
     "bq_search_embeddings",
     "stream_dedup_events",
     "events_distinct_users",
+    "dedup_canonical_documents",
     # -- (2) freshness-forced: last green r7, stale after this round --
     "knn_lineitem_euclidean",
     "knn_lineitem_cosine",
@@ -1783,7 +1804,6 @@ _DRIVER_WINDOW = [
     "decontaminate_documents",
     "boilerplate_filter_documents",
     "mixture_sample_documents",
-    "mixture_report_documents",
     "sessionize_events",
     "funnel_events",
     "attribution_pairs_events",
@@ -2451,6 +2471,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
             )
             SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        """,
+        "dedup_canonical_documents": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {_minhash_sig_cte()},
+            bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
+                      FROM sig, range(4) t(b)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id),
+            p AS (SELECT id_a, id_b FROM (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                           / len(list_distinct(x.s || y.s)) AS jaccard
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b
+            ) WHERE jaccard >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach AS (
+                SELECT a AS src, a AS dst FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            ),
+            clusters AS (
+                SELECT src AS id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+            ),
+            losers AS (
+                SELECT id FROM (
+                    SELECT c.id,
+                           row_number() OVER (
+                               PARTITION BY c.cluster_id
+                               ORDER BY d.n_chars DESC, c.id ASC
+                           ) AS r
+                    FROM clusters c JOIN documents d ON d.doc_id = c.id
+                ) WHERE r > 1
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM losers)
         """,
         "dedup_ngram_pairs": f"""
             WITH {_SHINGLES_CTE}

@@ -774,3 +774,39 @@ def duplicate_span_coverage(
             n_dup.cast("double") / F.col("n_tokens").cast("double")
         ).alias("dup_frac"),
     )
+
+
+def canonicalize_corpus(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """The user-facing corpus-dedup materialization: drop every
+    near-duplicate except one representative per cluster.
+
+    ``clusters`` is the `dedup_clusters` output (id, cluster_id) —
+    only ids that appear in a near-dup pair, so it is tiny relative to
+    the corpus and rides broadcasts.  The representative is the
+    member with the largest ``prefer_col`` (longest document keeps
+    the most signal), id ascending on ties — deterministic.
+
+    100 TB shape: the corpus is NEVER shuffled.  One column-pruned
+    scan (id, prefer) broadcast-joins the cluster map to rank members
+    (the window shuffles only cluster members), producing a
+    losers-ids table; the full corpus then streams through a single
+    broadcast left-anti join against it."""
+    from pyspark.sql import Window
+
+    members = df.select(F.col(id_col), F.col(prefer_col)).join(
+        F.broadcast(clusters.withColumnRenamed("id", id_col)), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(prefer_col).desc(), F.col(id_col).asc()
+    )
+    losers = (
+        members.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") > 1)
+        .select(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

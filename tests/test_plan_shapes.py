@@ -197,6 +197,42 @@ def test_knn_binary_validates_inputs(spark):
         knn_binary(emb, [(0, [1.0] * 65)], k=5, dim=65)
 
 
+def test_canonicalize_corpus_never_shuffles_corpus(spark):
+    """Corpus dedup materialization: the only shuffle ranks cluster
+    MEMBERS (ids + prefer column); the full corpus rows reach the
+    output through broadcast joins only — no exchange ever carries
+    the text column."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.dedup import canonicalize_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame(
+        [(1, 0), (3, 0), (7, 5)], "id LONG, cluster_id LONG"
+    )
+    out = canonicalize_corpus(docs, clusters)
+    plan = _plan(out)
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "text" not in line, line
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    # semantics: loser of each cluster dropped, everything else kept
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    n = docs.count()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.filter(F.col("doc_id").isin([1, 3, 7]))
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    rep_0 = max((1, 3), key=lambda i: (chars[i], -i))
+    assert rep_0 in kept and ({1, 3} - {rep_0}) & kept == set()
+    assert 7 in kept  # single-member cluster keeps its only member
+    assert len(kept) == n - 1
+
+
 def test_market_share_broadcasts_dimensions(spark):
     """The Q8-style join chain must broadcast every dimension side —
     the fact scan reaches the partial agg without a pre-join shuffle;
