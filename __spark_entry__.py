@@ -820,6 +820,19 @@ def _hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _stratified_take_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, deterministic (md5-ranked, salt
+    'eval') — the exact-count-per-stratum draw hash_sample can't give
+    (it keeps an EXPECTED fraction).  One WindowGroupLimit'd shuffle;
+    selection is a pure function of (id, salt)."""
+    from anndb_spark.operators.sampling import stratified_take
+
+    return stratified_take(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        5, by="lang", salt="eval",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.sampling import hash_split
 
@@ -1744,6 +1757,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": _stream_dedup_events,
         "events_distinct_users": _events_distinct_users,
         "dedup_canonical_documents": _dedup_canonical_documents,
+        "stratified_take_documents": _stratified_take_documents,
     }
 
 
@@ -1772,6 +1786,7 @@ _DRIVER_WINDOW = [
     "stream_dedup_events",
     "events_distinct_users",
     "dedup_canonical_documents",
+    "stratified_take_documents",
     # -- (2) freshness-forced: last green r7, stale after this round --
     "knn_lineitem_euclidean",
     "knn_lineitem_cosine",
@@ -1812,7 +1827,6 @@ _DRIVER_WINDOW = [
     "length_quantiles_documents",
     "top_terms_documents",
     "asof_join_events",
-    "asof_forward_events",
     "curate_pipeline_documents",
     "pack_sequences_documents",
 ]
@@ -3144,6 +3158,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '33333333'
+        """,
+        "stratified_take_documents": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substring(
+                               md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8
+                           ) ASC, doc_id ASC
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
         """,
         "hash_split_documents": """
             SELECT doc_id,

@@ -84,3 +84,41 @@ def split_thresholds(weights: list[float]) -> list[str]:
         acc += w / total
         out.append(_threshold_hex(acc))
     return out
+
+
+def stratified_take(
+    df: DataFrame,
+    n_per_group: int,
+    by: str | list[str],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(n, group size) rows per group, deterministically.
+
+    ``hash_sample`` keeps an *expected* fraction; curation frequently
+    needs exact per-stratum counts instead (n eval docs per language,
+    n audit samples per source).  Rows are ranked inside each group by
+    the same md5 hash used for sampling (uniform, reproducible, salt-
+    decoupled; id tiebreak) and the top n kept — so the selection is a
+    pure function of (id, salt), independent of partitioning or
+    cluster size, and growing a group only ever ADDS candidates
+    without reshuffling previously selected ones... (note: unlike
+    reservoir sampling, membership may change as the group grows —
+    what is stable is the ranking function, not the selected set).
+
+    Cost: one hash-partition shuffle of (by, id, hash) width — Spark
+    ≥3.5 plants a pre-shuffle WindowGroupLimit, so at most n rows per
+    group per input partition cross the wire, never the group."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by_cols).orderBy(
+        _bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

@@ -388,6 +388,43 @@ def test_hash_sampling_deterministic_and_nested(spark):
         hash_split(df, [1.0], ["a", "b"], id_col="doc_id")
 
 
+def test_stratified_take_exact_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.sampling import stratified_take
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stratified_take(docs, 7, by="lang", salt="t")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {k: min(7, v) for k, v in sizes.items()}
+    # deterministic across partitionings, salt-decoupled
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_take(docs.repartition(13), 7, by="lang",
+                                 salt="t").collect()
+    )
+    assert a == b
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_take(docs, 7, by="lang", salt="u").collect()
+    )
+    assert c != a
+    # helper column must not leak
+    assert "_rk" not in out.columns
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stratified_take(docs, 0, by="lang")
+
+
 def test_token_stream_offsets_layout(spark):
     """Concatenate-then-split bookkeeping: offsets are exclusive
     cumulative sums in id order within each bucket, seq index/offset
