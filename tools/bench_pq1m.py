@@ -14,7 +14,14 @@ bench.py under ``extra.pq1m``):
 * flat exact-GEMM scan on the same queries (the brute-force floor)
 * headline: best (q/s, recall) point clearing recall ≥ 0.90
 
-Usage: python tools/bench_pq1m.py [N] [--rebuild]
+Usage: python tools/bench_pq1m.py [N] [--rebuild] [--geometry blobs|manifold]
+
+``--geometry manifold`` swaps in the recall-calibrated smooth corpus
+(tools/recall_curve.py, intrinsic dim 18 — the one whose HNSW
+recall-vs-M curve matches real SIFT): isolates how much of the ADC
+recall ceiling is the blob corpus' full-rank isotropic residuals
+(hard to quantize) vs the codec itself.  The official meta record
+(pq1m_meta.json) is written only for the default blobs geometry.
 """
 
 from __future__ import annotations
@@ -67,9 +74,13 @@ def _write_corpus_parquet(mat: np.ndarray, path: str) -> None:
 def main():
     n = 1_000_000
     rebuild = "--rebuild" in sys.argv
-    for a in sys.argv[1:]:
+    geometry = "blobs"
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
         if a.isdigit():
             n = int(a)
+        if a == "--geometry":
+            geometry = args[i + 1]
 
     from anndb_spark.operators import ivfpq as _ivfpq_mod
     from anndb_spark.operators import pq as _pq_mod
@@ -86,13 +97,26 @@ def main():
         + open(_ivfpq_mod.__file__, "rb").read()
     ).hexdigest()[:12]
     skey = hashlib.sha1(
-        f"pq1m|{n}|{SEED}|{N_CELLS}|{M_SUB}|{N_CODE}|{kern}".encode()
+        f"pq1m|{geometry}|{n}|{SEED}|{N_CELLS}|{M_SUB}|{N_CODE}|{kern}".encode()
     ).hexdigest()[:16]
     adir = os.path.join(CACHE_ROOT, f"pq1m_{skey}")
-    corpus_pq = os.path.join(CACHE_ROOT, f"pq1m_corpus_{n}_{SEED}.parquet")
+    corpus_pq = os.path.join(
+        CACHE_ROOT, f"pq1m_corpus_{geometry}_{n}_{SEED}.parquet"
+    )
 
-    print(f"[pq1m] corpus n={n} dim={DIM} ...", file=sys.stderr)
-    mat = corpus(n)
+    print(f"[pq1m] corpus n={n} dim={DIM} geometry={geometry} ...",
+          file=sys.stderr)
+    if geometry == "blobs":
+        mat = corpus(n)
+        q_all = queries(N_QUERIES).astype(np.float32)
+    elif geometry == "manifold":
+        from tools.recall_curve import make_corpus
+
+        mat, q_all = make_corpus(
+            n, N_QUERIES, "manifold", noise=0.05, eff_rank=18
+        )
+    else:
+        raise ValueError(f"unknown geometry {geometry!r}")
     os.makedirs(CACHE_ROOT, exist_ok=True)
     if not os.path.exists(corpus_pq):
         t0 = time.perf_counter()
@@ -127,7 +151,7 @@ def main():
         )
 
     cent, books, _meta = load_ivfpq_config(spark, adir)
-    q = queries(N_QUERIES).astype(np.float32)
+    q = q_all
     qids = [str(i) for i in range(N_QUERIES)]
     print("[pq1m] exact ground truth ...", file=sys.stderr)
     t0 = time.perf_counter()
@@ -207,8 +231,10 @@ def main():
         result["pq1m_vs_hnsw_recall_at_10"] = s1.get("sift1m_recall_at_10")
     except (OSError, ValueError):
         pass
-    with open(META_PATH, "w") as f:
-        json.dump(result, f)
+    result["pq1m_geometry"] = geometry
+    if geometry == "blobs":  # the official bench.py passthrough record
+        with open(META_PATH, "w") as f:
+            json.dump(result, f)
     print(json.dumps(result))
     spark.stop()
 

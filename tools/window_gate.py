@@ -128,9 +128,16 @@ def main() -> int:
     bad = window_debt(registry, window, oracle_keys)
     green, _, current = load_green_history()
     n_never = sum(1 for n in registry if not green.get(n))
+    n_oracle = sum(1 for n in registry if n in oracle_keys)
+    # capacity: with max_age=2 every oracle-backed entry needs a slot
+    # every other round, so steady-state demand is ceil(n_oracle/2);
+    # the headroom is how many NEW queries future rounds can absorb
+    steady = -(-n_oracle // 2)
     print(
         f"window_gate: round r{current}, registry {len(registry)}, "
-        f"window {len(window)}, never-green {n_never}"
+        f"window {len(window)}, never-green {n_never}; steady-state "
+        f"slot demand {steady}/50 (headroom ~{2 * (50 - steady)} more "
+        "oracle-backed registry entries)"
     )
     for b in bad:
         print(f"  VIOLATION: {b}")
