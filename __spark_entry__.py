@@ -833,6 +833,19 @@ def _stratified_take_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _integrity_documents_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of documents.doc_id ↔
+    embeddings.vec_id (`stats.referential_audit`): row counts, orphan
+    keys each side, duplicate keys each side — the hygiene check run
+    before trusting any doc↔embedding join.  Keys-only projections;
+    anti-joins between DISTINCT key sets, never between the tables."""
+    from anndb_spark.operators.stats import referential_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return referential_audit(docs, emb, "doc_id", "vec_id")
+
+
 def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.sampling import hash_split
 
@@ -1758,6 +1771,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": _events_distinct_users,
         "dedup_canonical_documents": _dedup_canonical_documents,
         "stratified_take_documents": _stratified_take_documents,
+        "integrity_documents_embeddings": _integrity_documents_embeddings,
     }
 
 
@@ -1787,6 +1801,7 @@ _DRIVER_WINDOW = [
     "events_distinct_users",
     "dedup_canonical_documents",
     "stratified_take_documents",
+    "integrity_documents_embeddings",
     # -- (2) freshness-forced: last green r7, stale after this round --
     "knn_lineitem_euclidean",
     "knn_lineitem_cosine",
@@ -1821,7 +1836,6 @@ _DRIVER_WINDOW = [
     "mixture_sample_documents",
     "sessionize_events",
     "funnel_events",
-    "attribution_pairs_events",
     "stream_attribution_events",
     "dup_span_coverage_documents",
     "length_quantiles_documents",
@@ -3158,6 +3172,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE substring(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '33333333'
+        """,
+        "integrity_documents_embeddings": """
+            WITH lg AS (SELECT doc_id AS k, COUNT(*) AS c
+                        FROM documents GROUP BY doc_id),
+                 rg AS (SELECT vec_id AS k, COUNT(*) AS c
+                        FROM embeddings GROUP BY vec_id)
+            SELECT
+              (SELECT CAST(SUM(c) AS BIGINT) FROM lg) AS n_left,
+              (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM lg) AS n_left_dup_keys,
+              (SELECT CAST(SUM(c) AS BIGINT) FROM rg) AS n_right,
+              (SELECT CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 FROM rg) AS n_right_dup_keys,
+              (SELECT COUNT(*) FROM lg
+                 WHERE k NOT IN (SELECT k FROM rg)) AS n_left_orphan_keys,
+              (SELECT COUNT(*) FROM rg
+                 WHERE k NOT IN (SELECT k FROM lg)) AS n_right_orphan_keys
         """,
         "stratified_take_documents": """
             SELECT doc_id, lang, source, n_chars FROM (

@@ -100,3 +100,51 @@ def grouped_quantiles(
     if by_cols:
         return df.groupBy(*by_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def referential_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """One-row data-quality audit of a key relationship between two
+    tables: row counts, orphan keys on each side (present in one,
+    absent in the other), and duplicated keys on each side — the
+    pipeline-hygiene check run before any join is trusted (a silent
+    orphan set means the join drops rows; silent dup keys mean it
+    fans out).
+
+    100 TB shape: both tables are reduced to key-only projections
+    immediately (column pruning reaches the scans), each side pays one
+    hash aggregate on its key, and the orphan checks are anti-joins
+    between the two DISTINCT key sets — never between the tables.  The
+    six scalars then cross-join as single-row aggregates (no data
+    movement)."""
+    lk = left.select(F.col(left_key).alias("k"))
+    rk = right.select(F.col(right_key).alias("k"))
+    lg = lk.groupBy("k").count()
+    rg = rk.groupBy("k").count()
+    l_stats = lg.agg(
+        F.sum("count").alias("n_left"),
+        F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias(
+            "n_left_dup_keys"
+        ),
+    )
+    r_stats = rg.agg(
+        F.sum("count").alias("n_right"),
+        F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias(
+            "n_right_dup_keys"
+        ),
+    )
+    l_orph = (
+        lg.select("k")
+        .join(rg.select("k"), "k", "left_anti")
+        .agg(F.count("*").alias("n_left_orphan_keys"))
+    )
+    r_orph = (
+        rg.select("k")
+        .join(lg.select("k"), "k", "left_anti")
+        .agg(F.count("*").alias("n_right_orphan_keys"))
+    )
+    return l_stats.crossJoin(r_stats).crossJoin(l_orph).crossJoin(r_orph)

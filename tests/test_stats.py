@@ -94,6 +94,23 @@ def test_grouped_distinct_exact_and_sketch(spark):
     assert "count(distinct" in plan_e or "count(user_id" in plan_e
 
 
+def test_referential_audit_orphans_and_dups(spark):
+    from anndb_spark.operators.stats import referential_audit
+
+    left = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (9,)], "doc_id LONG"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (4,), (4,), (4,)], "vec_id LONG"
+    )
+    r = referential_audit(left, right, "doc_id", "vec_id").collect()[0]
+    assert r["n_left"] == 5 and r["n_right"] == 5
+    assert r["n_left_dup_keys"] == 1      # key 2
+    assert r["n_right_dup_keys"] == 1     # key 4
+    assert r["n_left_orphan_keys"] == 2   # keys 3, 9
+    assert r["n_right_orphan_keys"] == 1  # key 4
+
+
 def test_ungrouped_and_name_validation(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     row = grouped_quantiles(docs, [0.5], "n_chars", names=["median"]).collect()[0]
