@@ -1789,6 +1789,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # kept OUT of the window — their evidence is pytest plus their
 # hash-green exact twins (e.g. pq_exact_rerank_top10 for the ADC leg) —
 # so slots are never spent on rows the driver cannot judge.
+#
+# RETIREMENT POLICY (capacity, enforced by the gate's demand check):
+# an entry with >= 4 lifetime driver-green rounds is "long-green" — its
+# plan and oracle are proven stable, so it rotates at half cadence
+# (max_age 4 instead of 2), halving its steady-state slot demand.  The
+# gate FAILS when projected demand (steady-state + 6 expected new
+# entries) exceeds the driver's 50-row cap, forcing further retirement
+# (raising the long-green horizon, or merging near-duplicate queries —
+# e.g. folding a *_codes twin into its *_search entry) BEFORE the
+# rotation contract becomes unsatisfiable.  Phase safety: every gate
+# check passes if valid under EITHER ship-time evidence (all committed
+# CORRECTNESS files) or judge-time evidence (the newest file is the
+# driver's evaluation OF this window) — see tools/window_gate.py.
 _DRIVER_WINDOW = [
     # -- (1) never driver-checked (registered past the r8 cap) --
     "gopher_signals_documents",
@@ -2348,8 +2361,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(source, 'ALL') AS source,
                    coalesce(lang, 'ALL') AS lang,
                    COUNT(*) AS n_docs,
-                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
-                       AS n_tokens
+                   -- outer cast: DuckDB's SUM(BIGINT) is HUGEINT, which
+                   -- lands as float64 in the comparison frame and
+                   -- hash-mismatches Spark's int64 (CORRECTNESS_r09)
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        AS BIGINT) AS n_tokens
             FROM documents
             GROUP BY CUBE (documents.source, documents.lang)
         """,        "stream_sessions_events": """

@@ -781,25 +781,43 @@ def canonicalize_corpus(
     clusters: DataFrame,
     id_col: str = "doc_id",
     prefer_col: str = "n_chars",
+    broadcast_threshold: int | None = 1_000_000,
 ) -> DataFrame:
     """The user-facing corpus-dedup materialization: drop every
     near-duplicate except one representative per cluster.
 
     ``clusters`` is the `dedup_clusters` output (id, cluster_id) —
-    only ids that appear in a near-dup pair, so it is tiny relative to
-    the corpus and rides broadcasts.  The representative is the
-    member with the largest ``prefer_col`` (longest document keeps
+    only ids that appear in a near-dup pair.  The representative is
+    the member with the largest ``prefer_col`` (longest document keeps
     the most signal), id ascending on ties — deterministic.
 
-    100 TB shape: the corpus is NEVER shuffled.  One column-pruned
-    scan (id, prefer) broadcast-joins the cluster map to rank members
-    (the window shuffles only cluster members), producing a
-    losers-ids table; the full corpus then streams through a single
-    broadcast left-anti join against it."""
+    Broadcast gate: web-crawl corpora routinely have 30-50% near-dup
+    members, so the cluster map (and the losers derived from it) can
+    be O(corpus) ids — a FORCED broadcast of billions of ids is a
+    driver/executor OOM.  The hint is therefore size-gated: the
+    cluster map is counted once (one job over an ids-only table), and
+    only when it holds at most ``broadcast_threshold`` rows do the two
+    joins carry an explicit broadcast hint; above the threshold (or
+    with ``broadcast_threshold=None``) the joins are left un-hinted so
+    AQE/Catalyst pick the strategy from runtime stats — typically a
+    shuffled hash join on ids only.
+
+    100 TB shape, small-map regime: the corpus is NEVER shuffled.  One
+    column-pruned scan (id, prefer) broadcast-joins the cluster map to
+    rank members (the window shuffles only cluster members), producing
+    a losers-ids table; the full corpus then streams through a single
+    broadcast left-anti join against it.  Large-map regime: the two
+    id-keyed shuffles move only (id, prefer) and id columns — document
+    text still never rides an exchange."""
     from pyspark.sql import Window
 
+    small = (
+        broadcast_threshold is not None
+        and clusters.count() <= broadcast_threshold
+    )
+    hint = F.broadcast if small else (lambda d: d)
     members = df.select(F.col(id_col), F.col(prefer_col)).join(
-        F.broadcast(clusters.withColumnRenamed("id", id_col)), id_col
+        hint(clusters.withColumnRenamed("id", id_col)), id_col
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(prefer_col).desc(), F.col(id_col).asc()
@@ -809,4 +827,4 @@ def canonicalize_corpus(
         .filter(F.col("_r") > 1)
         .select(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(hint(losers), id_col, "left_anti")

@@ -233,6 +233,43 @@ def test_canonicalize_corpus_never_shuffles_corpus(spark):
     assert len(kept) == n - 1
 
 
+def test_canonicalize_corpus_gates_broadcast_above_threshold(spark):
+    """Above broadcast_threshold the cluster map / losers joins must NOT
+    carry a forced broadcast hint (web-corpus near-dup rates make losers
+    O(corpus) ids — a forced broadcast OOMs at scale).  With the hint
+    absent and auto-broadcast disabled, Catalyst falls back to shuffled
+    joins; results are identical to the small regime."""
+    from anndb_spark.operators.dedup import canonicalize_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame(
+        [(1, 0), (3, 0), (7, 5)], "id LONG, cluster_id LONG"
+    )
+    small = canonicalize_corpus(docs, clusters)
+    gated = canonicalize_corpus(docs, clusters, broadcast_threshold=0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(gated)
+        assert "BroadcastHashJoin" not in plan and (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        ), plan
+        # the extra shuffles still carry only id/prefer columns
+        for line in plan.splitlines():
+            if "Exchange" in line and "Broadcast" not in line:
+                assert "text" not in line, line
+        assert {r["doc_id"] for r in gated.select("doc_id").collect()} == {
+            r["doc_id"] for r in small.select("doc_id").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # small regime unchanged: both joins still broadcast
+    p_small = _plan(small)
+    assert p_small.count("BroadcastHashJoin") + p_small.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
 def test_market_share_broadcasts_dimensions(spark):
     """The Q8-style join chain must broadcast every dimension side —
     the fact scan reaches the partial agg without a pre-join shuffle;

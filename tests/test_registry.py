@@ -9,7 +9,7 @@ import sys
 import __spark_entry__ as e
 
 sys.path.insert(0, "/root/repo/tools")
-from window_gate import load_green_history  # noqa: E402
+from window_gate import never_green_order_ok  # noqa: E402
 
 
 def test_window_size_and_membership():
@@ -33,11 +33,8 @@ def test_oracle_keys_match_registry():
 
 def test_window_order_puts_never_green_first():
     """Entries with no driver-green row in ANY recorded round lead the
-    window, so a truncated evaluation still reaches them first."""
-    names = list(e.queries())
-    green, _, _ = load_green_history()
-    oracle_backed = set(e.oracle_sql())
-    never = [n for n in names if n in oracle_backed and not green.get(n)]
-    if never:
-        head = names[: len(never)]
-        assert set(never) <= set(head), (never, head)
+    window, so a truncated evaluation still reaches them first.  Checked
+    under both phase interpretations (window_gate.never_green_order_ok):
+    the r9 defect was judging the shipped order against the driver
+    artifact written AFTER the order was shipped."""
+    assert never_green_order_ok(list(e.queries()), set(e.oracle_sql()))

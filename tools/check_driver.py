@@ -46,6 +46,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
         return False
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
+        # dtype-strict: the driver's value hash is dtype-sensitive, so an
+        # int64 Spark column vs a float64 oracle column (e.g. DuckDB
+        # HUGEINT from SUM(BIGINT)) must FAIL here even though the values
+        # compare equal numerically — this blind spot shipped the r9
+        # corpus_cube_source_lang hash failure.
+        if s[c].dtype != d[c].dtype:
+            print(
+                f"  DTYPE MISMATCH col={c}: spark={s[c].dtype} duck={d[c].dtype}"
+                " (driver hash is dtype-sensitive)"
+            )
+            ok = False
+    if not ok:
+        return False
+    for c in s.columns:
         if pd.api.types.is_float_dtype(s[c]):
             a, b = s[c].to_numpy(), d[c].to_numpy()
             if not np.array_equal(a, b, equal_nan=True):
