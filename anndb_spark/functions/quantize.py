@@ -136,6 +136,99 @@ def hamming_col(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Colum
     )
 
 
+# bits packed per BIGINT word in the wide (ARRAY<BIGINT>) signature:
+# bit i is CAST(pow(2.0, i) AS BIGINT) — exact for i <= 62 (powers of
+# two are exact doubles; 2^62 < 2^63-1), and staying below bit 62 keeps
+# every word positive so the Python/DuckDB twins never see sign wrap
+BQ_WORD_BITS = 62
+
+
+def _n_words(dim: int) -> int:
+    return -(-dim // BQ_WORD_BITS)
+
+
+def sign_words_col(vec: Column, dim: int) -> Column:
+    """Wide 1-bit signature: sign pattern of ``dim`` dims packed into
+    ``ceil(dim/62)`` BIGINT words (ARRAY<BIGINT>) — the >64-dim
+    generalization of `sign_bits_cols` for real embedding widths
+    (384-4096).  ~1.03 bits stored per dim, so the hamming candidate
+    scan still reads ~31× fewer bytes than float32.  Same per-word
+    packing expression as `sign_bits_cols.half` (aggregate over a
+    sequence, pow-of-two terms exact in doubles)."""
+
+    def word(start: int, end: int) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(start), F.lit(end - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(vec, (i + 1).cast("int")) > 0,
+                F.pow(F.lit(2.0), (i - start).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return F.array(
+        *(
+            word(w * BQ_WORD_BITS, min(dim, (w + 1) * BQ_WORD_BITS))
+            for w in range(_n_words(dim))
+        )
+    )
+
+
+def sign_words_py(vec, dim: int | None = None) -> list[int]:
+    """Driver-side twin of `sign_words_col` for literal query vectors."""
+    dim = len(vec) if dim is None else dim
+    return [
+        sum(
+            1 << (i - start)
+            for i in range(start, min(dim, start + BQ_WORD_BITS))
+            if vec[i] > 0
+        )
+        for start in range(0, dim, BQ_WORD_BITS)
+    ]
+
+
+def sign_words_sql(vec: str, dim: int) -> str:
+    """DuckDB twin of `sign_words_col`: a LIST(BIGINT) expression with
+    the identical per-word packing."""
+
+    def word(start: int, end: int) -> str:
+        terms = (
+            f"CASE WHEN {vec}[i] > 0 THEN "
+            f"CAST(pow(2, i - {start + 1}) AS BIGINT) ELSE 0 END"
+        )
+        return (
+            f"CAST(list_sum([{terms} for i in "
+            f"range({start + 1}, {end + 1})]) AS BIGINT)"
+        )
+
+    words = ", ".join(
+        word(w * BQ_WORD_BITS, min(dim, (w + 1) * BQ_WORD_BITS))
+        for w in range(_n_words(dim))
+    )
+    return f"[{words}]"
+
+
+def hamming_words_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two ARRAY<BIGINT> signatures: XOR +
+    bit_count per word, summed — pure JVM higher-order functions, no
+    UDF, so the candidate scan stays in codegen at any width."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_words_sql(sig: str, qwords: list[int]) -> str:
+    """DuckDB twin of `hamming_words_col` against a literal query
+    signature (1-indexed list access)."""
+    return " + ".join(
+        f"bit_count(xor({sig}[{i + 1}], CAST({w} AS BIGINT)))"
+        for i, w in enumerate(qwords)
+    )
+
+
 def sign_bits_sql(vec: str, dim: int) -> tuple[str, str]:
     """DuckDB twins of `sign_bits_cols` (same exact packing)."""
     if dim > 64:
@@ -188,16 +281,26 @@ def bq_encode_table(
     to ``knn_binary(..., sig_table=...)``: the hamming candidate scan
     then reads 16 bytes/row instead of decoding floats and packing
     signatures on the fly — at 100 TB the scan IS the cost, so this is
-    the artifact that makes the "32× smaller scan" claim literal."""
-    if not 0 < dim <= 64:
-        raise ValueError(f"bq_encode_table: dim must be in 1..64, got {dim}")
-    lo, hi = sign_bits_cols(F.col(vec_col), dim)
-    out = df.withColumns(
-        {f"{vec_col}_sig_lo": lo, f"{vec_col}_sig_hi": hi}
-    )
+    the artifact that makes the "32× smaller scan" claim literal.
+
+    dim > 64 stores the wide layout instead: (id, {vec}_sig) with the
+    `sign_words_col` ARRAY<BIGINT> signature.  Both layouts also stamp
+    a ``{vec}_sig_dim`` column so `knn_binary` can verify at search
+    time that the stored signatures were packed at the query dim — a
+    dim-32 table searched at dim 64 would otherwise silently degrade
+    recall."""
+    if dim <= 0:
+        raise ValueError(f"bq_encode_table: dim must be positive, got {dim}")
+    if dim <= 64:
+        lo, hi = sign_bits_cols(F.col(vec_col), dim)
+        cols = {f"{vec_col}_sig_lo": lo, f"{vec_col}_sig_hi": hi}
+    else:
+        cols = {f"{vec_col}_sig": sign_words_col(F.col(vec_col), dim)}
+    cols[f"{vec_col}_sig_dim"] = F.lit(dim).cast("int")
+    out = df.withColumns(cols)
     if keep_vector:
         return out
-    return out.select(id_col, f"{vec_col}_sig_lo", f"{vec_col}_sig_hi")
+    return out.select(id_col, *cols)
 
 
 def sq8_decode_table(df, vec_col: str = "vector"):

@@ -87,11 +87,32 @@ def _elem(vec_expr: str, i: int, dialect: str) -> str:
     raise ValueError(f"unknown dialect {dialect!r}")
 
 
-def _fold_sql(terms: Sequence[str]) -> str:
-    expr = "CAST(0.0 AS DOUBLE)"
-    for t in terms:
-        expr = f"({expr} + {t})"
-    return expr
+# above this many terms the unrolled nested-binary fold exceeds
+# DuckDB's binder recursion cap (128); switch to a flat list fold with
+# the identical left-to-right association
+_FOLD_UNROLL_MAX = 100
+
+
+def _fold_sql(terms: Sequence[str], dialect: str = "duckdb") -> str:
+    if len(terms) <= _FOLD_UNROLL_MAX:
+        expr = "CAST(0.0 AS DOUBLE)"
+        for t in terms:
+            expr = f"({expr} + {t})"
+        return expr
+    # flat left fold: the list literal is one node with N children, and
+    # list_reduce/aggregate applies (acc + x) first-to-last — the same
+    # association as the unrolled form, so doubles stay bit-identical
+    # (pinned by tests/test_spaces.py)
+    lst = ", ".join(terms)
+    if dialect == "duckdb":
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{lst}]), "
+            "(acc, x) -> acc + x)"
+        )
+    return (
+        f"aggregate(array({lst}), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
 
 
 def _lit(v: float) -> str:
@@ -124,13 +145,13 @@ def distance_sql(
 
     if space == "euclidean":
         terms = [f"(({e} - {q}) * ({e} - {q}))" for e, q in zip(elems, qs)]
-        return f"sqrt({_fold_sql(terms)})"
+        return f"sqrt({_fold_sql(terms, dialect)})"
     if space == "manhattan":
         terms = [f"abs({e} - {q})" for e, q in zip(elems, qs)]
-        return _fold_sql(terms)
-    dot = _fold_sql([f"({e} * {q})" for e, q in zip(elems, qs)])
-    na = f"sqrt({_fold_sql([f'({e} * {e})' for e in elems])})"
-    nb = f"sqrt({_fold_sql([f'({q} * {q})' for q in qs])})"
+        return _fold_sql(terms, dialect)
+    dot = _fold_sql([f"({e} * {q})" for e, q in zip(elems, qs)], dialect)
+    na = f"sqrt({_fold_sql([f'({e} * {e})' for e in elems], dialect)})"
+    nb = f"sqrt({_fold_sql([f'({q} * {q})' for q in qs], dialect)})"
     return f"abs(CAST(1.0 AS DOUBLE) - ({dot} / ({na} * {nb})))"
 
 
@@ -148,12 +169,12 @@ def pair_distance_sql(
     eb = [_elem(b_expr, i + 1, dialect) for i in range(dim)]
     if space == "euclidean":
         terms = [f"(({a} - {b}) * ({a} - {b}))" for a, b in zip(ea, eb)]
-        return f"sqrt({_fold_sql(terms)})"
+        return f"sqrt({_fold_sql(terms, dialect)})"
     if space == "manhattan":
-        return _fold_sql([f"abs({a} - {b})" for a, b in zip(ea, eb)])
-    dot = _fold_sql([f"({a} * {b})" for a, b in zip(ea, eb)])
-    na = f"sqrt({_fold_sql([f'({a} * {a})' for a in ea])})"
-    nb = f"sqrt({_fold_sql([f'({b} * {b})' for b in eb])})"
+        return _fold_sql([f"abs({a} - {b})" for a, b in zip(ea, eb)], dialect)
+    dot = _fold_sql([f"({a} * {b})" for a, b in zip(ea, eb)], dialect)
+    na = f"sqrt({_fold_sql([f'({a} * {a})' for a in ea], dialect)})"
+    nb = f"sqrt({_fold_sql([f'({b} * {b})' for b in eb], dialect)})"
     return f"abs(CAST(1.0 AS DOUBLE) - ({dot} / ({na} * {nb})))"
 
 

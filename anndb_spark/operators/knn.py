@@ -332,6 +332,24 @@ def knn_sq8(
     )
 
 
+def _infer_qid_type(queries) -> str:
+    """Spark type for the query_id column: keeps INT for int32-range
+    ids (the historical schema), widens to LONG past int32, STRING for
+    string ids — so callers with 64-bit or string ids don't hit a
+    createDataFrame failure / silent overflow."""
+    ids = [q[0] for q in queries]
+    if all(isinstance(i, str) for i in ids):
+        return "STRING"
+    if all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
+        if all(-(2**31) <= i < 2**31 for i in ids):
+            return "INT"
+        return "LONG"
+    raise TypeError(
+        "knn_binary: query ids must be all int or all str, got "
+        f"{sorted({type(i).__name__ for i in ids})}"
+    )
+
+
 def knn_binary(
     vectors: DataFrame,
     queries: list[tuple],
@@ -358,27 +376,44 @@ def knn_binary(
     the analyzer the bottleneck at 1k-query batches), and only
     |Q|·k·mult candidate ids — never vectors — cross the shuffle.
 
-    ``dim`` must equal the stored vector dimension (≤ 64): dims past
-    ``dim`` would be silently excluded from the signature, degrading
+    Any ``dim`` is accepted: up to 64 dims pack into two BIGINT halves
+    (`sign_bits_cols`), wider vectors into an ARRAY<BIGINT> word
+    signature (`sign_words_col`, 62 bits/word) with an
+    aggregate(zip_with(XOR → bit_count)) hamming — both pure-JVM, and
+    the plan shape (one exchange, O(1) nodes in |Q|) is identical, so
+    the cheapest scan in the toolbox works at real embedding widths
+    (384-4096).  Query vectors must have exactly ``dim`` dims: extra
+    dims would be silently excluded from the signature, degrading
     recall with no error.  Hamming ties are broken by id, so results
-    are deterministic and oracle-exact despite the coarse 64-bit
-    proxy.  Returns (query_id, rank, id, score) with score = exact
-    distance of the BQ-selected candidates (BQ recall is the accuracy
-    knob — report it against knn_exact like any ANN path).
+    are deterministic and oracle-exact despite the coarse proxy.
+    Returns (query_id, rank, id, score) with score = exact distance of
+    the BQ-selected candidates (BQ recall is the accuracy knob —
+    report it against knn_exact like any ANN path).  query_id keeps
+    the callers' type (int32 / int64 / string inferred from the
+    literals).
 
-    ``sig_table`` (the `quantize.bq_encode_table` layout: id,
-    {vec}_sig_lo, {vec}_sig_hi) makes the candidate scan read the
-    16-byte stored signatures instead of packing them from the float
-    vectors on the fly — the float table is then touched only by the
-    k·mult-row rerank fetch.  Results are identical either way (same
-    packing expression produced the table)."""
-    from anndb_spark.functions.quantize import hamming_col, sign_bits_cols
+    ``sig_table`` (the `quantize.bq_encode_table` layout: id +
+    {vec}_sig_lo/{vec}_sig_hi, or id + {vec}_sig for dim > 64) makes
+    the candidate scan read the packed stored signatures instead of
+    packing them from the float vectors on the fly — the float table
+    is then touched only by the k·mult-row rerank fetch.  Results are
+    identical either way (same packing expression produced the table).
+    Tables written by `bq_encode_table` carry a ``{vec}_sig_dim``
+    stamp; when present it is verified per-row (F.assert_true, zero
+    extra scans) so a table packed at another dim fails loudly instead
+    of silently losing recall."""
+    from anndb_spark.functions.quantize import (
+        hamming_col,
+        hamming_words_col,
+        sign_bits_cols,
+        sign_words_col,
+    )
 
     queries = list(queries)
     if not queries:
         raise ValueError("knn_binary: queries must be non-empty")
-    if not 0 < dim <= 64:
-        raise ValueError(f"knn_binary: dim must be in 1..64, got {dim}")
+    if dim <= 0:
+        raise ValueError(f"knn_binary: dim must be positive, got {dim}")
     for qid, qv in queries:
         if len(qv) != dim:
             raise ValueError(
@@ -387,30 +422,63 @@ def knn_binary(
                 "the signature)"
             )
     spark = vectors.sparkSession
+    qid_type = _infer_qid_type(queries)
     qdf = spark.createDataFrame(
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
-        "query_id INT, query_vector ARRAY<DOUBLE>",
+        f"query_id {qid_type}, query_vector ARRAY<DOUBLE>",
     )
+    wide = dim > 64
+    dim_col = f"{vec_col}_sig_dim"
+    if sig_table is not None and dim_col in sig_table.columns:
+        # stamped table: per-row runtime check, no extra scan
+        sig_table = sig_table.filter(
+            F.assert_true(
+                F.col(dim_col) == F.lit(dim),
+                F.concat(
+                    F.lit(
+                        "knn_binary: sig_table was packed at dim "
+                    ),
+                    F.col(dim_col).cast("string"),
+                    F.lit(f", searched at dim {dim}"),
+                ),
+            ).isNull()
+        )
     # the SAME column expression packs both sides — no driver-side twin
     # to drift from
-    qlo, qhi = sign_bits_cols(F.col("query_vector"), dim)
-    qsig = qdf.select(
-        "query_id", qlo.alias("_qlo"), qhi.alias("_qhi")
-    )
-    if sig_table is not None:
-        sig = sig_table.select(
-            F.col(id_col),
-            F.col(f"{vec_col}_sig_lo").alias("_lo"),
-            F.col(f"{vec_col}_sig_hi").alias("_hi"),
+    if wide:
+        qsig = qdf.select(
+            "query_id",
+            sign_words_col(F.col("query_vector"), dim).alias("_qsig"),
         )
+        if sig_table is not None:
+            sig = sig_table.select(
+                F.col(id_col), F.col(f"{vec_col}_sig").alias("_sig")
+            )
+        else:
+            sig = vectors.select(
+                F.col(id_col),
+                sign_words_col(F.col(vec_col), dim).alias("_sig"),
+            )
+        ham = hamming_words_col(F.col("_sig"), F.col("_qsig"))
     else:
-        lo, hi = sign_bits_cols(F.col(vec_col), dim)
-        sig = vectors.select(
-            F.col(id_col), lo.alias("_lo"), hi.alias("_hi")
+        qlo, qhi = sign_bits_cols(F.col("query_vector"), dim)
+        qsig = qdf.select(
+            "query_id", qlo.alias("_qlo"), qhi.alias("_qhi")
         )
-    ham = hamming_col(
-        F.col("_lo"), F.col("_hi"), F.col("_qlo"), F.col("_qhi")
-    )
+        if sig_table is not None:
+            sig = sig_table.select(
+                F.col(id_col),
+                F.col(f"{vec_col}_sig_lo").alias("_lo"),
+                F.col(f"{vec_col}_sig_hi").alias("_hi"),
+            )
+        else:
+            lo, hi = sign_bits_cols(F.col(vec_col), dim)
+            sig = vectors.select(
+                F.col(id_col), lo.alias("_lo"), hi.alias("_hi")
+            )
+        ham = hamming_col(
+            F.col("_lo"), F.col("_hi"), F.col("_qlo"), F.col("_qhi")
+        )
     n_cand = k * rerank_mult
     wc = Window.partitionBy("query_id").orderBy(
         F.col("_ham").asc(), F.col(id_col).asc()

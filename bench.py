@@ -162,6 +162,15 @@ def compact_summary_line(total, timings, sf, extra) -> str:
     if len(line) > 1500:  # hard guard: the tail must stay parseable
         compact["extra"] = {}
         line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1500 and compact["queries"]:
+        # second fallback: drop the slowest-to-matter legs (shortest
+        # names last so the cut is deterministic) until the line fits;
+        # metric/value/unit/sf always survive
+        drop = max(compact["queries"], key=lambda k: (len(k), k))
+        del compact["queries"][drop]
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1500, len(line)
     return line
 
 
@@ -332,6 +341,20 @@ def main():
         "bq_search_1kq",
         lambda: knn_binary(emb, bq_queries, 10, dim=64).collect(),
     )
+
+    # q9c: the wide (dim > 64) BQ path — ARRAY<BIGINT> word signatures
+    # with aggregate(zip_with) hamming at 192 dims, same O(1) plan; this
+    # is the regime real embedding pipelines (384-4096 dims) run in
+    emb_wide = entry._widened_embeddings(spark, sf_dir).cache()
+    emb_wide.count()
+    bq_wide_queries = [
+        (i, rng_bq.normal(0, 1, 192).tolist()) for i in range(1000)
+    ]
+    timed(
+        "bq_search_wide_1kq",
+        lambda: knn_binary(emb_wide, bq_wide_queries, 10, dim=192).collect(),
+    )
+    emb_wide.unpersist()
 
     # q10: IVF scale path over embeddings — train coarse quantizer,
     # assign clusters, persist partitioned by cluster (the serving

@@ -41,9 +41,15 @@ def test_compact_line_fits_tail_and_parses():
 
 def test_overflow_guard_drops_extra_not_parseability():
     # pathological: hundreds of legs — the guard must still emit valid
-    # JSON under the cap minus room for the driver's own wrapping
-    line = compact_summary_line(1.0, _timings(45), 0.1,
-                                {"fm_recall_at_10": 0.9})
-    d = json.loads(line)
-    assert len(line) < 1900
-    assert d["value"] == 1.0 and len(d["queries"]) == 45
+    # JSON under the hard 1500-char cap (the driver reads a 2000-char
+    # tail that also carries its own wrapping), truncating the queries
+    # dict itself if dropping extra isn't enough
+    for n_legs in (45, 80, 300):
+        line = compact_summary_line(1.0, _timings(n_legs), 0.1,
+                                    {"fm_recall_at_10": 0.9})
+        d = json.loads(line)
+        assert len(line) <= 1500
+        assert d["value"] == 1.0 and d["unit"] == "sec" and d["sf"] == 0.1
+        assert len(d["queries"]) >= 1
+        if len(d["queries"]) < n_legs:
+            assert d["queries_truncated"] is True

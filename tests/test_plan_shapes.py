@@ -178,6 +178,19 @@ def test_knn_binary_plan_constant_in_query_count(spark):
     for line in p_big.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             assert "vector#" not in line, line
+    # the wide (dim > 64, ARRAY<BIGINT> word) path keeps the exact same
+    # shape: one candidate shuffle, no unions, no vectors on exchanges
+    qs_wide = [(i, [float((i * 7 + j) % 5 - 2) for j in range(96)])
+               for i in range(64)]
+    p_wide = _plan(knn_binary(emb.withColumn(
+        "vector", F.concat("vector", F.slice("vector", 1, 32))
+    ), qs_wide, k=5, dim=96))
+    assert _exchanges(p_wide) == _exchanges(p_small), p_wide
+    assert p_wide.count("Union") == 0
+    assert p_wide.count("Window") == p_small.count("Window")
+    for line in p_wide.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "vector#" not in line, line
 
 
 def test_knn_binary_validates_inputs(spark):
@@ -193,8 +206,8 @@ def test_knn_binary_validates_inputs(spark):
         knn_binary(emb, [], k=5, dim=64)
     with _pytest.raises(ValueError, match="dims"):
         knn_binary(emb, [(0, [1.0] * 32)], k=5, dim=64)
-    with _pytest.raises(ValueError, match="1..64"):
-        knn_binary(emb, [(0, [1.0] * 65)], k=5, dim=65)
+    with _pytest.raises(ValueError, match="positive"):
+        knn_binary(emb, [(0, [1.0] * 64)], k=5, dim=0)
 
 
 def test_canonicalize_corpus_never_shuffles_corpus(spark):

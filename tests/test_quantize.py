@@ -157,11 +157,124 @@ def test_knn_binary_recall_and_determinism(spark):
     from anndb_spark.functions.quantize import bq_encode_table
 
     sig = bq_encode_table(emb, dim=64)
-    assert sig.columns == ["id", "vector_sig_lo", "vector_sig_hi"]
+    assert sig.columns == [
+        "id", "vector_sig_lo", "vector_sig_hi", "vector_sig_dim"
+    ]
     got_sig = knn_binary(
         emb, e.EMBEDDING_QUERIES, 10, dim=64, sig_table=sig
     ).collect()
     assert sorted(map(tuple, got_sig)) == sorted(map(tuple, got))
+    # the dim stamp fails loudly on a packing/search dim mismatch
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    q32 = [(qid, qv[:32]) for qid, qv in e.EMBEDDING_QUERIES]
+    bad = knn_binary(
+        emb.withColumn("vector", F.slice("vector", 1, 32)),
+        q32, 10, dim=32, sig_table=sig,
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        bad.collect()
+    assert "packed at dim" in str(ei.value)
+
+
+def test_sign_words_three_way_parity(spark):
+    """The wide (ARRAY<BIGINT>) signature: Spark column, Python twin and
+    DuckDB SQL twin must pack bit-identically at a non-word-aligned dim."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from anndb_spark.functions.quantize import (
+        BQ_WORD_BITS,
+        sign_words_col,
+        sign_words_py,
+        sign_words_sql,
+    )
+
+    dim = 150  # 3 words at 62 bits/word, last word partial
+    vec = [((i * 29) % 11 - 5) / 3.0 for i in range(dim)]
+    df = spark.createDataFrame([(vec,)], "v ARRAY<DOUBLE>")
+    got = df.select(sign_words_col(F.col("v"), dim).alias("s")).first()["s"]
+    py = sign_words_py(vec)
+    assert list(got) == py and len(py) == -(-dim // BQ_WORD_BITS)
+    duck = duckdb.connect().execute(
+        f"SELECT {sign_words_sql('v', dim)} AS s FROM (SELECT ? AS v)",
+        [vec],
+    ).fetchone()[0]
+    assert list(duck) == py
+    # every word stays below the sign bit
+    assert all(0 <= w < 2**62 for w in py)
+
+
+def test_knn_binary_wide_dim(spark):
+    """dim > 64 goes through the ARRAY<BIGINT> word path: deterministic,
+    exact-rerank semantics identical to the two-long path, sig_table
+    byte-identical, recall rises with the candidate budget."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from anndb_spark.functions.quantize import bq_encode_table
+    from anndb_spark.operators.knn import knn_binary, knn_exact
+
+    # derive 192-dim vectors: [v, v-0.5, 0.25-v*v] — sign patterns of
+    # the extra segments are NOT functions of the first's
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.concat(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("embedding", lambda x: x.cast("double") - 0.5),
+            F.transform(
+                "embedding", lambda x: 0.25 - x.cast("double") * x.cast("double")
+            ),
+        ).alias("vector"),
+    )
+    queries = [
+        (qid, list(qv) + [x - 0.5 for x in qv] + [0.25 - x * x for x in qv])
+        for qid, qv in e.EMBEDDING_QUERIES
+    ]
+    got = knn_binary(emb, queries, 10, dim=192).collect()
+    assert len(got) == 20
+    got2 = knn_binary(emb.repartition(5), queries, 10, dim=192).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+    # stored wide signature table: identical results
+    sig = bq_encode_table(emb, dim=192)
+    assert sig.columns == ["id", "vector_sig", "vector_sig_dim"]
+    got_sig = knn_binary(emb, queries, 10, dim=192, sig_table=sig).collect()
+    assert sorted(map(tuple, got_sig)) == sorted(map(tuple, got))
+    # accuracy knob works at wide dims too
+    qdf = e._queries_df(spark, queries)
+    exact = {(r["query_id"], r["id"]) for r in knn_exact(emb, qdf, 10).collect()}
+    hits3 = sum(1 for r in got if (r["query_id"], r["id"]) in exact)
+    wide = knn_binary(emb, queries, 10, dim=192, rerank_mult=20).collect()
+    hits20 = sum(1 for r in wide if (r["query_id"], r["id"]) in exact)
+    assert hits20 >= hits3 and hits20 >= 14
+
+
+def test_knn_binary_qid_types(spark):
+    """String and past-int32 query ids round-trip (the r9 INT hardcode
+    rejected both)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from anndb_spark.operators.knn import knn_binary
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    base = {qid: qv for qid, qv in e.EMBEDDING_QUERIES}
+    as_str = [(f"q{qid}", qv) for qid, qv in base.items()]
+    got_s = knn_binary(emb, as_str, 5, dim=64).collect()
+    assert {r["query_id"] for r in got_s} == {f"q{q}" for q in base}
+    big = [(qid + 2**40, qv) for qid, qv in base.items()]
+    got_b = knn_binary(emb, big, 5, dim=64).collect()
+    assert {r["query_id"] for r in got_b} == {q + 2**40 for q in base}
+    import pytest
+
+    with pytest.raises(TypeError):
+        knn_binary(emb, [(1, base[0]), ("x", base[1])], 5, dim=64)
 
 
 def test_sign_bits_py_matches_cols(spark):

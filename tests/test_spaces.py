@@ -72,3 +72,31 @@ def test_np_distances_float32():
     assert d[0] == np.float32(3.0) and d[1] == np.float32(0.0)
     d = np_distances(mat, np.ones(8, dtype=np.float32), "manhattan")
     assert d[0] == np.float32(3.0) and d[1] == np.float32(8.0)
+
+
+def test_wide_dim_fold_sql_bitwise_parity(spark):
+    """Above _FOLD_UNROLL_MAX terms distance_sql switches to a flat
+    list fold (DuckDB's binder recursion cap rejects 128+ nested '+').
+    All three forms — Spark Column, Spark-dialect SQL (aggregate fold),
+    DuckDB SQL (list_reduce fold) — must stay bit-identical."""
+    import duckdb
+
+    dim = 192
+    vec = [((i * 31) % 17 - 8) / 16.0 for i in range(dim)]
+    q = [((i * 7) % 13 - 6) / 8.0 for i in range(dim)]
+    df = spark.createDataFrame([(vec,)], "v ARRAY<DOUBLE>")
+    con = duckdb.connect()
+    for space in ["euclidean", "manhattan", "cosine"]:
+        qlit = F.array(*[F.lit(x).cast("double") for x in q])
+        via_col = df.select(
+            distance_col(F.col("v"), qlit, space).alias("d")
+        ).collect()[0]["d"]
+        s_sql = distance_sql("v", q, space=space, dialect="spark")
+        assert "aggregate(array(" in s_sql  # the flat form kicked in
+        via_spark_sql = df.select(F.expr(s_sql).alias("d")).collect()[0]["d"]
+        d_sql = distance_sql("v", q, space=space, dialect="duckdb")
+        assert "list_reduce" in d_sql
+        via_duck = con.execute(
+            f"SELECT {d_sql} AS d FROM (SELECT ? AS v)", [vec]
+        ).fetchone()[0]
+        assert via_col == via_spark_sql == via_duck, space
