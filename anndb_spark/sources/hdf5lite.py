@@ -467,8 +467,19 @@ def read_dataset(
         sliced = start is not None or stop is not None
         if sliced and info.shape:
             nrows = info.shape[0]
-            s = max(0, nrows if start is None else min(start, nrows))
-            e = max(s, nrows if stop is None else min(stop, nrows))
+
+            def _norm(v: int | None, default: int) -> int:
+                # h5py/numpy slice semantics: negatives resolve from the
+                # end BEFORE clamping (ADVICE r9: clamping first made
+                # ds[:-100] return empty instead of all-but-100 rows)
+                if v is None:
+                    return default
+                if v < 0:
+                    v += nrows
+                return min(max(v, 0), nrows)
+
+            s = _norm(start, 0)
+            e = max(s, _norm(stop, nrows))
             if info.layout_class == 1 and info.data_address != _UNDEF:
                 row_elems = (
                     int(np.prod(info.shape[1:])) if len(info.shape) > 1 else 1

@@ -341,3 +341,26 @@ def test_rejects_old_layout_version(tmp_path):
     ))
     with pytest.raises(hdf5lite.UnsupportedHdf5Feature, match="layout v2"):
         hdf5lite.read_dataset(str(f), "counts")
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_negative_slice_bounds_resolve_from_end(tmp_path, chunked):
+    """h5py semantics: ds[:-2] / ds[-3:] resolve negatives against
+    nrows before clamping (ADVICE r9: the old clamp-first code made
+    every negative bound collapse to an empty or whole read)."""
+    arr = np.arange(40, dtype=np.float32).reshape(10, 4)
+    p = tmp_path / "neg.hdf5"
+    write_hdf5(str(p), {"m": arr}, chunk_rows={"m": 3} if chunked else None)
+    cases = [
+        (None, -2), (-3, None), (-3, -1), (2, -2),
+        (-100, None), (None, -100), (-100, -90), (-1, None),
+    ]
+    for start, stop in cases:
+        got = hdf5lite.read_dataset(str(p), "m", start, stop)
+        np.testing.assert_array_equal(got, arr[start:stop], err_msg=f"{start}:{stop}")
+    # the ann_benchmark shim path too
+    from anndb_spark.sources.ann_benchmark import _Hdf5File
+
+    with _Hdf5File(str(p)) as f:
+        np.testing.assert_array_equal(f["m"][:-2], arr[:-2])
+        np.testing.assert_array_equal(f["m"][-4:], arr[-4:])

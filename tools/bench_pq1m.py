@@ -72,15 +72,21 @@ def _write_corpus_parquet(mat: np.ndarray, path: str) -> None:
 
 
 def main():
-    n = 1_000_000
-    rebuild = "--rebuild" in sys.argv
-    geometry = "blobs"
-    args = sys.argv[1:]
-    for i, a in enumerate(args):
-        if a.isdigit():
-            n = int(a)
-        if a == "--geometry":
-            geometry = args[i + 1]
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="PQ/IVFPQ 1M-corpus benchmark (ADVICE r9: argparse "
+        "instead of hand-rolled argv scanning)"
+    )
+    ap.add_argument("n", nargs="?", type=int, default=1_000_000,
+                    help="corpus size (default 1M)")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="ignore cached artifacts")
+    ap.add_argument("--geometry", default="blobs",
+                    choices=["blobs", "manifold"],
+                    help="corpus geometry (default blobs)")
+    opts = ap.parse_args()
+    n, rebuild, geometry = opts.n, opts.rebuild, opts.geometry
 
     from anndb_spark.operators import ivfpq as _ivfpq_mod
     from anndb_spark.operators import pq as _pq_mod
