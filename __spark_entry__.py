@@ -184,6 +184,31 @@ def _bq_search_oracle() -> str:
     )
 
 
+def _corpus_rollup_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (source, lang): the hierarchical half of the
+    grouping-sets category (CUBE's twin, same Expand + single-aggregate
+    plan) — per-(source,lang), per-source and grand totals in one pass.
+    grouping_id() disambiguates real NULL keys from subtotal rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("source", "lang", toks.alias("n_toks"))
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "gid",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
 def _widened_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """192-dim (id, vector) table derived from the 64-dim fixture via
     `_widen_192` — same arithmetic as the DuckDB twin in the oracle."""
@@ -1846,6 +1871,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _unigram_logprob_documents,
         "events_sliding_3h1h": _events_sliding_3h1h,
         "corpus_cube_source_lang": _corpus_cube_source_lang,
+        "corpus_rollup_source_lang": _corpus_rollup_source_lang,
         "sq8_search_embeddings": _sq8_search_embeddings,
         "bq_search_embeddings": _bq_search_embeddings,
         "bq_search_wide_embeddings": _bq_search_wide_embeddings,
@@ -1889,6 +1915,7 @@ _DRIVER_WINDOW = [
     # -- (1) never driver-checked / never-green (cube: slot 1 per r9) --
     "corpus_cube_source_lang",
     "bq_search_wide_embeddings",
+    "corpus_rollup_source_lang",
     # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
     "ann_filtered_label_top10",
     "asof_forward_events",
@@ -1938,7 +1965,6 @@ _DRIVER_WINDOW = [
     "sq8_codes_embeddings",
     "ann_embeddings_top10",
     "ann_tombstone_delete",
-    "simhash64_pairs_documents",
 ]
 
 
@@ -2451,7 +2477,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tokens
             FROM documents
             GROUP BY CUBE (documents.source, documents.lang)
-        """,        "stream_sessions_events": """
+        """,
+        "corpus_rollup_source_lang": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   -- Spark grouping_id() bit order: first rollup col is
+                   -- the high bit
+                   CAST(2 * grouping(source) + grouping(lang) AS BIGINT)
+                       AS gid,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY ROLLUP (documents.source, documents.lang)
+        """,
+        "stream_sessions_events": """
             WITH e AS (
                 SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL

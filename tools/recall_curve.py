@@ -64,6 +64,10 @@ def make_corpus(
     noise: float,
     eff_rank: int,
     n_centers: int = N_CENTERS,
+    mix_anchors: int = 64,
+    mix_alpha: float = 1.0,
+    mix_sigma: float = 0.75,
+    mix_scale: float = 0.5,
 ):
     """(corpus, queries): queries are independent draws from the same
     distribution (held-out, like real ann-benchmarks query sets)."""
@@ -97,6 +101,42 @@ def make_corpus(
             return x.astype(np.float32)
 
         return draw_manifold(n, SEED + 10), draw_manifold(nq, SEED + 11)
+    elif geometry == "mixture":
+        # heavy-tailed DENSITY on the same tanh manifold (PLANS r9
+        # finding 3: uniform latent density fragments an M=4 graph
+        # where real SIFT's dense cores keep it navigable).  Latent
+        # points cluster around J anchors with power-law popularity
+        # (alpha) and lognormal per-point radial scales (sigma): dense
+        # cores + sparse tails.  Same ambient map (SEED+4) as
+        # 'manifold', so only the density changes.
+        g = np.random.default_rng(SEED + 4)
+        Wm = (g.normal(0, 1, (DIM, eff_rank)) / np.sqrt(eff_rank)).astype(
+            np.float32
+        )
+        bm = g.normal(0, 1, DIM).astype(np.float32)
+        ga = np.random.default_rng(SEED + 5)
+        anchors = ga.normal(0, 1.0, (mix_anchors, eff_rank)).astype(
+            np.float32
+        )
+        w = 1.0 / np.arange(1, mix_anchors + 1) ** mix_alpha
+        w /= w.sum()
+
+        def draw_mixture(m: int, seed: int) -> np.ndarray:
+            r = np.random.default_rng(seed)
+            j = r.choice(mix_anchors, size=m, p=w)
+            s = (
+                np.exp(r.normal(0, mix_sigma, m)).astype(np.float32)
+                * mix_scale
+            )
+            z = anchors[j] + s[:, None] * r.normal(
+                0, 1, (m, eff_rank)
+            ).astype(np.float32)
+            x = np.tanh(z @ Wm.T + bm[None, :])
+            if noise > 0:
+                x = x + r.normal(0, noise, (m, DIM)).astype(np.float32)
+            return x.astype(np.float32)
+
+        return draw_mixture(n, SEED + 10), draw_mixture(nq, SEED + 11)
     else:
         raise ValueError(f"unknown geometry {geometry!r}")
 
@@ -163,10 +203,14 @@ def main():
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--nq", type=int, default=1_000)
     ap.add_argument("--geometry", default="lowdim",
-                    choices=["blobs", "lowdim", "manifold"])
+                    choices=["blobs", "lowdim", "manifold", "mixture"])
     ap.add_argument("--eff-rank", type=int, default=16)
     ap.add_argument("--noise", type=float, default=1.0)
     ap.add_argument("--n-centers", type=int, default=N_CENTERS)
+    ap.add_argument("--mix-anchors", type=int, default=64)
+    ap.add_argument("--mix-alpha", type=float, default=1.0)
+    ap.add_argument("--mix-sigma", type=float, default=0.75)
+    ap.add_argument("--mix-scale", type=float, default=0.5)
     ap.add_argument("--m", default="4,8,12,16")
     ap.add_argument("--ef", type=int, default=20)
     ap.add_argument("--out", default=None)
@@ -176,7 +220,8 @@ def main():
     m_values = [int(x) for x in args.m.split(",")]
     mat, q = make_corpus(
         args.n, args.nq, args.geometry, args.noise, args.eff_rank,
-        args.n_centers,
+        args.n_centers, args.mix_anchors, args.mix_alpha,
+        args.mix_sigma, args.mix_scale,
     )
     rc = curve(mat, q, m_values, args.ef, workers)
     deltas = {
@@ -186,7 +231,19 @@ def main():
         "n": args.n,
         "geometry": args.geometry,
         "eff_rank": (
-            args.eff_rank if args.geometry in ("lowdim", "manifold") else None
+            args.eff_rank
+            if args.geometry in ("lowdim", "manifold", "mixture")
+            else None
+        ),
+        "mixture_params": (
+            {
+                "anchors": args.mix_anchors,
+                "alpha": args.mix_alpha,
+                "sigma": args.mix_sigma,
+                "scale": args.mix_scale,
+            }
+            if args.geometry == "mixture"
+            else None
         ),
         "noise": args.noise,
         "n_centers": args.n_centers,
