@@ -152,3 +152,28 @@ def test_real_registry_has_capacity_headroom():
         list(e.all_queries()), set(e.oracle_sql()), green
     )
     assert demand + EXPECTED_NEW_PER_ROUND <= 50, demand
+
+
+def test_real_window_survives_current_round_artifact(tmp_path):
+    """VERDICT r9 #2's done-criterion: the gates must pass on a tree
+    that contains THIS round's CORRECTNESS artifact — simulated by
+    copying every committed artifact plus a synthetic next-round file
+    recording plausible driver output for the shipped window (all green,
+    and the worse case: one mid-window entry hash-red)."""
+    import glob
+    import shutil
+
+    repo = "/root/repo"
+    for f in glob.glob(f"{repo}/CORRECTNESS_r*.json"):
+        shutil.copy(f, tmp_path)
+    _, _, current = load_green_history(str(tmp_path))
+    registry = list(e.all_queries())
+    window = list(e._DRIVER_WINDOW)
+    oracle_keys = set(e.oracle_sql())
+    for red in (None, window[len(window) // 2]):
+        verdicts = {n: n != red for n in window}
+        _write_round(tmp_path, current, verdicts)
+        assert not window_debt_round_safe(
+            registry, window, oracle_keys, repo=str(tmp_path)
+        ), red
+        assert never_green_order_ok(window, oracle_keys, repo=str(tmp_path)), red
