@@ -445,6 +445,8 @@ def knn_binary(
         )
     # the SAME column expression packs both sides — no driver-side twin
     # to drift from
+    from anndb_spark.utils import ensure_parallelism
+
     if wide:
         qsig = qdf.select(
             "query_id",
@@ -479,6 +481,10 @@ def knn_binary(
         ham = hamming_col(
             F.col("_lo"), F.col("_hi"), F.col("_qlo"), F.col("_qhi")
         )
+    # degenerate-layout guard (same as the GEMM path): a 1-partition
+    # cached/limit input would serialize the |Q|·N hamming scan; at
+    # real scale the parquet scan supplies partitions and this no-ops
+    sig = ensure_parallelism(sig)
     n_cand = k * rerank_mult
     wc = Window.partitionBy("query_id").orderBy(
         F.col("_ham").asc(), F.col(id_col).asc()
