@@ -542,6 +542,20 @@ def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an md5-keyed ~1/8 'new batch' of the
+    documents table checked for near-dups AGAINST the remaining corpus
+    (new×corpus band collisions only — never corpus×corpus), the
+    continuous-training-pipeline shape of minhash dedup."""
+    from anndb_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    return minhash_incremental_pairs(
+        docs.filter(is_new), docs.filter(~is_new), threshold=0.5
+    )
+
+
 def _dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1823,6 +1837,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _dedup_exact_documents,
         "minhash_signatures": _minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_incremental_documents": _dedup_incremental_documents,
         "dedup_clusters_minhash": _dedup_clusters_minhash,
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "simhash_documents": _simhash_documents,
@@ -1916,6 +1931,7 @@ _DRIVER_WINDOW = [
     "corpus_cube_source_lang",
     "bq_search_wide_embeddings",
     "corpus_rollup_source_lang",
+    "dedup_incremental_documents",
     # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
     "ann_filtered_label_top10",
     "asof_forward_events",
@@ -1964,7 +1980,6 @@ _DRIVER_WINDOW = [
     "value_stats_events",
     "sq8_codes_embeddings",
     "ann_embeddings_top10",
-    "ann_tombstone_delete",
 ]
 
 
@@ -2598,6 +2613,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": f"""
             WITH {_SHINGLES_CTE}, {_minhash_sig_cte()}
             SELECT doc_id AS id, array_to_string(g, '') AS sig_cat FROM sig
+        """,
+        "dedup_incremental_documents": f"""
+            WITH {_SHINGLES_CTE}, {_minhash_sig_cte()},
+            bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
+                      FROM sig, range(4) t(b)),
+            newb AS (SELECT * FROM bands
+                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+            oldb AS (SELECT * FROM bands
+                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'),
+            cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                     FROM newb a JOIN oldb b
+                       ON a.b = b.b AND a.val = b.val)
+            SELECT new_id, corpus_id, jaccard FROM (
+                SELECT c.new_id, c.corpus_id,
+                       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                           / len(list_distinct(x.s || y.s)) AS jaccard
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.new_id
+                JOIN sh y ON y.doc_id = c.corpus_id
+            ) WHERE jaccard >= 0.5
         """,
         "dedup_minhash_pairs": f"""
             WITH {_SHINGLES_CTE}, {_minhash_sig_cte()},

@@ -230,6 +230,87 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    kernel: str = "fast",
+) -> DataFrame:
+    """Incremental-ingest near-dup check: (new_id, corpus_id, jaccard)
+    pairs where a NEW document collides with the EXISTING corpus in at
+    least one MinHash band, exact-jaccard verified.
+
+    The continuous-training-pipeline shape `minhash_lsh_pairs` can't
+    express: each ingest batch must be checked against the corpus
+    WITHOUT re-pairing the corpus against itself (the corpus side was
+    deduped when ingested).  Work per batch is O(batch bands +
+    collisions), never O(corpus²) and never O(batch × corpus).
+
+    100 TB shape: both banded sides carry only (id, band, val); the
+    equi-join on (band, val) is the only corpus-sized shuffle key —
+    with a precomputed corpus band table (write `banded` once at
+    ingest) the corpus side is a pure id+val scan, and a small batch
+    side auto-broadcasts under AQE.  Shingles are fetched per-side for
+    the verified CANDIDATES only.  Same signature/banding/jaccard
+    arithmetic as `minhash_lsh_pairs`, so the DuckDB twin is shared."""
+    rows = num_hashes // bands
+    make_sigs = (
+        minhash_signatures_fast if kernel == "fast" else minhash_signatures
+    )
+
+    def banded(df: DataFrame) -> DataFrame:
+        sigs = make_sigs(df, text_col, id_col, num_hashes, shingle_n)
+        band_exprs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[
+                        F.element_at("sig", b * rows + r + 1)
+                        for r in range(rows)
+                    ]
+                ).alias("val"),
+            )
+            for b in range(bands)
+        ]
+        bd = sigs.select(
+            "id", F.explode(F.array(*band_exprs)).alias("bv")
+        ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+        return sigs.select("id", "shingles"), bd
+
+    new_sh, new_bd = banded(new_df)
+    old_sh, old_bd = banded(corpus_df)
+    cand = (
+        new_bd.alias("a")
+        .join(
+            old_bd.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return (
+        cand.join(
+            new_sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            old_sh.select(
+                F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+            ),
+            "corpus_id",
+        )
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -486,3 +486,36 @@ def test_duplicate_span_coverage_handbuilt(spark):
     assert out[2]["dup_frac"] == pytest.approx(3 / 7)
     # docs 3 and 4: no duplicated grams -> absent from the output
     assert 3 not in out and 4 not in out
+
+
+def test_minhash_incremental_pairs_cross_split_only(spark):
+    """Incremental ingest: pairs run new-vs-corpus only, and agree with
+    the batch operator's verdicts restricted to cross-split pairs."""
+    from anndb_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    new_df, corpus_df = docs.filter(is_new), docs.filter(~is_new)
+    got = minhash_incremental_pairs(new_df, corpus_df, threshold=0.5).collect()
+    new_ids = {r["doc_id"] for r in new_df.select("doc_id").collect()}
+    corpus_ids = {r["doc_id"] for r in corpus_df.select("doc_id").collect()}
+    for r in got:
+        assert r["new_id"] in new_ids and r["corpus_id"] in corpus_ids
+    # same verdicts as the batch operator on the full table, filtered
+    # to cross-split pairs (band collisions are split-independent)
+    full = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids and b in corpus_ids:
+            want.add((a, b, round(r["jaccard"], 9)))
+        elif b in new_ids and a in corpus_ids:
+            want.add((b, a, round(r["jaccard"], 9)))
+    assert {(r["new_id"], r["corpus_id"], round(r["jaccard"], 9)) for r in got} == want
+    # empty batch -> empty result, corpus never self-pairs
+    assert (
+        minhash_incremental_pairs(
+            docs.filter(F.lit(False)), corpus_df, threshold=0.0
+        ).count()
+        == 0
+    )
