@@ -156,20 +156,29 @@ def compact_summary_line(total, timings, sf, extra) -> str:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
-        "extra": hl,
+        "extra": {},
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1500:  # hard guard: the tail must stay parseable
-        compact["extra"] = {}
-        line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1500 and compact["queries"]:
-        # second fallback: drop the slowest-to-matter legs (shortest
-        # names last so the cut is deterministic) until the line fits;
+        # fallback: drop the slowest-to-matter legs (longest names
+        # first so the cut is deterministic) until the line fits;
         # metric/value/unit/sf always survive
         drop = max(compact["queries"], key=lambda k: (len(k), k))
         del compact["queries"][drop]
         compact["queries_truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
+    # pack extras most-important-first (hl preserves HEADLINE_EXTRA_KEYS
+    # order, then the 1M passthroughs) while the line stays under the
+    # cap — a growing leg list must shed the LEAST important extras,
+    # not all of them (r10: all-or-nothing dropped the baseline-compare
+    # numbers from the driver tail the moment the flip point crossed)
+    for k, v in hl.items():
+        compact["extra"][k] = v
+        trial = json.dumps(compact, separators=(",", ":"))
+        if len(trial) > 1500:
+            del compact["extra"][k]
+        else:
+            line = trial
     assert len(line) <= 1500, len(line)
     return line
 

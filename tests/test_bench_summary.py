@@ -53,3 +53,29 @@ def test_overflow_guard_drops_extra_not_parseability():
         assert len(d["queries"]) >= 1
         if len(d["queries"]) < n_legs:
             assert d["queries_truncated"] is True
+
+
+def test_extras_shed_least_important_first():
+    """Near the cap, extras must degrade gradually in priority order —
+    the r10 all-or-nothing guard silently dropped every baseline-compare
+    number from the driver tail once the leg list grew past the flip."""
+    extra = {
+        "fm_search_q_per_s_matched_protocol": 140845.1,
+        "fm_recall_at_10_single_graph": 0.945,
+        "baseline_fm_search_q_per_s_m16": 26112.0,
+        # a nested passthrough whose keys pack after the headline set
+        "sift1m": {f"sift1m_search_q_per_s": 169915.3,
+                   "sift1m_recall_at_10": 0.7088},
+    }
+    # enough legs that the full extras set cannot fit
+    line = compact_summary_line(31.7, _timings(40), 0.1, extra)
+    d = json.loads(line)
+    assert len(line) <= 1500
+    # the FIRST headline keys always survive while any extra fits
+    if d["extra"]:
+        assert "fm_search_q_per_s_matched_protocol" in d["extra"]
+    # with few legs everything fits, in order
+    line2 = compact_summary_line(31.7, _timings(5), 0.1, extra)
+    d2 = json.loads(line2)
+    assert list(d2["extra"])[0] == "fm_search_q_per_s_matched_protocol"
+    assert d2["extra"]["sift1m_recall_at_10"] == 0.7088
