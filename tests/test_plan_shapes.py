@@ -293,3 +293,21 @@ def test_market_share_broadcasts_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert _exchanges(plan) <= 2, plan
+
+
+def test_minhash_incremental_ids_only_shuffles(spark):
+    """Incremental-ingest dedup: the band join is a hash equi-join on
+    (band, val) — never a nested loop — and document text never rides
+    an exchange (the candidates-only shingle-fetch discipline)."""
+    from anndb_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    plan = _plan(
+        minhash_incremental_pairs(docs.filter(is_new), docs.filter(~is_new))
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "text" not in line, line
