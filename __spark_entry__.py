@@ -1790,6 +1790,38 @@ def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["batch", "merge", "vector", "window"]
+
+
+def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed 4-term disjunctive query —
+    the eval-set decontamination-by-retrieval scorer.  Float scores
+    are bit-deterministic: single-value per-(doc,term) contributions
+    rounded to 10 digits, fixed-order column adds (no float SUM)."""
+    from anndb_spark.operators.text import bm25_search
+
+    return bm25_search(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        query_terms=_BM25_TERMS,
+        k=20,
+    )
+
+
+def _winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing near-dup pairs: k=4-gram md5 hashes,
+    window w=4 minima, distinct per doc (zero-shuffle sketch), df<=64
+    boilerplate cap, pairs sharing >= 2 fingerprints."""
+    from anndb_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=4,
+        w=4,
+        min_shared=2,
+        max_df=64,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: single-query exact kNN over lineitem_vec at sf0.001
     (TakeOrderedAndProject partial+final top-k)."""
@@ -1868,6 +1900,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_coverage_documents": _dup_span_coverage_documents,
         "length_quantiles_documents": _length_quantiles_documents,
         "top_terms_documents": _top_terms_documents,
+        "bm25_search_documents": _bm25_search_documents,
+        "winnow_pairs_documents": _winnow_pairs_documents,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
         "curate_pipeline_documents": _curate_pipeline_documents,
@@ -1932,6 +1966,8 @@ _DRIVER_WINDOW = [
     "bq_search_wide_embeddings",
     "corpus_rollup_source_lang",
     "dedup_incremental_documents",
+    "bm25_search_documents",
+    "winnow_pairs_documents",
     # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
     "ann_filtered_label_top10",
     "asof_forward_events",
@@ -1978,8 +2014,6 @@ _DRIVER_WINDOW = [
     "top_terms_by_lang",
     "top_terms_documents",
     "value_stats_events",
-    "sq8_codes_embeddings",
-    "ann_embeddings_top10",
 ]
 
 
@@ -3213,6 +3247,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
                    CAST(tf AS BIGINT) AS tf, df
             FROM ranked WHERE rank <= 3
+        """,
+        "bm25_search_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sdl
+                FROM base
+            ),
+            toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks
+                WHERE term IN ('batch', 'merge', 'vector', 'window')
+                GROUP BY 1, 2
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS tdf
+                FROM tf GROUP BY 1
+            ),
+            contrib AS (
+                SELECT tf.doc_id, tf.term,
+                       round(
+                           round(ln(1.0 + (stats.n_docs - dfreq.tdf + 0.5)
+                                          / (dfreq.tdf + 0.5)), 10)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25
+                               + 0.75 * CAST(base.dl AS DOUBLE)
+                                 / (CAST(stats.sdl AS DOUBLE)
+                                    / CAST(stats.n_docs AS DOUBLE)))),
+                           10) AS c
+                FROM tf
+                JOIN dfreq USING (term)
+                JOIN base USING (doc_id)
+                CROSS JOIN stats
+            ),
+            scored AS (
+                SELECT doc_id,
+                       coalesce(max(CASE WHEN term='batch' THEN c END), 0.0)
+                       + coalesce(max(CASE WHEN term='merge' THEN c END), 0.0)
+                       + coalesce(max(CASE WHEN term='vector' THEN c END), 0.0)
+                       + coalesce(max(CASE WHEN term='window' THEN c END), 0.0)
+                           AS score,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM contrib GROUP BY doc_id
+            ),
+            topk AS (
+                SELECT doc_id, score, n_terms,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                           AS rnk
+                FROM scored
+            )
+            SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score, n_terms
+            FROM topk WHERE rnk <= 20
+        """,
+        "winnow_pairs_documents": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(
+                               1,
+                               greatest(len(string_split(text, ' ')) - 4 + 1,
+                                        0)),
+                           i -> md5(array_to_string(
+                                    list_slice(string_split(text, ' '),
+                                               i, i + 4 - 1), ' '))
+                       ) AS grams
+                FROM documents
+            ),
+            fp AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(grams) - 4 + 1, 1)),
+                           i -> list_min(list_slice(grams, i, i + 4 - 1))
+                       ))) AS f
+                FROM g WHERE len(grams) >= 1
+            ),
+            kept AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 64),
+            idx AS (SELECT fp.doc_id, fp.f FROM fp JOIN kept USING (f)),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM idx a JOIN idx b
+                  ON a.f = b.f AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT * FROM pairs WHERE shared >= 2
         """,
         "sessionize_events": """
             WITH e AS (

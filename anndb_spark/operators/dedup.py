@@ -794,23 +794,26 @@ def duplicate_span_coverage(
     if n < 1:
         raise ValueError("n must be >= 1")
     df = ensure_parallelism(df)  # gram hashing is compute-heavy per row
-    toks = F.split(F.col(text_col), " ")
-    # 1-based start positions [1, size-n+1]; empty when the doc is
-    # shorter than n (sequence() would flip descending on start>stop)
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    toks_c = toks  # captured for the lambda below
-    gram_arr = F.transform(
-        starts,
-        lambda i: F.md5(F.array_join(F.slice(toks_c, i, n), " ")),
+    # stage the token array as a REAL column first: a lambda that
+    # captures the split EXPRESSION re-splits the text once per gram
+    # (interpreted HOFs do no CSE across lambda boundaries — see
+    # winnow_fingerprint_col's NOTE); a bound column splits once.
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
-    grams = df.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.posexplode(gram_arr).alias("pos0", "g"),
-    ).select(
-        id_col, "n_tokens", (F.col("pos0") + 1).alias("start"), "g"
+    # posexplode_OUTER + null-drop instead of posexplode: see
+    # winnow_pairs — the inferred `size(grams) > 0` filter would push
+    # below the Project and re-hash every gram a second time per row.
+    grams = (
+        staged.select(
+            F.col(id_col),
+            F.size("_toks").alias("n_tokens"),
+            F.posexplode_outer(_gram_hash_col(F.col("_toks"), n)).alias(
+                "pos0", "g"
+            ),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(id_col, "n_tokens", (F.col("pos0") + 1).alias("start"), "g")
     )
     dup = (
         grams.groupBy("g")
@@ -909,3 +912,153 @@ def canonicalize_corpus(
         .select(id_col)
     )
     return df.join(hint(losers), id_col, "left_anti")
+
+
+def winnow_fingerprint_col(
+    text: Column, k: int = 4, w: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer et al. 2003, the MOSS
+    algorithm) as a pure column expression: hash every word ``k``-gram
+    (md5 hex — fixed-width, dialect-exact), slide a ``w``-gram window
+    over the hash sequence, keep the minimum of each window, distinct.
+
+    Guarantee: any shared substring of >= k+w-1 tokens between two
+    documents yields at least one shared fingerprint; expected
+    fingerprint density is 2/(w+1) of the grams — the sketch is ~w/2×
+    smaller than the full gram set `duplicate_span_coverage` keys on.
+
+    Documents shorter than k+w-1 tokens still emit >= 1 fingerprint
+    (the min over all their grams); empty gram sets emit an empty
+    array.  Zero shuffle, zero Python: slice/transform/array_min are
+    JVM higher-order functions, and the identical expression exists in
+    DuckDB (list_slice/list_transform/list_min over generate_series),
+    so the operator is oracle-checkable bit-for-bit.
+
+    NOTE: this single-expression form is the semantic spec (and handy
+    for literal columns in tests), but it is O(G²) per row when
+    evaluated: interpreted higher-order functions re-evaluate the
+    ``grams`` SUBTREE for every window index (no CSE across lambda
+    boundaries), so every array_min(slice(grams, i, w)) recomputes all
+    G md5s.  The operators below stage toks → grams → fp through REAL
+    columns (one Project each), which binds every array once per row —
+    same values, O(G) work.  Measured: 20k × 125-token docs never
+    finished (>8 min) on the expression form, 4 s staged.
+    """
+    grams = _gram_hash_col(F.split(text, " "), k)
+    return _winnow_from_grams(grams, w)
+
+
+def _gram_hash_col(toks: Column, k: int) -> Column:
+    """md5-hex word k-gram array from a BOUND token-array column.
+    Pass a real column reference (not the split expression) or every
+    gram re-splits the text."""
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def _winnow_from_grams(grams: Column, w: int) -> Column:
+    """Distinct window-of-w minima over a BOUND gram-array column."""
+    wstarts = F.when(
+        F.size(grams) >= 1,
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - w + 1, F.lit(1))),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(wstarts, lambda i: F.array_min(F.slice(grams, i, w)))
+    )
+
+
+def _winnow_staged(
+    df: DataFrame, k: int, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, fp): the winnowing sketch with each array stage bound to a
+    column — O(G) per row (see winnow_fingerprint_col's NOTE)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    grams = toks.select(
+        "id", _gram_hash_col(F.col("_toks"), k).alias("_grams")
+    )
+    return grams.select(
+        "id", _winnow_from_grams(F.col("_grams"), w).alias("fp")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document winnowing sketch summary: (id, n_fingerprints).
+    The sketch itself never leaves the row — this is the profiling
+    companion to `winnow_pairs`."""
+    staged = _winnow_staged(df, k, w, text_col, id_col)
+    return staged.select(
+        F.col("id").alias(id_col),
+        F.size("fp").cast("long").alias("n_fingerprints"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints:
+    (a, b, shared) for every document pair sharing >= ``min_shared``
+    distinct fingerprints, a < b.
+
+    This is the MOSS pipeline over a corpus: winnow each document
+    (zero-shuffle sketch, density ~2/(w+1)), invert the sketch into a
+    (fingerprint -> doc) index, and count pair co-occurrences.
+    Fingerprints held by more than ``max_df`` documents are dropped
+    before pairing — those are corpus boilerplate whose pair blowup is
+    O(df²) while carrying no discrimination signal (the same hot-key
+    cap every LSH band join here applies).
+
+    100 TB shape: the exploded index is (32-hex, id) only — document
+    text never rides an exchange; one aggregation keys the df-cap, the
+    self-equi-join shuffles both sides by fingerprint (co-partitioned,
+    no broadcast needed), and the pair count is one more ids-only
+    aggregation.  Output is bounded by sum over kept fingerprints of
+    df², itself bounded by ``max_df`` · index size.
+    """
+    df = ensure_parallelism(df)  # gram hashing is compute-heavy per row
+    # explode_OUTER, then drop the null rows of fingerprint-less docs:
+    # a plain explode makes InferFiltersFromGenerate add `size(fp) > 0`,
+    # and pushing that filter below the staged Projects SUBSTITUTES the
+    # whole fingerprint expression into a per-row Filter on the raw
+    # text — the O(G²) re-evaluation the staging exists to avoid.  The
+    # outer form infers nothing; isnotnull(f) can't push below the
+    # Generate (f doesn't exist there).
+    idx = (
+        _winnow_staged(df, k, w, text_col, id_col)
+        .select("id", F.explode_outer("fp").alias("f"))
+        .filter(F.col("f").isNotNull())
+    )
+    kept = (
+        idx.groupBy("f")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("f")
+    )
+    idx = idx.join(kept, on="f")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, on="f").filter(F.col("a.id") < F.col("b.id"))
+    return (
+        pairs.groupBy(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

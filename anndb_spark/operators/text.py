@@ -403,3 +403,113 @@ def top_terms(
             "df",
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval over the corpus (Robertson/Sparck-Jones; the
+    ranking function behind Lucene/Elasticsearch defaults) — the
+    relevance scorer an LLM-data pipeline uses for eval-set
+    decontamination-by-retrieval and targeted corpus audits.
+
+    Returns the top ``k`` documents for the disjunctive query:
+    (id, rank, score, n_terms) — ``n_terms`` = how many distinct query
+    terms the document contains; ties broken by ascending id.
+
+    Bit-determinism: per-(doc, term) contributions are single values
+    (never a float SUM across a shuffle); idf and the final
+    contribution are rounded to ``round_digits`` to absorb the 1-ULP
+    JVM-vs-libm ln() disagreement (same device as `unigram_logprob`);
+    the document score adds the per-term columns in sorted-term order,
+    so the fold is a fixed left-associative expression in both engines.
+
+    100 TB shape: the IN-filter on query terms lands directly on the
+    exploded token stream (rows surviving to the shuffle ~= corpus
+    frequency of the query terms, not corpus size); term stats (<=
+    |query| rows) broadcast; doc lengths ride an id-keyed equi-join of
+    two column-pruned projections; one final per-doc aggregation and a
+    global top-k (TakeOrderedAndProject — partial per partition,
+    final on one reducer).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col), F.size(_tokens(t)).cast("long").alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(t)).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("tdf")
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("tdf") + F.lit(0.5))
+            / (F.col("tdf") + F.lit(0.5))
+        ),
+        round_digits,
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("n_docs").cast("double")
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(base, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(idf * tf_norm, round_digits).alias("c"),
+        )
+    )
+    aggs = [
+        F.max(F.when(F.col("term") == F.lit(term), F.col("c"))).alias(
+            f"_c{i}"
+        )
+        for i, term in enumerate(terms)
+    ]
+    scored = contrib.groupBy(id_col).agg(
+        *aggs, F.count("*").cast("long").alias("n_terms")
+    )
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    from pyspark.sql import Window
+
+    # global top-k via orderBy().limit() => TakeOrderedAndProject
+    # (per-partition partial top-k, final merge of k-row heads) —
+    # never a single-reducer row_number over the whole corpus; the
+    # rank window below sees only the k survivors.
+    topk = (
+        scored.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col,
+        F.col("rank").cast("int").alias("rank"),
+        "score",
+        "n_terms",
+    )

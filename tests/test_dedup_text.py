@@ -519,3 +519,90 @@ def test_minhash_incremental_pairs_cross_split_only(spark):
         ).count()
         == 0
     )
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a token run of length >= k+w-1 share >= 1 fingerprint."""
+    from anndb_spark.operators.dedup import (
+        winnow_fingerprint_col,
+        winnow_pairs,
+    )
+
+    shared = "q w e r t y u"  # 7 tokens = k+w-1 at k=4,w=4
+    df = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f g"),
+            (2, f"z x v {shared} m n o p"),
+            (3, "unrelated words only here nothing matches at all ok"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprint_col(F.col("text"), k=4, w=4).alias("fp"),
+        ).collect()
+    }
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    pairs = winnow_pairs(df, k=4, w=4, min_shared=1, max_df=64).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_short_docs(spark):
+    """Docs shorter than k tokens emit no fingerprints; docs with
+    k <= len < k+w-1 tokens emit exactly one (min over all grams)."""
+    from anndb_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["n_fingerprints"]
+        for r in winnow_fingerprints(df, k=4, w=4).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 0}
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """A fingerprint present in more docs than max_df never pairs."""
+    from anndb_spark.operators.dedup import winnow_pairs
+
+    boiler = "same boiler plate line every doc has it"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id LONG, text STRING"
+    )
+    assert winnow_pairs(df, k=4, w=4, min_shared=1, max_df=4).count() == 0
+    assert winnow_pairs(df, k=4, w=4, min_shared=1, max_df=5).count() == 10
+
+
+def test_bm25_ranking_semantics(spark):
+    """More matched query terms / higher tf => higher BM25; shorter
+    doc beats longer at equal tf (length normalization)."""
+    from anndb_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "vector stream filler filler filler"),
+            (2, "vector filler filler filler filler"),
+            (3, "vector filler filler filler filler filler filler filler"),
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = bm25_search(df, ["vector", "stream"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    nterms = {r["doc_id"]: r["n_terms"] for r in out}
+    assert 4 not in ranks, "doc without query terms must not score"
+    assert ranks[1] == 1 and nterms[1] == 2
+    assert ranks[2] < ranks[3], "length normalization: shorter doc wins"
+
+
+def test_bm25_requires_terms(spark):
+    from anndb_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError):
+        bm25_search(df, [])

@@ -311,3 +311,29 @@ def test_minhash_incremental_ids_only_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             assert "text" not in line, line
+
+
+def test_winnow_pairs_ids_only_shuffles(spark):
+    """Winnow pairs: the sketch is computed per-row (no shuffle); the
+    inverted-index self-join is a hash equi-join on the fingerprint;
+    document text never rides an exchange."""
+    from anndb_spark.operators.dedup import winnow_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(winnow_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "text" not in line, line
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25 global top-k must be TakeOrderedAndProject (partial
+    per-partition top-k, final merge) — never a single-reducer
+    row_number window over the whole scored corpus."""
+    from anndb_spark.operators.text import bm25_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_search(docs, ["batch", "merge"], k=20))
+    assert "TakeOrderedAndProject" in plan

@@ -7,7 +7,6 @@ pinned against these at fixed dims in test_quantize (Spark-per-example
 is too slow for hypothesis)."""
 
 import duckdb
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -20,20 +19,21 @@ from anndb_spark.functions.quantize import (
 )
 
 
-@pytest.fixture(scope="module")
-def con():
-    return duckdb.connect()
-
+# ONE process-wide connection: a connect() per hypothesis example (the
+# original shape) allocates a fresh native instance each time, which
+# under full-suite memory pressure (Spark JVM resident) can fail
+# transiently — hypothesis then reports the passing replay as Flaky.
+_CON = duckdb.connect()
 
 floats = st.floats(
     min_value=-1e6, max_value=1e6, allow_nan=False, width=64
 ) | st.sampled_from([0.0, -0.0, 5e-324, -5e-324, 1e-300])
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(st.lists(floats, min_size=1, max_size=200))
 def test_sign_words_py_matches_duckdb(vec):
-    con = duckdb.connect()
+    con = _CON
     dim = len(vec)
     py = sign_words_py(vec, dim)
     duck = con.execute(
@@ -44,10 +44,10 @@ def test_sign_words_py_matches_duckdb(vec):
     assert all(0 <= w < 2**BQ_WORD_BITS for w in py)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(st.lists(floats, min_size=1, max_size=64))
 def test_sign_bits_py_matches_duckdb(vec):
-    con = duckdb.connect()
+    con = _CON
     dim = len(vec)
     plo, phi = sign_bits_py(vec)
     lo_sql, hi_sql = sign_bits_sql("v", dim)
