@@ -37,12 +37,27 @@ def words_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column.
+
+    NOTE: the slice lambda captures the split EXPRESSION, so every
+    shingle re-splits the text — O(T²) string work per row (the
+    interpreted-HOF capture trap, see winnow_fingerprint_col).  Fine
+    for literal columns and tests; operators should stage the token
+    array through a real column and use `shingles_from_tokens_col`.
+    """
     w = words_col(text)
+    return shingles_from_tokens_col(w, n)
+
+
+def shingles_from_tokens_col(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.  Pass a
+    BOUND column reference (stage the split through a select first):
+    capturing a column ref in the slice lambda is O(1) per element,
+    capturing the split expression re-evaluates it per shingle."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
 
@@ -95,14 +110,21 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig) for docs with >= shingle_n words."""
-    w = words_col(F.col(text_col))
+    """(id, shingles, sig) for docs with >= shingle_n words.
+
+    Tokens are staged through a bound column (see
+    `shingles_from_tokens_col`) so shingling is O(T·n), not O(T²)."""
+    staged = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        words_col(F.col(text_col)).alias("_toks"),
+    )
     return (
-        ensure_parallelism(df)
-        .filter(F.size(w) >= shingle_n)
+        staged.filter(F.size("_toks") >= shingle_n)
         .select(
-            F.col(id_col).alias("id"),
-            shingles_col(F.col(text_col), shingle_n).alias("shingles"),
+            "id",
+            shingles_from_tokens_col(F.col("_toks"), shingle_n).alias(
+                "shingles"
+            ),
         )
         .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     )
@@ -321,8 +343,11 @@ def ngram_jaccard_pairs(
     """Brute-force all-pairs shingle-jaccard similarity join (exact
     small-scale baseline for minhash_lsh_pairs; O(N²) — use LSH at scale)."""
     df = ensure_parallelism(df)
-    sh = df.filter(F.size(words_col(F.col(text_col))) >= shingle_n).select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    staged = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("_toks")
+    )
+    sh = staged.filter(F.size("_toks") >= shingle_n).select(
+        "id", shingles_from_tokens_col(F.col("_toks"), shingle_n).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -138,7 +138,7 @@ def compact_summary_line(total, timings, sf, extra) -> str:
     a fixed set of headline extras (incl. the 1M-corpus passthrough
     numbers, whose meta dicts self-prefix their keys)."""
     hl = {k: extra[k] for k in HEADLINE_EXTRA_KEYS if k in extra}
-    for nest in ("sift1m", "glove1m", "pq1m"):
+    for nest in ("sift1m", "glove1m", "pq1m", "dedup1m"):
         sub = extra.get(nest)
         if isinstance(sub, dict):
             for k in (
@@ -147,6 +147,10 @@ def compact_summary_line(total, timings, sf, extra) -> str:
                 f"{nest}_build_inserts_per_s",
                 f"{nest}_best_q_per_s",
                 f"{nest}_best_recall_at_10",
+                f"{nest}_lsh_docs_per_s",
+                f"{nest}_lsh_recall",
+                f"{nest}_winnow_docs_per_s",
+                f"{nest}_winnow_recall",
             ):
                 if k in sub:
                     hl[k] = sub[k]
@@ -483,6 +487,16 @@ def main():
         lambda: entry._dup_span_coverage_documents(spark, sf_dir).collect(),
     )
 
+    # q12a3: winnowing near-dup pairs + BM25 retrieval (r10 additions)
+    timed(
+        "winnow_pairs",
+        lambda: entry._winnow_pairs_documents(spark, sf_dir).collect(),
+    )
+    timed(
+        "bm25_search",
+        lambda: entry._bm25_search_documents(spark, sf_dir).collect(),
+    )
+
     # q12b: the composed curation pipeline (quality -> boilerplate ->
     # exact dedup -> split) as one lazy plan over documents
     timed(
@@ -794,6 +808,12 @@ def main():
     try:
         with open("/tmp/anndb_bench_cache/pq1m_meta.json") as _f:
             extra["pq1m"] = json.load(_f)
+    except (OSError, ValueError):
+        pass
+    # and for the 1M-document dedup experiment (tools/bench_dedup1m.py)
+    try:
+        with open("/tmp/anndb_bench_cache/dedup1m_meta.json") as _f:
+            extra["dedup1m"] = json.load(_f)
     except (OSError, ValueError):
         pass
 

@@ -101,7 +101,7 @@ def main() -> None:
         jaccard_col,
         minhash_lsh_pairs,
         minhash_signatures_fast,
-        shingles_col,
+        shingles_from_tokens_col,
         winnow_pairs,
     )
     from anndb_spark.session import get_spark
@@ -120,13 +120,16 @@ def main() -> None:
     t0 = time.time()
     n = corpus.count()
     meta["dedup1m_gen_s"] = round(time.time() - t0, 1)
+    print("gen", meta["dedup1m_gen_s"], "s", flush=True)
     assert n == n_base + n_dup
 
     # ground truth: true 3-gram jaccard of every planted pair (1-1
     # id join — linear); pairs clearing the threshold are the recall
     # denominator
     sh = corpus.select(
-        "doc_id", shingles_col(F.col("text"), n=3).alias("s")
+        "doc_id", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id", shingles_from_tokens_col(F.col("_toks"), n=3).alias("s")
     )
     a = sh.filter(F.col("doc_id") < n_base).withColumnRenamed("s", "sa")
     b = sh.filter(F.col("doc_id") >= n_base).select(
@@ -147,6 +150,7 @@ def main() -> None:
     )
     n_truth = truth.count()
     meta["dedup1m_truth_pairs"] = n_truth
+    print("truth", n_truth, flush=True)
 
     # leg 1: per-row sketch cost
     t0 = time.time()
@@ -156,6 +160,7 @@ def main() -> None:
     dt = time.time() - t0
     meta["dedup1m_sig_s"] = round(dt, 1)
     meta["dedup1m_sig_docs_per_s"] = round(n / dt)
+    print("sig", round(dt,1), "s", flush=True)
 
     # leg 2: MinHash-LSH end to end (band join + exact-jaccard verify)
     t0 = time.time()
@@ -170,6 +175,7 @@ def main() -> None:
         ["a", "b"],
     ).count()
     meta["dedup1m_lsh_recall"] = round(found / max(n_truth, 1), 4)
+    print("lsh", meta["dedup1m_lsh_s"], "s recall", meta["dedup1m_lsh_recall"], flush=True)
 
     # leg 3: winnowing end to end
     t0 = time.time()
@@ -181,6 +187,7 @@ def main() -> None:
     meta["dedup1m_winnow_pairs"] = n_wp
     foundw = truth.join(wp, ["a", "b"]).count()
     meta["dedup1m_winnow_recall"] = round(foundw / max(n_truth, 1), 4)
+    print("winnow", meta["dedup1m_winnow_s"], "s recall", meta["dedup1m_winnow_recall"], flush=True)
 
     # leg 4: exact dedup (hash groupBy) on the same corpus
     t0 = time.time()
