@@ -556,6 +556,42 @@ def _dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup screening run as a REAL stream: the
+    same md5-keyed ~1/8 'new batch' as dedup_incremental_documents
+    arrives as a file stream in multiple micro-batches
+    (maxFilesPerTrigger=1), each checked against the persisted corpus
+    LSH state via foreachBatch.  The union of per-batch outputs must
+    equal the one-shot batch check — the oracle SQL is SHARED with
+    dedup_incremental_documents."""
+    import tempfile
+
+    from anndb_spark.streaming.dedup import stream_neardup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    base = tempfile.mkdtemp(prefix="anndb_entry_sneardup_")
+    # 3 source files => 3 micro-batches at maxFilesPerTrigger=1
+    docs.filter(is_new).repartition(3).write.parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = stream_neardup(
+        stream,
+        docs.filter(~is_new),
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        threshold=0.5,
+    )
+    _await_finite_stream(q, base)
+    pairs = spark.read.parquet(f"{base}/out").select(
+        "new_id", "corpus_id", "jaccard"
+    )
+    return _collect_and_cleanup(spark, pairs, base)
+
+
 def _dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anndb_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1870,6 +1906,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _minhash_signatures,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_incremental_documents": _dedup_incremental_documents,
+        "stream_neardup_documents": _stream_neardup_documents,
         "dedup_clusters_minhash": _dedup_clusters_minhash,
         "dedup_ngram_pairs": _dedup_ngram_pairs,
         "simhash_documents": _simhash_documents,
@@ -1968,6 +2005,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental_documents",
     "bm25_search_documents",
     "winnow_pairs_documents",
+    "stream_neardup_documents",
     # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
     "ann_filtered_label_top10",
     "asof_forward_events",
@@ -2013,7 +2051,6 @@ _DRIVER_WINDOW = [
     "token_stream_offsets_documents",
     "top_terms_by_lang",
     "top_terms_documents",
-    "value_stats_events",
 ]
 
 
@@ -2334,6 +2371,32 @@ def _ann_filtered_label_oracle() -> str:
     )
 
 
+# Shared by dedup_incremental_documents (batch) and
+# stream_neardup_documents (foreachBatch stream): the stream's
+# per-batch union must equal the one-shot batch join, so sharing the
+# oracle SQL *is* the semantic claim being verified.
+_DEDUP_INCREMENTAL_SQL = f"""
+    WITH {_SHINGLES_CTE}, {_minhash_sig_cte()},
+    bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
+              FROM sig, range(4) t(b)),
+    newb AS (SELECT * FROM bands
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
+    oldb AS (SELECT * FROM bands
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'),
+    cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+             FROM newb a JOIN oldb b
+               ON a.b = b.b AND a.val = b.val)
+    SELECT new_id, corpus_id, jaccard FROM (
+        SELECT c.new_id, c.corpus_id,
+               CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / len(list_distinct(x.s || y.s)) AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.new_id
+        JOIN sh y ON y.doc_id = c.corpus_id
+    ) WHERE jaccard >= 0.5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_lineitem_euclidean": _knn_lineitem_oracle("euclidean"),
@@ -2648,26 +2711,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SHINGLES_CTE}, {_minhash_sig_cte()}
             SELECT doc_id AS id, array_to_string(g, '') AS sig_cat FROM sig
         """,
-        "dedup_incremental_documents": f"""
-            WITH {_SHINGLES_CTE}, {_minhash_sig_cte()},
-            bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
-                      FROM sig, range(4) t(b)),
-            newb AS (SELECT * FROM bands
-                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'),
-            oldb AS (SELECT * FROM bands
-                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '2'),
-            cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-                     FROM newb a JOIN oldb b
-                       ON a.b = b.b AND a.val = b.val)
-            SELECT new_id, corpus_id, jaccard FROM (
-                SELECT c.new_id, c.corpus_id,
-                       CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                           / len(list_distinct(x.s || y.s)) AS jaccard
-                FROM cand c
-                JOIN sh x ON x.doc_id = c.new_id
-                JOIN sh y ON y.doc_id = c.corpus_id
-            ) WHERE jaccard >= 0.5
-        """,
+        "dedup_incremental_documents": _DEDUP_INCREMENTAL_SQL,
         "dedup_minhash_pairs": f"""
             WITH {_SHINGLES_CTE}, {_minhash_sig_cte()},
             bands AS (SELECT doc_id, b, g[2*b+1] || g[2*b+2] AS val
@@ -3547,4 +3591,5 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label
         """,
         "sq8_codes_embeddings": _sq8_oracle(),
+        "stream_neardup_documents": _DEDUP_INCREMENTAL_SQL,
     }

@@ -252,9 +252,44 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    kernel: str = "fast",
+) -> tuple[DataFrame, DataFrame]:
+    """((id, shingles), (id, band, val)) — the reusable LSH ingest
+    state for one side of an incremental near-dup check.  Persist (or
+    write at ingest) both frames to amortize signature cost across
+    many batches — `stream_neardup` does exactly that."""
+    rows = num_hashes // bands
+    make_sigs = (
+        minhash_signatures_fast if kernel == "fast" else minhash_signatures
+    )
+    sigs = make_sigs(df, text_col, id_col, num_hashes, shingle_n)
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+            ).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    bd = sigs.select(
+        "id", F.explode(F.array(*band_exprs)).alias("bv")
+    ).select(
+        "id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    return sigs.select("id", "shingles"), bd
+
+
 def minhash_incremental_pairs(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
@@ -262,6 +297,7 @@ def minhash_incremental_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     kernel: str = "fast",
+    corpus_state: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingest near-dup check: (new_id, corpus_id, jaccard)
     pairs where a NEW document collides with the EXISTING corpus in at
@@ -276,36 +312,19 @@ def minhash_incremental_pairs(
     100 TB shape: both banded sides carry only (id, band, val); the
     equi-join on (band, val) is the only corpus-sized shuffle key —
     with a precomputed corpus band table (write `banded` once at
-    ingest) the corpus side is a pure id+val scan, and a small batch
-    side auto-broadcasts under AQE.  Shingles are fetched per-side for
-    the verified CANDIDATES only.  Same signature/banding/jaccard
+    ingest, or pass ``corpus_state`` = `minhash_banded(corpus)`) the
+    corpus side is a pure id+val scan, and a small batch side
+    auto-broadcasts under AQE.  Shingles are fetched per-side for the
+    verified CANDIDATES only.  Same signature/banding/jaccard
     arithmetic as `minhash_lsh_pairs`, so the DuckDB twin is shared."""
-    rows = num_hashes // bands
-    make_sigs = (
-        minhash_signatures_fast if kernel == "fast" else minhash_signatures
+    if corpus_state is None and corpus_df is None:
+        raise ValueError("pass corpus_df or corpus_state")
+    new_sh, new_bd = minhash_banded(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n, kernel
     )
-
-    def banded(df: DataFrame) -> DataFrame:
-        sigs = make_sigs(df, text_col, id_col, num_hashes, shingle_n)
-        band_exprs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[
-                        F.element_at("sig", b * rows + r + 1)
-                        for r in range(rows)
-                    ]
-                ).alias("val"),
-            )
-            for b in range(bands)
-        ]
-        bd = sigs.select(
-            "id", F.explode(F.array(*band_exprs)).alias("bv")
-        ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-        return sigs.select("id", "shingles"), bd
-
-    new_sh, new_bd = banded(new_df)
-    old_sh, old_bd = banded(corpus_df)
+    old_sh, old_bd = corpus_state or minhash_banded(
+        corpus_df, text_col, id_col, num_hashes, bands, shingle_n, kernel
+    )
     cand = (
         new_bd.alias("a")
         .join(

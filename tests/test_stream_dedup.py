@@ -40,3 +40,55 @@ def test_stream_dedup_matches_batch_rollup(spark):
         g = got[et]
         assert (g["n_events"], g["n_users"]) == (w["n_events"], w["n_users"])
         assert g["sum_value"] == w["sum_value"]
+
+
+def test_stream_neardup_matches_batch_incremental(spark):
+    """The foreachBatch streaming near-dup over multiple micro-batches
+    must emit exactly the one-shot batch incremental pairs — same md5
+    split, same threshold, rows compared as sets."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.dedup import minhash_incremental_pairs
+
+    got = {
+        (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in e._stream_neardup_documents(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    want = {
+        (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in minhash_incremental_pairs(
+            docs.filter(is_new), docs.filter(~is_new), threshold=0.5
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_minhash_banded_state_reuse(spark):
+    """minhash_incremental_pairs(corpus_state=...) must equal the
+    corpus_df form — the contract stream_neardup's persisted state
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.dedup import (
+        minhash_banded,
+        minhash_incremental_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    new, old = docs.filter(is_new), docs.filter(~is_new)
+    direct = {
+        tuple(r)
+        for r in minhash_incremental_pairs(new, old, threshold=0.5).collect()
+    }
+    via_state = {
+        tuple(r)
+        for r in minhash_incremental_pairs(
+            new, corpus_state=minhash_banded(old), threshold=0.5
+        ).collect()
+    }
+    assert direct == via_state
+    with pytest.raises(ValueError):
+        minhash_incremental_pairs(new, threshold=0.5)
