@@ -1077,6 +1077,8 @@ def winnow_pairs(
     aggregation.  Output is bounded by sum over kept fingerprints of
     df², itself bounded by ``max_df`` · index size.
     """
+    from pyspark.sql import Window
+
     df = ensure_parallelism(df)  # gram hashing is compute-heavy per row
     # explode_OUTER, then drop the null rows of fingerprint-less docs:
     # a plain explode makes InferFiltersFromGenerate add `size(fp) > 0`,
@@ -1090,14 +1092,19 @@ def winnow_pairs(
         .select("id", F.explode_outer("fp").alias("f"))
         .filter(F.col("f").isNotNull())
     )
-    kept = (
-        idx.groupBy("f")
-        .agg(F.count("*").alias("_df"))
+    # df-cap as a count-over-window on the SAME exchange the join needs
+    # (not a groupBy(f)+semi-join): both self-join sides are then the
+    # identical Exchange(f)→Window→Filter subtree, which ReuseExchange
+    # dedupes — the md5 sketch is computed and shuffled ONCE, where the
+    # join-with-kept shape executed the fingerprint Generate 4× (no
+    # canonical match across the derived subplans; measured sf0.01).
+    wf = Window.partitionBy("f")
+    kept_idx = (
+        idx.withColumn("_df", F.count(F.lit(1)).over(wf))
         .filter(F.col("_df") <= max_df)
-        .select("f")
+        .select("id", "f")
     )
-    idx = idx.join(kept, on="f")
-    a, b = idx.alias("a"), idx.alias("b")
+    a, b = kept_idx.alias("a"), kept_idx.alias("b")
     pairs = a.join(b, on="f").filter(F.col("a.id") < F.col("b.id"))
     return (
         pairs.groupBy(
