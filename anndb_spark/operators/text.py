@@ -433,11 +433,12 @@ def bm25_search(
 
     100 TB shape: the IN-filter on query terms lands directly on the
     exploded token stream (rows surviving to the shuffle ~= corpus
-    frequency of the query terms, not corpus size); term stats (<=
-    |query| rows) broadcast; doc lengths ride an id-keyed equi-join of
-    two column-pruned projections; one final per-doc aggregation and a
-    global top-k (TakeOrderedAndProject — partial per partition,
-    final on one reducer).
+    frequency of the query terms, not corpus size); the corpus is
+    tokenized ONCE — per-term df is a count-over-window on the tf rows,
+    not a separate aggregation branch; doc lengths ride an id-keyed
+    equi-join of two column-pruned projections; one final per-doc
+    aggregation and a global top-k (TakeOrderedAndProject — partial
+    per partition, final on one reducer).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -456,8 +457,17 @@ def bm25_search(
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("tdf")
+    # per-term document frequency as a count-over-window on the tf rows
+    # (NOT a groupBy(term) branch + broadcast join: an explicitly
+    # broadcast derived subplan re-executes its whole subtree, which
+    # re-tokenizes the corpus a second time — the winnow_pairs lesson,
+    # PLANS r10).  tf rows are |matching doc-term pairs| — the window's
+    # term-keyed exchange is tiny next to the token explode it saves.
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("term")
+    tf = tf.withColumn(
+        "tdf", F.count(F.lit(1)).over(wt).cast("long")
     )
     idf = F.round(
         F.log(
@@ -474,8 +484,7 @@ def bm25_search(
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
     )
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(base, id_col)
+        tf.join(base, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
