@@ -329,8 +329,6 @@ def token_stream_offsets(
     the others (the layout stays stable as the corpus grows)."""
     t = F.col(text_col)
     bucket = F.col(bucket_col) if bucket_col else F.col("source")
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy(bucket)
         .orderBy(F.col(id_col))
@@ -463,8 +461,6 @@ def bm25_search(
     # re-tokenizes the corpus a second time — the winnow_pairs lesson,
     # PLANS r10).  tf rows are |matching doc-term pairs| — the window's
     # term-keyed exchange is tiny next to the token explode it saves.
-    from pyspark.sql import Window
-
     wt = Window.partitionBy("term")
     tf = tf.withColumn(
         "tdf", F.count(F.lit(1)).over(wt).cast("long")
@@ -504,8 +500,6 @@ def bm25_search(
     score = F.coalesce(F.col("_c0"), F.lit(0.0))
     for i in range(1, len(terms)):
         score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
-    from pyspark.sql import Window
-
     # global top-k via orderBy().limit() => TakeOrderedAndProject
     # (per-partition partial top-k, final merge of k-row heads) —
     # never a single-reducer row_number over the whole corpus; the
