@@ -95,6 +95,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        print(f"[run ] {name}", flush=True)
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
