@@ -1843,6 +1843,18 @@ def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_span_removal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical duplicate-span removal (Lee et al. 2022): every token
+    position covered by a corpus-duplicated 8-gram is deleted, text
+    re-assembled in position order — the ACT to dup_span_coverage's
+    MEASURE."""
+    from anndb_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=8, min_count=2
+    )
+
+
 def _winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing near-dup pairs: k=4-gram md5 hashes,
     window w=4 minima, distinct per doc (zero-shuffle sketch), df<=64
@@ -1939,6 +1951,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_documents": _top_terms_documents,
         "bm25_search_documents": _bm25_search_documents,
         "winnow_pairs_documents": _winnow_pairs_documents,
+        "dedup_span_removal_documents": _dedup_span_removal_documents,
         "asof_join_events": _asof_join_events,
         "asof_forward_events": _asof_forward_events,
         "curate_pipeline_documents": _curate_pipeline_documents,
@@ -2006,6 +2019,7 @@ _DRIVER_WINDOW = [
     "bm25_search_documents",
     "winnow_pairs_documents",
     "stream_neardup_documents",
+    "dedup_span_removal_documents",
     # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
     "ann_filtered_label_top10",
     "asof_forward_events",
@@ -2049,7 +2063,6 @@ _DRIVER_WINDOW = [
     "stream_attribution_events",
     "stream_hourly_events",
     "token_stream_offsets_documents",
-    "top_terms_by_lang",
     "top_terms_documents",
 ]
 
@@ -3351,6 +3364,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score, n_terms
             FROM topk WHERE rnk <= 20
+        """,
+        "dedup_span_removal_documents": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, greatest(len(toks) - 8 + 1, 0))) AS start
+                FROM t
+            ),
+            grams AS (
+                SELECT doc_id, start,
+                       md5(array_to_string(
+                           list_slice(toks, start, start + 8 - 1), ' ')) AS g
+                FROM starts
+            ),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            covered AS (
+                SELECT DISTINCT doc_id, start + off AS pos
+                FROM grams JOIN dup USING (g),
+                     (SELECT unnest(generate_series(0, 7)) AS off)
+            ),
+            tk AS (
+                SELECT doc_id, pos, toks[pos] AS tok FROM (
+                    SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks))) AS pos
+                    FROM t
+                )
+            ),
+            kept AS (
+                SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+                ANTI JOIN covered
+                  ON tk.doc_id = covered.doc_id AND tk.pos = covered.pos
+            ),
+            re AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id AS id,
+                   coalesce(re.text_clean, '') AS text_clean,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(t.toks) - coalesce(re.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM t LEFT JOIN re USING (doc_id)
         """,
         "winnow_pairs_documents": """
             WITH g AS (

@@ -1113,3 +1113,91 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surgical duplicate-span removal — the ACT to
+    `duplicate_span_coverage`'s MEASURE (Lee et al. 2022: removing
+    repeated spans beats dropping whole documents; most docs are mostly
+    unique plus a boilerplate stripe).  Every token position covered by
+    a word ``n``-gram occurring >= ``min_count`` times corpus-wide
+    (within- and cross-document) is deleted; the survivors re-assemble
+    in position order.
+
+    Returns (id, text_clean, n_tokens, n_removed) for EVERY input
+    document (fully-duplicated docs come back with empty text_clean).
+
+    100 TB shape: gram hashing is per-row JVM work on a staged token
+    column; the wide exchanges are the gram-frequency aggregation and
+    the covered-position distinct, keyed on md5(gram)/(id, pos) — no
+    text on any exchange until the final id-keyed re-assembly (the
+    `curation.boilerplate_filter` posexplode → anti-join → re-assemble
+    idiom, one level down: token spans instead of whole lines).
+    Position explosion is <= n rows per duplicated gram — output-linear.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    df = ensure_parallelism(df)
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    grams = (
+        staged.select(
+            F.col(id_col),
+            F.posexplode_outer(_gram_hash_col(F.col("_toks"), n)).alias(
+                "pos0", "g"
+            ),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(id_col, (F.col("pos0") + 1).alias("start"), "g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, on="g")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    toks = staged.select(
+        F.col(id_col), F.posexplode_outer("_toks").alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).alias("_pos"), "tok")
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    base = staged.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

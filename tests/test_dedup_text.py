@@ -606,3 +606,47 @@ def test_bm25_requires_terms(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError):
         bm25_search(df, [])
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Positions under a corpus-duplicated n-gram are removed; unique
+    text survives verbatim; fully-duplicated docs come back empty."""
+    from anndb_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "b1 b2 b3 b4"  # 4-gram shared by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {boiler} u3"),
+            (2, f"v1 {boiler} v2 v3"),
+            (3, "all unique words here"),
+            (4, boiler),
+            (5, boiler),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(df, n=4, min_count=2).collect()
+    }
+    assert out[1]["text_clean"] == "u1 u2 u3"
+    assert out[2]["text_clean"] == "v1 v2 v3"
+    assert out[3]["text_clean"] == "all unique words here"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 4
+    assert out[1]["n_tokens"] == 7 and out[1]["n_removed"] == 4
+
+
+def test_remove_duplicate_spans_within_doc(spark):
+    """A doc repeating its own n-gram min_count times is self-covered."""
+    from anndb_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "p q r s t")], "doc_id LONG, text STRING"
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(df, n=2, min_count=2).collect()
+    }
+    # "x y" occurs at positions 1 and 3 -> positions 1-4 covered
+    assert out[1]["text_clean"] == "z" and out[1]["n_removed"] == 4
+    assert out[2]["n_removed"] == 0
