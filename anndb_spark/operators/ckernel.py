@@ -921,11 +921,31 @@ _lib = None
 _lib_tried = False
 
 
+# bumped whenever the build RECIPE (not the source) changes, so the
+# content-addressed cache can't serve a .so built the old way
+_BUILD_TAG = "split-link-no-ftz-v2"
+
+
 def _compile() -> str | None:
-    """Compile the kernel once per host; content-addressed so a source
-    change never reuses a stale binary.  Atomic rename publishes the
-    .so; concurrent compilers race benignly (same bytes)."""
-    h = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
+    """Compile the kernel once per host; content-addressed (source +
+    build recipe) so neither a source nor a flag change reuses a stale
+    binary.  Atomic rename publishes the .so; concurrent compilers race
+    benignly (same bytes).
+
+    Compile and link are SPLIT on purpose: -ffast-math at LINK time
+    makes gcc add crtfastmath.o, whose ELF constructor sets the
+    process-wide FTZ/DAZ bits in MXCSR the moment ctypes loads the
+    library — silently flushing every subnormal double in the HOST
+    python process (and any forked Arrow workers) to zero from that
+    point on.  Hypothesis caught this in CI: float strategies validate
+    that subnormals exist and started failing in any test session that
+    had touched the HNSW kernel first.  -ffast-math at COMPILE time
+    only affects this kernel's own codegen (safe here: FLT_MAX
+    sentinels, no NaN/Inf reliance); the link step gets no math flags,
+    so no constructor is injected."""
+    h = hashlib.sha1(
+        (_C_SRC + _BUILD_TAG).encode()
+    ).hexdigest()[:16]
     so = os.path.join(_CACHE_ROOT, f"hnswk_{h}.so")
     if os.path.exists(so):
         return so
@@ -935,18 +955,25 @@ def _compile() -> str | None:
         with open(src, "w") as f:
             f.write(_C_SRC)
         tmp = f"{so}.tmp.{os.getpid()}"
-        # NOTE -ffast-math is safe here: the kernel never relies on
-        # NaN/Inf semantics (FLT_MAX sentinels, clamped distances)
-        cmd = [
+        obj = f"{so}.o.{os.getpid()}"
+        cc_cmd = [
             "cc", "-O3", "-march=native", "-mprefer-vector-width=512",
             "-ffast-math", "-fopenmp",
-            "-fPIC", "-shared", "-o", tmp, src, "-lm",
+            "-fPIC", "-c", "-o", obj, src,
         ]
-        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        r = subprocess.run(cc_cmd, capture_output=True, timeout=120)
         if r.returncode != 0:
             # older cc may not know -mprefer-vector-width; retry without
-            cmd = [c for c in cmd if c != "-mprefer-vector-width=512"]
-            r = subprocess.run(cmd, capture_output=True, timeout=120)
+            cc_cmd = [c for c in cc_cmd if c != "-mprefer-vector-width=512"]
+            r = subprocess.run(cc_cmd, capture_output=True, timeout=120)
+        if r.returncode != 0:
+            return None
+        link_cmd = ["cc", "-shared", "-fopenmp", "-o", tmp, obj, "-lm"]
+        r = subprocess.run(link_cmd, capture_output=True, timeout=120)
+        try:
+            os.remove(obj)
+        except OSError:
+            pass
         if r.returncode != 0:
             return None
         os.replace(tmp, so)

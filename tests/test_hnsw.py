@@ -1073,3 +1073,18 @@ def test_built_graph_is_picklable():
     assert [{i for _, i in r} for r in res_before] == [
         {i for _, i in r} for r in res_after
     ]
+
+
+def test_ckernel_load_preserves_subnormals():
+    """Loading the compiled kernel must NOT set FTZ/DAZ process-wide:
+    gcc's -ffast-math at LINK time injects crtfastmath.o, whose
+    constructor flips MXCSR for the whole python process (and every
+    forked Arrow worker), silently flushing subnormal doubles to zero
+    everywhere — hypothesis float strategies caught this.  The build
+    now splits compile (fast-math) from link (no math flags)."""
+    from anndb_spark.operators import ckernel
+
+    ckernel.available()  # forces compile+ctypes load when cc exists
+    assert 1e-310 + 0.0 != 0.0, "DAZ bit set by kernel load"
+    assert 5e-324 * 1.0 != 0.0, "FTZ bit set by kernel load"
+    assert (2e-308 / 4.0) != 0.0, "FTZ bit set by kernel load"

@@ -337,3 +337,45 @@ def test_bm25_topk_is_take_ordered(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(bm25_search(docs, ["batch", "merge"], k=20))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_selfjoin_reuses_sketch_stage(spark):
+    """Big-data regime (SMJ, no broadcast): the fingerprint sketch
+    must appear at most TWICE in the final plan (once per self-join
+    side) — the groupBy+semi-join df-cap shape executed it FOUR times
+    (cap aggregation + semi-join sides never canonical-match; PLANS
+    r10).  AQE can further unify the two sides into one shuffle stage
+    when they canonicalize equal (observed with a pre-partitioned
+    persisted source), but that unification is configuration-dependent,
+    so this test pins only the guaranteed 2x bound."""
+    import re
+
+    from anndb_spark.operators.dedup import winnow_pairs
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    src = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    try:
+        df = winnow_pairs(src)
+        df.collect()  # count() spawns a separate QueryExecution; only
+        # executing THIS df finalizes its own adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan.splitlines()[0]
+        # AdaptiveSparkPlan's toString prints the Initial Plan below
+        # the Final Plan — count only the final section
+        final = plan.split("== Initial Plan ==")[0]
+        n_sketch = final.count("array_min(slice(")
+        assert 1 <= n_sketch <= 2, (
+            f"fingerprint sketch appears {n_sketch}x in the final plan"
+        )
+    finally:
+        src.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
