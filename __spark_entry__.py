@@ -1829,6 +1829,15 @@ def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["batch", "merge", "vector", "window"]
 
 
+def _bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-own bigram-LM fluency (order-2 CCNet filter core):
+    position 1 under the unigram MLE, positions 2..n under
+    P(w|prev); rounded log-probs, position-ordered fold."""
+    from anndb_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 retrieval for a fixed 4-term disjunctive query —
     the eval-set decontamination-by-retrieval scorer.  Float scores
@@ -1950,6 +1959,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles_documents": _length_quantiles_documents,
         "top_terms_documents": _top_terms_documents,
         "bm25_search_documents": _bm25_search_documents,
+        "bigram_logprob_documents": _bigram_logprob_documents,
         "winnow_pairs_documents": _winnow_pairs_documents,
         "dedup_span_removal_documents": _dedup_span_removal_documents,
         "asof_join_events": _asof_join_events,
@@ -2020,6 +2030,7 @@ _DRIVER_WINDOW = [
     "winnow_pairs_documents",
     "stream_neardup_documents",
     "dedup_span_removal_documents",
+    "bigram_logprob_documents",
     # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
     "ann_filtered_label_top10",
     "asof_forward_events",
@@ -2063,7 +2074,6 @@ _DRIVER_WINDOW = [
     "stream_attribution_events",
     "stream_hourly_events",
     "token_stream_offsets_documents",
-    "top_terms_documents",
 ]
 
 
@@ -3304,6 +3314,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
                    CAST(tf AS BIGINT) AS tf, df
             FROM ranked WHERE rank <= 3
+        """,
+        "bigram_logprob_documents": """
+            WITH w0 AS (
+                SELECT doc_id, string_split(text, ' ') ws FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, u.pos, u.tok
+                FROM (
+                    SELECT doc_id,
+                           unnest([{'pos': i, 'tok': ws[i]}
+                                   for i in range(1, len(ws) + 1)]) u
+                    FROM w0
+                )
+            ),
+            seq AS (
+                SELECT doc_id, pos, tok,
+                       lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS prev
+                FROM toks
+            ),
+            uni AS (SELECT tok, count(*) c FROM toks GROUP BY tok),
+            tot AS (SELECT sum(c) t FROM uni),
+            uni_lp AS (
+                SELECT tok,
+                       round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 10)
+                           AS ulp
+                FROM uni, tot
+            ),
+            big AS (
+                SELECT prev, tok, count(*) cb
+                FROM seq WHERE prev IS NOT NULL GROUP BY prev, tok
+            ),
+            ctx AS (SELECT prev, sum(cb) cp FROM big GROUP BY prev),
+            big_lp AS (
+                SELECT big.prev, big.tok,
+                       round(ln(CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE)), 10)
+                           AS blp
+                FROM big JOIN ctx USING (prev)
+            ),
+            scored AS (
+                SELECT seq.doc_id, seq.pos,
+                       CASE WHEN seq.prev IS NULL THEN uni_lp.ulp
+                            ELSE big_lp.blp END AS lp
+                FROM seq
+                JOIN uni_lp ON uni_lp.tok = seq.tok
+                LEFT JOIN big_lp
+                  ON big_lp.prev = seq.prev AND big_lp.tok = seq.tok
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       list_reduce(list(lp ORDER BY pos),
+                                   (a, b) -> a + b) AS sum_logprob
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id AS id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   sum_logprob,
+                   sum_logprob / CAST(n_tokens AS DOUBLE) AS mean_logprob
+            FROM per_doc
         """,
         "bm25_search_documents": """
             WITH base AS (

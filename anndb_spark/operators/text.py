@@ -516,3 +516,90 @@ def bm25_search(
         "score",
         "n_terms",
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 10,
+) -> DataFrame:
+    """Per-document fluency under the corpus's OWN bigram LM — the
+    order-2 upgrade of `unigram_logprob` (CCNet-style filtering: word
+    salad scores like gibberish here even when every word is common,
+    because P(w_i | w_{i-1}) is what registers scrambled order).
+
+    Position 1 scores under the unigram MLE; positions 2..n under
+    P(w_i|w_{i-1}) = c(w_{i-1} w_i)/Σ_t c(w_{i-1} t) — all probabilities
+    exact corpus MLE, so every event observed in scoring was counted
+    (no smoothing needed).  Returns (id, n_tokens, sum_logprob,
+    mean_logprob).
+
+    Bit-determinism: identical to unigram_logprob — log-probs rounded
+    to ``round_digits`` (absorbs the 1-ULP JVM/libm ln disagreement),
+    per-doc sum as a POSITION-ORDERED left fold.
+
+    Scale shape: one id-keyed window (lag) to form bigrams, token /
+    bigram / context count aggregations (vocab-sized — AQE broadcasts
+    them back), one final per-doc fold groupBy.  Nothing quadratic;
+    exchanges carry tokens and counts, never documents.
+    """
+    t = F.col(text_col)
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(t)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("tok").over(w))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("t"))
+    uni_lp = uni.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")),
+            round_digits,
+        ).alias("_ulp"),
+    )
+    big = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("cb"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    big_lp = big.join(ctx, "prev").select(
+        "prev",
+        "tok",
+        F.round(
+            F.log(F.col("cb").cast("double") / F.col("cp").cast("double")),
+            round_digits,
+        ).alias("_blp"),
+    )
+    scored = (
+        seq.join(uni_lp, "tok")
+        .join(big_lp, ["prev", "tok"], "left")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.when(F.col("prev").isNull(), F.col("_ulp"))
+            .otherwise(F.col("_blp"))
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                lambda s: s["lp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_logprob"),
+    )
+    return per_doc.select(
+        F.col(id_col).alias("id"),
+        "n_tokens",
+        "sum_logprob",
+        (F.col("sum_logprob") / F.col("n_tokens").cast("double")).alias(
+            "mean_logprob"
+        ),
+    )

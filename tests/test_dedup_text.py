@@ -650,3 +650,22 @@ def test_remove_duplicate_spans_within_doc(spark):
     # "x y" occurs at positions 1 and 3 -> positions 1-4 covered
     assert out[1]["text_clean"] == "z" and out[1]["n_removed"] == 4
     assert out[2]["n_removed"] == 0
+
+
+def test_bigram_logprob_detects_word_salad(spark):
+    """Two docs with IDENTICAL token multisets: the unigram LM ties
+    them; the bigram LM must score the corpus-typical ordering higher
+    than the scramble — the property that makes order-2 worth it."""
+    from anndb_spark.operators.text import bigram_logprob, unigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    salad = "fox the over quick dog brown the jumps lazy"
+    rows = [(i, fluent) for i in range(8)] + [(8, fluent), (9, salad)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    bi = {r["id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
+    uni = {r["id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()}
+    assert uni[8] == uni[9], "unigram must tie permutations"
+    assert bi[8] > bi[9], "bigram must prefer the typical ordering"
+    assert all(
+        r["n_tokens"] == 9 for r in bigram_logprob(df).collect()
+    )
