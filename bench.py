@@ -617,8 +617,15 @@ def main():
             single_build_s = json.load(_f)["build_s"]
         extra["fm_single_build_cached"] = True
     else:
-        t0 = time.perf_counter()
+        # corpus generation happens OUTSIDE the timed unit: the
+        # reference's inserts/s times its Insert loop over in-memory
+        # vectors (results.txt protocol), while fm_corpus_np spends
+        # ~10 s constructing 60k seeded rngs — counting that as "build"
+        # understated inserts/s by ~2x in earlier records (see
+        # BENCH_local_r10_verify note_run5).  Level draws stay inside:
+        # the reference assigns levels within Insert.
         fm_ids, fm_mat = fm_corpus_np(cpus)
+        t0 = time.perf_counter()
         lr = np.random.default_rng(FM_SEED + 7)
         lvl_mult = cfg_fm.level_multiplier
         fm_levels = np.floor(
