@@ -80,6 +80,38 @@ def _knn_lineitem(space: str, where: str | None = None):
     return run
 
 
+_KNN_SPACES = ("cosine", "euclidean", "manhattan")
+
+
+def _knn_lineitem_multispace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN over lineitem_vec under ALL THREE metric spaces
+    (cosine / euclidean / manhattan) in one entry — the r11 retirement
+    merge of the three long-green single-space rows
+    (knn_lineitem_{euclidean,manhattan,cosine}, each green r8/r9 at
+    8 lifetime rounds; VERDICT r10 task 4).  One scan per space,
+    per-space TakeOrderedAndProject top-k, distinguished by a literal
+    ``space`` column — a regression in ANY space flips this single row
+    red, so coverage is unchanged at a third of the slot demand."""
+    vecs = lineitem_vec(spark, sf_dir)
+    qdf = _queries_df(spark, LINEITEM_QUERIES)
+    out = None
+    for s in _KNN_SPACES:
+        part = knn_exact(vecs, qdf, K, space=s).withColumn(
+            "space", F.lit(s)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("space", "query_id", "rank", "id", "score")
+
+
+def _knn_lineitem_multispace_oracle() -> str:
+    parts = [
+        f"SELECT '{s}' AS space, query_id, rank, id, score "
+        f"FROM ({_knn_lineitem_oracle(s)})"
+        for s in _KNN_SPACES
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _knn_embeddings(space: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -1827,6 +1859,14 @@ def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ["batch", "merge", "vector", "window"]
+# the DuckDB twin's IN-list and per-term CASE arms are generated from
+# the SAME term list the Spark query uses (sorted, like bm25_search
+# sorts), so editing _BM25_TERMS can never desynchronize the engines
+_BM25_IN_LIST = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+_BM25_CASE_SUM = "\n                       + ".join(
+    f"coalesce(max(CASE WHEN term='{t}' THEN c END), 0.0)"
+    for t in sorted(set(_BM25_TERMS))
+)
 
 
 def _bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,9 +1934,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 7: CORRECTNESS_r07 = registry positions 1-50 exactly), so
     ``queries()`` below exposes a curated <=50 window."""
     return {
-        "knn_lineitem_euclidean": _knn_lineitem("euclidean"),
-        "knn_lineitem_manhattan": _knn_lineitem("manhattan"),
-        "knn_lineitem_cosine": _knn_lineitem("cosine"),
+        "knn_lineitem_multispace": _knn_lineitem_multispace,
         "knn_lineitem_prefilter": _knn_lineitem("euclidean", where="returnflag = 'R'"),
         "knn_embeddings_euclidean": _knn_embeddings("euclidean"),
         "knn_embeddings_cosine": _knn_embeddings("cosine"),
@@ -2021,59 +2059,63 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # CORRECTNESS files) or judge-time evidence (the newest file is the
 # driver's evaluation OF this window) — see tools/window_gate.py.
 _DRIVER_WINDOW = [
-    # -- (1) never driver-checked / never-green (cube: slot 1 per r9) --
-    "corpus_cube_source_lang",
+    # -- (1) never driver-checked / never-green first (gate order) --
+    "knn_lineitem_multispace",  # r11 merge of the 3 single-space rows
+    # -- (2) code changed this round: re-prove under the new plans --
+    "bm25_search_documents",  # df reshaped off the term window (r10 #1)
+    "stream_neardup_documents",  # unpersist listener + state_dir form
+    # -- (3) freshness-forced: last green r8, at the long-green
+    #        max_age=4 boundary (VERDICT r10 task 4) --
+    "ann_embeddings_top10",
+    "ann_tombstone_delete",
+    "crud_compaction_state",
+    "crud_rejects",
+    "dedup_clusters_minhash",
+    "dedup_exact_documents",
+    "dedup_minhash_pairs",
+    "dedup_ngram_pairs",
+    "events_hourly",
+    "fingerprint_documents",
+    "ivf_embeddings_top10",
+    "knn_embeddings_cosine",
+    "knn_join_embeddings",
+    "knn_lineitem_prefilter",
+    "language_id_documents",
+    "quality_score_documents",
+    "route_partition_counts",
+    "simhash64_pairs_documents",
+    "size_info_embeddings",
+    "tpch_q1ish",
+    # -- (4) short-green r9 entries (max_age 2, stale at r12) --
+    "sq8_codes_embeddings",
+    "top_terms_by_lang",
+    "top_terms_documents",
+    "value_stats_events",
+    # -- (5) r9 long-green rotation (ahead of their r13 deadline) --
+    "embedding_neardup",
+    "knn_embeddings_euclidean",
+    "metadata_limits_documents",
+    "minhash_signatures",
+    "random_vectors_orders",
+    "simhash_documents",
+    "simhash_pairs_documents",
+    "text_stats_documents",
+    "token_counts_documents",
+    "token_frequencies",
+    "top_orders_per_nation",
+    # -- (6) fill: fewest lifetime greens (r10 first-timers, then 2x) --
+    "bigram_logprob_documents",
     "bq_search_wide_embeddings",
+    "corpus_cube_source_lang",
     "corpus_rollup_source_lang",
     "dedup_incremental_documents",
-    "bm25_search_documents",
-    "winnow_pairs_documents",
-    "stream_neardup_documents",
     "dedup_span_removal_documents",
-    "bigram_logprob_documents",
-    # -- (2) freshness-forced: last green r8, stale at r11 w/o a slot --
-    "ann_filtered_label_top10",
+    "winnow_pairs_documents",
     "asof_forward_events",
     "attribution_pairs_events",
-    "embedding_lsh_pairs",
-    "market_share_by_nation",
-    "mixture_report_documents",
-    "multimodal_features",
-    "stream_search_top10",
-    "stream_sessions_events",
-    # -- (3) fill: fewest lifetime greens, then oldest last-green --
     "bq_search_embeddings",
     "dedup_canonical_documents",
     "events_distinct_users",
-    "events_sliding_3h1h",
-    "gopher_signals_documents",
-    "integrity_documents_embeddings",
-    "sq8_search_embeddings",
-    "stratified_take_documents",
-    "stream_dedup_events",
-    "unigram_logprob_documents",
-    "asof_join_events",
-    "boilerplate_filter_documents",
-    "curate_pipeline_documents",
-    "decontaminate_documents",
-    "dedup_clusters_embedding",
-    "dup_span_coverage_documents",
-    "events_props_stats",
-    "funnel_events",
-    "hash_sample_documents",
-    "hash_split_documents",
-    "ivfpq_full_probe_top10",
-    "length_quantiles_documents",
-    "mixture_sample_documents",
-    "pack_sequences_documents",
-    "pii_redact_documents",
-    "pii_stats_documents",
-    "pq_exact_rerank_top10",
-    "repetition_signals_documents",
-    "sessionize_events",
-    "stream_attribution_events",
-    "stream_hourly_events",
-    "token_stream_offsets_documents",
 ]
 
 
@@ -2422,9 +2464,7 @@ _DEDUP_INCREMENTAL_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "knn_lineitem_euclidean": _knn_lineitem_oracle("euclidean"),
-        "knn_lineitem_manhattan": _knn_lineitem_oracle("manhattan"),
-        "knn_lineitem_cosine": _knn_lineitem_oracle("cosine"),
+        "knn_lineitem_multispace": _knn_lineitem_multispace_oracle(),
         "knn_lineitem_prefilter": _knn_lineitem_oracle(
             "euclidean", where="l_returnflag = 'R'"
         ),
@@ -3375,7 +3415,7 @@ def oracle_sql() -> dict[str, str]:
                    sum_logprob / CAST(n_tokens AS DOUBLE) AS mean_logprob
             FROM per_doc
         """,
-        "bm25_search_documents": """
+        "bm25_search_documents": f"""
             WITH base AS (
                 SELECT doc_id,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -3393,7 +3433,7 @@ def oracle_sql() -> dict[str, str]:
             tf AS (
                 SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                 FROM toks
-                WHERE term IN ('batch', 'merge', 'vector', 'window')
+                WHERE term IN ({_BM25_IN_LIST})
                 GROUP BY 1, 2
             ),
             dfreq AS (
@@ -3418,10 +3458,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT doc_id,
-                       coalesce(max(CASE WHEN term='batch' THEN c END), 0.0)
-                       + coalesce(max(CASE WHEN term='merge' THEN c END), 0.0)
-                       + coalesce(max(CASE WHEN term='vector' THEN c END), 0.0)
-                       + coalesce(max(CASE WHEN term='window' THEN c END), 0.0)
+                       {_BM25_CASE_SUM}
                            AS score,
                        CAST(count(*) AS BIGINT) AS n_terms
                 FROM contrib GROUP BY doc_id

@@ -319,12 +319,21 @@ def minhash_incremental_pairs(
     arithmetic as `minhash_lsh_pairs`, so the DuckDB twin is shared."""
     if corpus_state is None and corpus_df is None:
         raise ValueError("pass corpus_df or corpus_state")
+    if corpus_state is not None and corpus_df is not None:
+        raise ValueError(
+            "pass corpus_df OR corpus_state, not both — the state is a "
+            "precomputed minhash_banded(corpus_df) and would silently "
+            "shadow the DataFrame"
+        )
     new_sh, new_bd = minhash_banded(
         new_df, text_col, id_col, num_hashes, bands, shingle_n, kernel
     )
-    old_sh, old_bd = corpus_state or minhash_banded(
-        corpus_df, text_col, id_col, num_hashes, bands, shingle_n, kernel
-    )
+    if corpus_state is not None:
+        old_sh, old_bd = corpus_state
+    else:
+        old_sh, old_bd = minhash_banded(
+            corpus_df, text_col, id_col, num_hashes, bands, shingle_n, kernel
+        )
     cand = (
         new_bd.alias("a")
         .join(

@@ -1081,10 +1081,24 @@ def test_ckernel_load_preserves_subnormals():
     constructor flips MXCSR for the whole python process (and every
     forked Arrow worker), silently flushing subnormal doubles to zero
     everywhere — hypothesis float strategies caught this.  The build
-    now splits compile (fast-math) from link (no math flags)."""
+    now splits compile (fast-math) from link (no math flags).
+
+    Operands go through VARIABLES: CPython's peephole optimizer
+    constant-folds literal arithmetic like ``1e-310 + 0.0`` at compile
+    time, so literal asserts never perform runtime FP ops (ADVICE
+    r10).  ``x + 0.0`` with subnormal ``x`` exercises DAZ (operand
+    flushed on read); ``tiny / big`` producing a subnormal RESULT from
+    normal operands exercises FTZ (result flushed on write) — both
+    MXCSR bits are covered at runtime."""
     from anndb_spark.operators import ckernel
 
     ckernel.available()  # forces compile+ctypes load when cc exists
-    assert 1e-310 + 0.0 != 0.0, "DAZ bit set by kernel load"
-    assert 5e-324 * 1.0 != 0.0, "FTZ bit set by kernel load"
-    assert (2e-308 / 4.0) != 0.0, "FTZ bit set by kernel load"
+    x = 1e-310
+    d = 5e-324
+    n = 2e-308
+    assert x + 0.0 != 0.0, "DAZ bit set by kernel load"
+    assert d * 1.0 != 0.0, "DAZ bit set by kernel load"
+    assert n / 4.0 != 0.0, "FTZ bit set by kernel load"
+    lo = 1e-300
+    big = 1e20
+    assert lo / big != 0.0, "FTZ bit set by kernel load"  # normal ops, subnormal result

@@ -339,6 +339,52 @@ def test_bm25_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_df_no_window_over_term_single_tokenize(spark):
+    """Per-term document frequency must never be a window partitioned
+    by term (VERDICT r10 wrong #1: every (doc, term) row of a frequent
+    query term lands on ONE task, and AQE cannot skew-split a window
+    partition) — it is a <=|terms|-row groupBy(term) aggregate joined
+    back.  And the corpus must tokenize exactly once: tf is
+    localCheckpoint-ed, so the executed plan contains NO explode at
+    all (the only window left is the rank over the k survivors)."""
+    from anndb_spark.operators.text import bm25_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bm25_search(docs, ["batch", "merge", "vector"], k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("explode") == 0, "corpus tokenized in main plan"
+    for line in final.splitlines():
+        if "Window" in line:
+            assert "term" not in line, f"window over term: {line}"
+
+
+def test_bm25_large_term_set_bounded_plan(spark):
+    """Decontamination-by-retrieval probes carry thousands of terms;
+    above ``pivot_max_terms`` scoring must switch to the sorted-fold
+    aggregate so the plan does not grow one aggregate column per term.
+    Pin: 1000 terms builds + plans in bounded time, no per-term max()
+    pivot columns in the aggregate, and the fold path is bit-identical
+    to the pivot on a shared small query."""
+    import time
+
+    from anndb_spark.operators.text import bm25_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = [f"zz{i:04d}" for i in range(998)] + ["batch", "merge"]
+    t0 = time.monotonic()
+    df = bm25_search(docs, terms, k=5)
+    plan = _plan(df)
+    assert time.monotonic() - t0 < 60, "1k-term plan build too slow"
+    assert plan.count("partial_max") == 0, "pivot used above the cap"
+    # fold path == pivot path bit-exactly on the same query
+    q = ["batch", "merge", "vector", "window"]
+    pivot = bm25_search(docs, q, k=10).collect()
+    fold = bm25_search(docs, q, k=10, pivot_max_terms=2).collect()
+    assert pivot == fold
+
+
 def test_winnow_selfjoin_reuses_sketch_stage(spark):
     """Big-data regime (SMJ, no broadcast): the fingerprint sketch
     must appear at most TWICE in the final plan (once per self-join

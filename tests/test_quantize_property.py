@@ -30,7 +30,7 @@ floats = st.floats(
 ) | st.sampled_from([0.0, -0.0, 5e-324, -5e-324, 1e-300])
 
 
-@settings(max_examples=40, deadline=None, derandomize=True)
+@settings(max_examples=40, deadline=None)
 @given(st.lists(floats, min_size=1, max_size=200))
 def test_sign_words_py_matches_duckdb(vec):
     con = _CON
@@ -44,7 +44,7 @@ def test_sign_words_py_matches_duckdb(vec):
     assert all(0 <= w < 2**BQ_WORD_BITS for w in py)
 
 
-@settings(max_examples=40, deadline=None, derandomize=True)
+@settings(max_examples=40, deadline=None)
 @given(st.lists(floats, min_size=1, max_size=64))
 def test_sign_bits_py_matches_duckdb(vec):
     con = _CON

@@ -92,3 +92,94 @@ def test_minhash_banded_state_reuse(spark):
     assert direct == via_state
     with pytest.raises(ValueError):
         minhash_incremental_pairs(new, threshold=0.5)
+
+
+def test_stream_neardup_parquet_state_matches_memory(spark, tmp_path):
+    """The on-disk-state form — `write_neardup_state` at ingest time,
+    stream reads the parquet band/shingle tables per micro-batch —
+    must emit exactly the pairs of the one-shot batch incremental
+    check (and therefore of the memory-persisted form, which the
+    driver row pins against the same oracle).  This is the form a
+    100 TB pipeline actually runs: nothing corpus-sized pinned in
+    executor memory for the stream's lifetime."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.dedup import minhash_incremental_pairs
+    from anndb_spark.streaming.dedup import (
+        stream_neardup,
+        write_neardup_state,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    new, old = docs.filter(is_new), docs.filter(~is_new)
+    base = str(tmp_path)
+    write_neardup_state(old, f"{base}/state")
+    new.repartition(3).write.parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = stream_neardup(
+        stream,
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        threshold=0.5,
+        state_dir=f"{base}/state",
+    )
+    assert q.awaitTermination(240), "stream still running"
+    got = {
+        (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in minhash_incremental_pairs(new, old, threshold=0.5).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_neardup_rejects_ambiguous_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from anndb_spark.streaming.dedup import stream_neardup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(tmp_path))
+    with pytest.raises(ValueError):
+        stream_neardup(stream, docs, state_dir="/nope", out_dir="/o", checkpoint_dir="/c")
+    with pytest.raises(ValueError):
+        stream_neardup(stream, out_dir="/o", checkpoint_dir="/c")
+
+
+def test_stream_neardup_unpersists_state_on_termination(spark, tmp_path):
+    """The memory-persisted corpus state must be released when the
+    query terminates (ADVICE r10: repeated invocations in one session
+    accumulated cached corpus-sized frames forever)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from anndb_spark.streaming.dedup import stream_neardup
+
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    assert jcache.isEmpty(), "test needs a clean cache to observe release"
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    base = str(tmp_path)
+    docs.filter(is_new).limit(20).write.parquet(f"{base}/src")
+    stream = spark.readStream.schema(docs.schema).parquet(f"{base}/src")
+    q = stream_neardup(
+        stream,
+        docs.filter(~is_new).limit(50),
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    assert q.awaitTermination(240), "stream still running"
+    # listener callbacks are delivered on a separate thread
+    for _ in range(100):
+        if jcache.isEmpty():
+            break
+        time.sleep(0.2)
+    assert jcache.isEmpty(), "corpus LSH state still cached after stop"

@@ -145,7 +145,9 @@ def main() -> None:
             jaccard_col(F.col("sa"), F.col("sb")).alias("j"),
         )
         .filter(F.col("j") >= args.threshold)
-        .select(F.col("doc_id").alias("a"), F.col("dup_id").alias("b"))
+        .select(
+            F.col("doc_id").alias("a"), F.col("dup_id").alias("b"), "j"
+        )
         .persist()
     )
     n_truth = truth.count()
@@ -176,6 +178,45 @@ def main() -> None:
     ).count()
     meta["dedup1m_lsh_recall"] = round(found / max(n_truth, 1), 4)
     print("lsh", meta["dedup1m_lsh_s"], "s recall", meta["dedup1m_lsh_recall"], flush=True)
+
+    # leg 2b: the recall knob priced in PLANS r10 finding 1 — 16
+    # hashes × 8 bands (still 2 rows/band) predicts E[1-(1-j²)⁸] over
+    # the truth pairs' jaccard distribution at ~2× signature cost.
+    # Predicted recall is computed HERE from the actual 1M truth js
+    # (not the 100k twin), so predicted-vs-measured is apples-apples.
+    for nh, nb in [(16, 8)]:
+        r_rows = nh // nb
+        pred = truth.agg(
+            F.avg(
+                F.lit(1.0)
+                - F.pow(F.lit(1.0) - F.pow(F.col("j"), F.lit(float(r_rows))),
+                        F.lit(float(nb)))
+            )
+        ).collect()[0][0]
+        t0 = time.time()
+        lsh2 = minhash_lsh_pairs(
+            corpus, num_hashes=nh, bands=nb, threshold=args.threshold
+        ).persist()
+        n_lsh2 = lsh2.count()
+        dt = time.time() - t0
+        tag = f"dedup1m_lsh{nh}x{nb}"
+        meta[f"{tag}_s"] = round(dt, 1)
+        meta[f"{tag}_docs_per_s"] = round(n / dt)
+        meta[f"{tag}_pairs"] = n_lsh2
+        found2 = truth.join(
+            lsh2.withColumnRenamed("id_a", "a").withColumnRenamed(
+                "id_b", "b"
+            ),
+            ["a", "b"],
+        ).count()
+        meta[f"{tag}_recall"] = round(found2 / max(n_truth, 1), 4)
+        meta[f"{tag}_recall_predicted"] = round(pred, 4)
+        lsh2.unpersist()
+        print(
+            f"lsh{nh}x{nb}", meta[f"{tag}_s"], "s recall",
+            meta[f"{tag}_recall"], "predicted",
+            meta[f"{tag}_recall_predicted"], flush=True,
+        )
 
     # leg 3: winnowing end to end
     t0 = time.time()
