@@ -488,6 +488,29 @@ def bm25_search(
     tf = toks.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")
     ).localCheckpoint()
+    return _bm25_score(
+        tf, base, stats, terms, k, k1, b, round_digits, id_col,
+        pivot_max_terms,
+    )
+
+
+def _bm25_score(
+    tf: DataFrame,
+    base: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+    round_digits: int,
+    id_col: str,
+    pivot_max_terms: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: ``tf`` = (id, term, tf) for the query
+    terms only (a checkpointed in-session aggregate for `bm25_search`,
+    a pruned postings scan for `bm25_search_indexed`), ``base`` =
+    (id, dl), ``stats`` = 1 row (n_docs, sdl).  Arithmetic is
+    bit-identical across both callers, so they share one oracle."""
     # per-term document frequency: a <=|terms|-row aggregate joined
     # back UN-hinted — AQE broadcast-joins it at runtime.  Never
     # Window.partitionBy("term"): that serializes ALL occurrences of a
@@ -567,6 +590,119 @@ def bm25_search(
         F.col("rank").cast("int").alias("rank"),
         "score",
         "n_terms",
+    )
+
+
+def write_bm25_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Materialize an INVERTED INDEX for BM25 as parquet — the
+    write-once/query-many retrieval shape a 100 TB corpus needs:
+    `bm25_search` re-scans and re-tokenizes the corpus per query
+    (fine for one-off audits), while a decontamination service
+    querying thousands of probe sets must pay tokenization once.
+
+    Layout under ``index_dir``:
+
+    * ``postings/bucket=<pmod(xxhash64(term), buckets)>/`` —
+      (id, term, tf), ONE file per bucket (repartition by bucket
+      before the partitioned write), rows sorted by (term, id) within
+      the file so parquet row-group min/max statistics on ``term``
+      skip non-matching row groups inside a bucket;
+    * ``doclens/`` — (id, dl);
+    * ``stats/`` — one row (n_docs, sdl, buckets).
+
+    A query for |Q| terms then reads at most |Q| bucket directories
+    (partition pruning on the literal bucket IN-list) and, within
+    them, only row groups whose [min_term, max_term] intersects the
+    query — independent of corpus size for rare terms, proportional
+    to posting-list length for common ones.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens(t)).cast("long").alias("dl"),
+    )
+    base.write.mode("overwrite").parquet(f"{index_dir}/doclens")
+    doclens = df.sparkSession.read.parquet(f"{index_dir}/doclens")
+    doclens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sdl"),
+        F.lit(buckets).cast("int").alias("buckets"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_tokens(t)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    (
+        tf.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int"),
+        )
+        .repartition(buckets, "bucket")
+        .sortWithinPartitions("term", "id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+
+
+def bm25_search_indexed(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 10,
+    id_col: str = "doc_id",
+    pivot_max_terms: int = 64,
+) -> DataFrame:
+    """BM25 top-k over a `write_bm25_index` parquet index: identical
+    scores/ranks to `bm25_search` on the source corpus (bit-exact —
+    the scoring tail is shared), but the per-query cost is |Q| pruned
+    bucket reads instead of a corpus scan + tokenize.  The bucket ids
+    for the query terms are computed with the same xxhash64 the writer
+    used (a |Q|-row local job, no driver-side hash reimplementation).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    st = spark.read.parquet(f"{index_dir}/stats")
+    srow = st.collect()[0]
+    buckets = srow["buckets"]
+    bucket_ids = sorted(
+        {
+            r["bucket"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term STRING"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(buckets))
+                .cast("int")
+                .alias("bucket")
+            )
+            .collect()
+        }
+    )
+    tf = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(*bucket_ids))
+        .filter(F.col("term").isin(*terms))
+        .select(F.col("id").alias(id_col), "term", "tf")
+    )
+    base = spark.read.parquet(f"{index_dir}/doclens").select(
+        F.col("id").alias(id_col), "dl"
+    )
+    stats = st.select("n_docs", "sdl")
+    return _bm25_score(
+        tf, base, stats, terms, k, k1, b, round_digits, id_col,
+        pivot_max_terms,
     )
 
 

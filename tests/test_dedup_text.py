@@ -669,3 +669,28 @@ def test_bigram_logprob_detects_word_salad(spark):
     assert all(
         r["n_tokens"] == 9 for r in bigram_logprob(df).collect()
     )
+
+
+def test_bm25_indexed_matches_direct(spark, tmp_path):
+    """bm25_search_indexed over a write_bm25_index parquet index must
+    be BIT-identical to bm25_search on the source corpus (shared
+    scoring tail — same rounds, same fold order), including n_terms
+    and tie-broken ranks."""
+    from anndb_spark.operators.text import (
+        bm25_search,
+        bm25_search_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    write_bm25_index(docs, d, buckets=8)
+    direct = bm25_search(docs, ["batch", "merge", "vector"], k=15).collect()
+    indexed = bm25_search_indexed(
+        spark, d, ["batch", "merge", "vector"], k=15
+    ).collect()
+    assert direct == indexed and len(indexed) == 15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search_indexed(spark, d, [])

@@ -425,3 +425,27 @@ def test_winnow_selfjoin_reuses_sketch_stage(spark):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+def test_bm25_indexed_prunes_buckets_and_pushes_terms(spark, tmp_path):
+    """The inverted-index read must touch only the query terms'
+    buckets (PartitionFilters on the bucket IN-list) and push the term
+    IN-list into the parquet scan (row-group min/max skipping inside a
+    bucket — postings are written term-sorted).  Without both, the
+    'index' degenerates to a corpus-wide postings scan per query."""
+    from anndb_spark.operators.text import (
+        bm25_search_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    write_bm25_index(docs, d, buckets=16)
+    df = bm25_search_indexed(spark, d, ["batch", "merge"], k=5)
+    plan = _plan(df)
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pruned = [f for f in pf if "bucket" in f and " IN " in f]
+    assert pruned, f"no bucket IN partition filter: {pf}"
+    assert "In(term, [batch,merge])" in plan, "term IN-list not pushed"

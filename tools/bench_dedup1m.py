@@ -92,7 +92,20 @@ def main() -> None:
     ap.add_argument("--mut", type=int, default=8,
                     help="per-token mutation percent for planted dups")
     ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--legs",
+        default="sig,lsh,lsh16x8,winnow,exact",
+        help="comma list of legs to run (10M runs skip the 2x-cost "
+        "16x8 leg: --legs sig,lsh,winnow,exact)",
+    )
+    ap.add_argument(
+        "--meta-out",
+        default=META_PATH,
+        help="where to write the meta json (10M runs should NOT "
+        "overwrite the 1M record bench.py reports)",
+    )
     args = ap.parse_args()
+    legs = set(args.legs.split(","))
     n_base = args.n_base
     n_dup = int(n_base * args.dups)
 
@@ -155,36 +168,38 @@ def main() -> None:
     print("truth", n_truth, flush=True)
 
     # leg 1: per-row sketch cost
-    t0 = time.time()
-    minhash_signatures_fast(corpus).agg(
-        F.max(F.element_at("sig", 1))
-    ).collect()
-    dt = time.time() - t0
-    meta["dedup1m_sig_s"] = round(dt, 1)
-    meta["dedup1m_sig_docs_per_s"] = round(n / dt)
-    print("sig", round(dt,1), "s", flush=True)
+    if "sig" in legs:
+        t0 = time.time()
+        minhash_signatures_fast(corpus).agg(
+            F.max(F.element_at("sig", 1))
+        ).collect()
+        dt = time.time() - t0
+        meta["dedup1m_sig_s"] = round(dt, 1)
+        meta["dedup1m_sig_docs_per_s"] = round(n / dt)
+        print("sig", round(dt,1), "s", flush=True)
 
     # leg 2: MinHash-LSH end to end (band join + exact-jaccard verify)
-    t0 = time.time()
-    lsh = minhash_lsh_pairs(corpus, threshold=args.threshold).persist()
-    n_lsh = lsh.count()
-    dt = time.time() - t0
-    meta["dedup1m_lsh_s"] = round(dt, 1)
-    meta["dedup1m_lsh_docs_per_s"] = round(n / dt)
-    meta["dedup1m_lsh_pairs"] = n_lsh
-    found = truth.join(
-        lsh.withColumnRenamed("id_a", "a").withColumnRenamed("id_b", "b"),
-        ["a", "b"],
-    ).count()
-    meta["dedup1m_lsh_recall"] = round(found / max(n_truth, 1), 4)
-    print("lsh", meta["dedup1m_lsh_s"], "s recall", meta["dedup1m_lsh_recall"], flush=True)
+    if "lsh" in legs:
+        t0 = time.time()
+        lsh = minhash_lsh_pairs(corpus, threshold=args.threshold).persist()
+        n_lsh = lsh.count()
+        dt = time.time() - t0
+        meta["dedup1m_lsh_s"] = round(dt, 1)
+        meta["dedup1m_lsh_docs_per_s"] = round(n / dt)
+        meta["dedup1m_lsh_pairs"] = n_lsh
+        found = truth.join(
+            lsh.withColumnRenamed("id_a", "a").withColumnRenamed("id_b", "b"),
+            ["a", "b"],
+        ).count()
+        meta["dedup1m_lsh_recall"] = round(found / max(n_truth, 1), 4)
+        print("lsh", meta["dedup1m_lsh_s"], "s recall", meta["dedup1m_lsh_recall"], flush=True)
 
     # leg 2b: the recall knob priced in PLANS r10 finding 1 — 16
     # hashes × 8 bands (still 2 rows/band) predicts E[1-(1-j²)⁸] over
     # the truth pairs' jaccard distribution at ~2× signature cost.
     # Predicted recall is computed HERE from the actual 1M truth js
     # (not the 100k twin), so predicted-vs-measured is apples-apples.
-    for nh, nb in [(16, 8)]:
+    for nh, nb in ([(16, 8)] if "lsh16x8" in legs else []):
         r_rows = nh // nb
         pred = truth.agg(
             F.avg(
@@ -219,23 +234,25 @@ def main() -> None:
         )
 
     # leg 3: winnowing end to end
-    t0 = time.time()
-    wp = winnow_pairs(corpus, k=4, w=4, min_shared=2, max_df=64).persist()
-    n_wp = wp.count()
-    dt = time.time() - t0
-    meta["dedup1m_winnow_s"] = round(dt, 1)
-    meta["dedup1m_winnow_docs_per_s"] = round(n / dt)
-    meta["dedup1m_winnow_pairs"] = n_wp
-    foundw = truth.join(wp, ["a", "b"]).count()
-    meta["dedup1m_winnow_recall"] = round(foundw / max(n_truth, 1), 4)
-    print("winnow", meta["dedup1m_winnow_s"], "s recall", meta["dedup1m_winnow_recall"], flush=True)
+    if "winnow" in legs:
+        t0 = time.time()
+        wp = winnow_pairs(corpus, k=4, w=4, min_shared=2, max_df=64).persist()
+        n_wp = wp.count()
+        dt = time.time() - t0
+        meta["dedup1m_winnow_s"] = round(dt, 1)
+        meta["dedup1m_winnow_docs_per_s"] = round(n / dt)
+        meta["dedup1m_winnow_pairs"] = n_wp
+        foundw = truth.join(wp, ["a", "b"]).count()
+        meta["dedup1m_winnow_recall"] = round(foundw / max(n_truth, 1), 4)
+        print("winnow", meta["dedup1m_winnow_s"], "s recall", meta["dedup1m_winnow_recall"], flush=True)
 
     # leg 4: exact dedup (hash groupBy) on the same corpus
-    t0 = time.time()
-    dedup_exact(corpus).filter(F.col("id") != F.col("keeper_id")).count()
-    meta["dedup1m_exact_s"] = round(time.time() - t0, 1)
+    if "exact" in legs:
+        t0 = time.time()
+        dedup_exact(corpus).filter(F.col("id") != F.col("keeper_id")).count()
+        meta["dedup1m_exact_s"] = round(time.time() - t0, 1)
 
-    with open(META_PATH, "w") as f:
+    with open(args.meta_out, "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps(meta))
 
