@@ -163,8 +163,10 @@ def test_stream_neardup_unpersists_state_on_termination(spark, tmp_path):
 
     from anndb_spark.streaming.dedup import stream_neardup
 
+    # the session is shared suite-wide, so other tests may have live
+    # cache entries — assert on the DELTA, not on an empty cache
     jcache = spark._jsparkSession.sharedState().cacheManager()
-    assert jcache.isEmpty(), "test needs a clean cache to observe release"
+    n_before = jcache.cachedData().size()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
     base = str(tmp_path)
@@ -179,7 +181,9 @@ def test_stream_neardup_unpersists_state_on_termination(spark, tmp_path):
     assert q.awaitTermination(240), "stream still running"
     # listener callbacks are delivered on a separate thread
     for _ in range(100):
-        if jcache.isEmpty():
+        if jcache.cachedData().size() <= n_before:
             break
         time.sleep(0.2)
-    assert jcache.isEmpty(), "corpus LSH state still cached after stop"
+    assert jcache.cachedData().size() <= n_before, (
+        "corpus LSH state still cached after stop"
+    )
