@@ -1155,6 +1155,30 @@ def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=4)
 
 
+# DSIR constants shared by the Spark query and its DuckDB twin (same
+# f-string-generation rule as _BM25_IN_LIST: one source of truth, the
+# engines cannot desynchronize)
+_DSIR_BUCKETS = 4096  # 3 md5-hex chars
+_DSIR_ALPHA = 0.01
+_DSIR_AB = _DSIR_ALPHA * float(_DSIR_BUCKETS)  # identical double both sides
+
+
+def _dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by hashed-ngram likelihood under the lang='en' target slice vs the
+    whole corpus — the data-selection scorer behind quality-targeted
+    pretraining mixes."""
+    from anndb_spark.operators.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        buckets=_DSIR_BUCKETS,
+        alpha=_DSIR_ALPHA,
+    )
+
+
 def _boilerplate_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DF-threshold boilerplate removal at token granularity (the
     synthetic corpus has no newlines): units in >=80% of documents
@@ -2009,6 +2033,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": _hash_split_documents,
         "token_stream_offsets_documents": _token_stream_offsets_documents,
         "decontaminate_documents": _decontaminate_documents,
+        "dsir_weights_documents": _dsir_weights_documents,
         "boilerplate_filter_documents": _boilerplate_filter_documents,
         "mixture_sample_documents": _mixture_sample_documents,
         "mixture_report_documents": _mixture_report_documents,
@@ -2084,6 +2109,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver's evaluation OF this window) — see tools/window_gate.py.
 _DRIVER_WINDOW = [
     # -- (1) never driver-checked / never-green first (gate order) --
+    "dsir_weights_documents",  # r11 DSIR importance selection (new)
     "knn_lineitem_multispace",  # r11 merge of the 3 single-space rows
     "bm25_indexed_documents",  # r11 parquet inverted index (new)
     # -- (2) code changed this round: re-prove under the new plans --
@@ -2139,7 +2165,8 @@ _DRIVER_WINDOW = [
     "asof_forward_events",
     "attribution_pairs_events",
     "bq_search_embeddings",
-    "dedup_canonical_documents",
+    # dedup_canonical_documents dropped for the dsir slot: 2 lifetime
+    # greens (r9, r10), not freshness-forced until r13
 ]
 
 
@@ -3641,6 +3668,60 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        # bucket prefix length 3 = log16(_DSIR_BUCKETS); constants are
+        # f-string-inlined from the SAME Python values the Spark query
+        # uses, so the engines cannot desynchronize.  The fold appends
+        # `+ 0.0` because DuckDB's init-less list_reduce starts at the
+        # first element: if every term is -0.0 it would return -0.0
+        # where Spark's 0.0-seeded fold returns +0.0; x + 0.0 == x for
+        # every other x, so the normalization is otherwise a no-op.
+        "dsir_weights_documents": f"""
+            WITH w0 AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, lang,
+                       unnest(list_concat(
+                           ws,
+                           [ws[i] || ' ' || ws[i+1]
+                            for i in range(1, len(ws))])) AS g
+                FROM w0
+            ),
+            bkt AS (
+                SELECT doc_id, lang, substr(md5(g), 1, 3) AS b FROM grams
+            ),
+            dbc AS (
+                SELECT doc_id, b, count(*) AS n FROM bkt GROUP BY doc_id, b
+            ),
+            raw_model AS (SELECT b, count(*) AS cr FROM bkt GROUP BY b),
+            raw_total AS (SELECT sum(cr) AS tr FROM raw_model),
+            tgt_model AS (
+                SELECT b, count(*) AS ct FROM bkt
+                WHERE lang = 'en' GROUP BY b
+            ),
+            tgt_total AS (
+                SELECT COALESCE(sum(ct), 0) AS tt FROM tgt_model
+            ),
+            delta AS (
+                SELECT r.b,
+                       round(
+                           ln((CAST(COALESCE(t.ct, 0) AS DOUBLE)
+                               + {_DSIR_ALPHA!r})
+                              / (CAST(tt AS DOUBLE) + {_DSIR_AB!r}))
+                           - ln((CAST(r.cr AS DOUBLE) + {_DSIR_ALPHA!r})
+                                / (CAST(tr AS DOUBLE) + {_DSIR_AB!r})),
+                           10) AS delta
+                FROM raw_model r
+                LEFT JOIN tgt_model t USING (b), raw_total, tgt_total
+            )
+            SELECT dbc.doc_id AS id,
+                   CAST(sum(dbc.n) AS BIGINT) AS n_grams,
+                   list_reduce(list(dbc.n * delta.delta ORDER BY dbc.b),
+                               (a, c) -> a + c) + 0.0 AS logw
+            FROM dbc JOIN delta USING (b)
+            GROUP BY dbc.doc_id
         """,
         "decontaminate_documents": """
             WITH toks AS (

@@ -1,8 +1,9 @@
 """Corpus curation: benchmark decontamination, document-frequency
-boilerplate removal, and target-mixture resampling.
+boilerplate removal, target-mixture resampling, and DSIR importance
+selection.
 
-Three operations every LLM training-data pipeline runs between raw
-crawl and tokenizer, absent from the reference (a vector store —
+Operations every LLM training-data pipeline runs between raw crawl
+and tokenizer, absent from the reference (a vector store —
 `/root/reference/README.md` scopes it to ANN serving) but first-class
 here per the pipeline mandate:
 
@@ -170,6 +171,151 @@ def boilerplate_filter(
             F.array_join(clean, sep).alias("text_clean"),
         )
     )
+
+
+def _hex_len(buckets: int) -> int:
+    """md5-hex prefix length for a power-of-16 bucket count; the bucket
+    key stays a STRING in both engines (no hex->int conversion, same
+    portability trick as `dedup.simhash_col`)."""
+    h = 0
+    b = buckets
+    while b > 1 and b % 16 == 0:
+        b //= 16
+        h += 1
+    if b != 1 or h == 0:
+        raise ValueError(f"buckets must be a power of 16 >= 16, got {buckets}")
+    return h
+
+
+def _dsir_grams(w: Column) -> Column:
+    """DSIR's feature set: unigrams ++ bigrams of the token array
+    (hashed n-gram bag, Xie et al. 2023 §3.1)."""
+    return F.concat(w, _word_ngrams(w, 2))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 0.01,
+    round_digits: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each raw document by how much more likely its hashed n-gram bag is
+    under the TARGET corpus's bucket distribution than under the raw
+    corpus's own — the standard cheap proxy for "select web pages that
+    look like the high-quality target domain".
+
+    Returns (id, n_grams, logw) for every raw document, where
+
+        logw = sum over buckets b of  n_b(doc) * delta_b,
+        delta_b = ln((ct_b + a) / (Tt + a*B)) - ln((cr_b + a) / (Tr + a*B))
+
+    with ct/cr the target/raw bucket counts, Tt/Tr their totals, B the
+    bucket count and ``a`` the add-alpha smoothing.  Features are word
+    unigrams + bigrams, hashed into ``buckets`` buckets by md5-hex
+    prefix (power of 16, so the bucket key is a fixed-length hex STRING
+    — portable to the DuckDB oracle with zero integer conversion).
+
+    Bit-determinism: delta is rounded to ``round_digits`` (absorbs the
+    1-ULP JVM-vs-libm ln() disagreement, the `unigram_logprob`
+    convention); n_b * delta_b is a single IEEE multiply of identical
+    operands in both engines; the per-doc sum folds left-associatively
+    from 0.0 in sorted-bucket order (bucket keys are unique per doc, so
+    the order is total).
+
+    100 TB shape: two bucket-count aggregations (one shuffle each over
+    ids+buckets, never text), each yielding <= B rows; the delta table
+    (<= B rows) equi-joins back UN-hinted — AQE broadcast-joins it —
+    and the only corpus-sized shuffle is the per-doc groupBy.  The
+    target corpus is typically tiny (an eval/quality set), the raw
+    corpus is the 100 TB side; nothing here is quadratic and no text
+    column ever reaches an exchange."""
+    hl = _hex_len(buckets)
+    ab = alpha * float(buckets)
+
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        w = F.split(F.col(text_col), " ")
+        return df.select(
+            F.col(id_col),
+            F.explode(_dsir_grams(w)).alias("g"),
+        ).select(
+            id_col, F.substring(F.md5(F.col("g")), 1, hl).alias("b")
+        )
+
+    raw_b = doc_buckets(raw)
+    dbc = raw_b.groupBy(id_col, "b").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    raw_model = raw_b.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    raw_total = raw_model.agg(F.sum("cr").alias("tr"))
+    tgt_model = (
+        doc_buckets(target)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tgt_total = tgt_model.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    delta = (
+        raw_model.join(tgt_model, "b", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (F.col("tt").cast("double") + F.lit(ab))
+                )
+                - F.log(
+                    (F.col("cr").cast("double") + F.lit(alpha))
+                    / (F.col("tr").cast("double") + F.lit(ab))
+                ),
+                round_digits,
+            ).alias("delta"),
+        )
+    )
+    per_doc = (
+        dbc.join(delta, "b")
+        .select(
+            id_col, "b", (F.col("n") * F.col("delta")).alias("term"), "n"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("logw"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col).alias("id"), "n_grams", "logw"
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    buckets: int = 4096,
+    alpha: float = 0.01,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """The resampling step: top-``k`` raw documents by DSIR importance
+    weight (ties by ascending id).  orderBy().limit() plans as
+    TakeOrderedAndProject — per-partition partial top-k, final merge of
+    k-row heads — never a full sort."""
+    w = dsir_weights(raw, target, buckets=buckets, alpha=alpha,
+                     id_col=id_col, **kw)
+    return w.orderBy(F.col("logw").desc(), F.col("id").asc()).limit(k)
 
 
 def mixture_sample(

@@ -524,6 +524,12 @@ def main():
         "curate_pipeline",
         lambda: entry._curate_pipeline_documents(spark, sf_dir).collect(),
     )
+    # q12c: DSIR importance weights (r11) — two bucket-model aggs +
+    # broadcast delta join + per-doc fold, whole corpus scored
+    timed(
+        "dsir_weights",
+        lambda: entry._dsir_weights_documents(spark, sf_dir).collect(),
+    )
 
     # q13: the reference ann-benchmark protocol at fashion-mnist scale
     # (BASELINE.md contract): 60k×784 euclidean, build M=16/efC=500,

@@ -6,6 +6,8 @@ import pytest
 from anndb_spark.operators.curation import (
     boilerplate_filter,
     decontaminate,
+    dsir_select,
+    dsir_weights,
     mixture_sample,
     mixture_thresholds,
 )
@@ -145,3 +147,103 @@ def test_boilerplate_min_docs_plan_never_collects(spark):
     a = sorted(map(tuple, boilerplate_filter(df, min_docs=2).collect()))
     b = sorted(map(tuple, boilerplate_filter(df, min_doc_frac=0.6).collect()))
     assert a == b == [(1, 2, 1, "b"), (2, 2, 1, "c"), (3, 2, 1, "d")]
+
+
+def _dsir_reference(raw_rows, target_rows, buckets=16, alpha=0.01):
+    """Plain-Python DSIR twin: hashed unigram+bigram bag, add-alpha
+    bucket models, logw = sum n_b * round(delta_b, 10) in sorted
+    bucket order."""
+    import hashlib
+    import math
+
+    hl = {16: 1, 256: 2, 4096: 3}[buckets]
+
+    def doc_buckets(text):
+        ws = text.split(" ")
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [
+            hashlib.md5(g.encode()).hexdigest()[:hl] for g in grams
+        ]
+
+    raw_counts, tgt_counts = {}, {}
+    for _, text in raw_rows:
+        for b in doc_buckets(text):
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+    for _, text in target_rows:
+        for b in doc_buckets(text):
+            tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    tr, tt = sum(raw_counts.values()), sum(tgt_counts.values())
+    ab = alpha * buckets
+    delta = {
+        b: round(
+            math.log((tgt_counts.get(b, 0) + alpha) / (tt + ab))
+            - math.log((cr + alpha) / (tr + ab)),
+            10,
+        )
+        for b, cr in raw_counts.items()
+    }
+    out = {}
+    for doc_id, text in raw_rows:
+        nb = {}
+        for b in doc_buckets(text):
+            nb[b] = nb.get(b, 0) + 1
+        logw = 0.0
+        for b in sorted(nb):
+            logw += nb[b] * delta[b]
+        out[doc_id] = (sum(nb.values()), logw)
+    return out
+
+
+def test_dsir_weights_match_reference_and_rank(spark):
+    """Target-like documents must outscore off-target ones, and every
+    (n_grams, logw) must equal the plain-Python twin bit-for-bit
+    (same rounding, same fold order)."""
+    raw_rows = [
+        (1, "alpha beta gamma alpha beta"),   # pure target vocabulary
+        (2, "alpha beta zz yy"),              # mixed
+        (3, "zz yy xx ww zz yy"),             # pure off-target
+        (4, "alpha"),                         # single token, no bigrams
+    ]
+    target_rows = [
+        (100, "alpha beta gamma beta alpha"),
+        (101, "gamma alpha beta"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id LONG, text STRING")
+    target = spark.createDataFrame(target_rows, "doc_id LONG, text STRING")
+    got = {
+        r["id"]: (r["n_grams"], r["logw"])
+        for r in dsir_weights(raw, target, buckets=16).collect()
+    }
+    want = _dsir_reference(raw_rows, target_rows, buckets=16)
+    assert set(got) == {1, 2, 3, 4}
+    for doc_id in got:
+        assert got[doc_id][0] == want[doc_id][0], doc_id
+        assert got[doc_id][1] == want[doc_id][1], doc_id  # bit-exact
+    # n_grams = 2*len - 1
+    assert got[1][0] == 9 and got[4][0] == 1
+    # ranking: pure-target > mixed > pure-off-target
+    assert got[1][1] > got[2][1] > got[3][1]
+
+
+def test_dsir_select_topk(spark):
+    raw_rows = [(i, "alpha beta" if i % 2 else "zz yy") for i in range(10)]
+    raw = spark.createDataFrame(raw_rows, "doc_id LONG, text STRING")
+    target = spark.createDataFrame(
+        [(99, "alpha beta alpha")], "doc_id LONG, text STRING"
+    )
+    top = dsir_select(raw, target, k=5, buckets=16).collect()
+    assert len(top) == 5
+    assert sorted(r["id"] for r in top) == [1, 3, 5, 7, 9]  # the alpha-beta docs
+    # deterministic order: logw desc, id asc
+    assert [r["id"] for r in top] == [1, 3, 5, 7, 9]
+
+
+def test_dsir_plan_has_no_window(spark):
+    """The scorer is groupBys + tiny equi-joins — a Window here would
+    mean a per-bucket single-task shuffle (the bm25 r10 defect shape)."""
+    raw = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    plan = (
+        dsir_weights(raw, raw, buckets=16)
+        ._jdf.queryExecution().toString()
+    )
+    assert "Window" not in plan
