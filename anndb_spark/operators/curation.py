@@ -227,8 +227,17 @@ def dsir_weights(
     from 0.0 in sorted-bucket order (bucket keys are unique per doc, so
     the order is total).
 
-    100 TB shape: two bucket-count aggregations (one shuffle each over
-    ids+buckets, never text), each yielding <= B rows; the delta table
+    100 TB shape: each corpus is tokenized and exploded exactly ONCE —
+    the per-(doc, bucket) count table ``dbc`` is localCheckpoint-ed
+    (ids + hex bucket keys + counts, ~1-5% of corpus bytes, never
+    text) and BOTH the corpus model (``sum(n)`` per bucket — identical
+    integers to counting the exploded rows) and the per-doc scoring
+    read the checkpoint; the <= B-row target model is checkpointed for
+    the same reason (it feeds the delta join AND its own total).
+    Without this Catalyst column-prunes each copy of the aggregation
+    differently and the corpus tokenizes once per consumer (the
+    bm25_search derived-subplan lesson, PLANS r11); the executed plan
+    carries ZERO Generate nodes (pinned).  The delta table
     (<= B rows) equi-joins back UN-hinted — AQE broadcast-joins it —
     and the only corpus-sized shuffle is the per-doc groupBy.  The
     target corpus is typically tiny (an eval/quality set), the raw
@@ -246,16 +255,23 @@ def dsir_weights(
             id_col, F.substring(F.md5(F.col("g")), 1, hl).alias("b")
         )
 
-    raw_b = doc_buckets(raw)
-    dbc = raw_b.groupBy(id_col, "b").agg(
-        F.count("*").cast("long").alias("n")
+    dbc = (
+        doc_buckets(raw)
+        .groupBy(id_col, "b")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
     )
-    raw_model = raw_b.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    raw_model = dbc.groupBy("b").agg(F.sum("n").cast("long").alias("cr"))
     raw_total = raw_model.agg(F.sum("cr").alias("tr"))
+    # <= B rows, checkpointed because it feeds BOTH the delta join and
+    # tgt_total: un-checkpointed, Catalyst duplicates the subtree and
+    # the target corpus would tokenize twice (target can be a large
+    # corpus slice, not just a tiny eval set)
     tgt_model = (
         doc_buckets(target)
         .groupBy("b")
         .agg(F.count("*").cast("long").alias("ct"))
+        .localCheckpoint()
     )
     tgt_total = tgt_model.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     delta = (

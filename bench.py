@@ -129,6 +129,11 @@ HEADLINE_EXTRA_KEYS = (
     "baseline_fm_search_q_per_s_m16",
     "baseline_fm_build_inserts_per_s_m16",
     "baseline_fm_recall_at_10_m16",
+    # host calibration (tools/host_probe.py): wall times are
+    # uninterpretable across rounds without these
+    "host_gflops_1t",
+    "host_gflops_all",
+    "host_membw_gbps",
 )
 
 
@@ -189,10 +194,39 @@ def compact_summary_line(total, timings, sf, extra) -> str:
     return line
 
 
+def _host_calibration() -> dict:
+    """Fixed-workload host-speed probe (tools/host_probe.py), embedded
+    in every record: same-boot wall times were observed 1.5-2x apart
+    and cross-round up to 3.5x on byte-identical plans (PLANS r11), so
+    a record without host calibration cannot be compared across rounds.
+    Best-effort: an over-budget or failing probe yields {}."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "tools",
+                    "host_probe.py",
+                ),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=150,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    host = _host_calibration()
 
     from anndb_spark.session import get_spark
 
@@ -213,7 +247,7 @@ def main():
 
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict[str, float] = dict(host)
 
     def timed(name, fn, repeats: int = REPEATS):
         out, times = None, []

@@ -238,12 +238,23 @@ def test_dsir_select_topk(spark):
     assert [r["id"] for r in top] == [1, 3, 5, 7, 9]
 
 
-def test_dsir_plan_has_no_window(spark):
+def test_dsir_plan_has_no_window_and_one_explode(spark):
     """The scorer is groupBys + tiny equi-joins — a Window here would
-    mean a per-bucket single-task shuffle (the bm25 r10 defect shape)."""
+    mean a per-bucket single-task shuffle (the bm25 r10 defect shape).
+    And the RAW corpus must tokenize exactly once: dbc is
+    localCheckpoint-ed, so the only Generate (explode) left in the
+    final plan is the TARGET side's."""
     raw = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
     plan = (
         dsir_weights(raw, raw, buckets=16)
         ._jdf.queryExecution().toString()
     )
     assert "Window" not in plan
+    phys = (
+        dsir_weights(raw, raw, buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both explodes ran once, at checkpoint time: the final plan reads
+    # the checkpoints and contains no Generate node at all
+    assert "Generate explode" not in phys
+    assert "ExistingRDD" in phys  # the checkpoint scans
