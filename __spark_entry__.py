@@ -1156,7 +1156,7 @@ def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DSIR constants shared by the Spark query and its DuckDB twin (same
-# f-string-generation rule as _BM25_IN_LIST: one source of truth, the
+# generation rule as _bm25_oracle_sql: one source of truth, the
 # engines cannot desynchronize)
 _DSIR_BUCKETS = 4096  # 3 md5-hex chars
 _DSIR_ALPHA = 0.01
@@ -1177,6 +1177,30 @@ def _dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_DSIR_BUCKETS,
         alpha=_DSIR_ALPHA,
     )
+
+
+def _dsir_state_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring against a PERSISTED target bucket model
+    (`write_dsir_state` -> `dsir_weights(raw, state_dir=...)`) — the
+    continuous-pipeline shape: the target corpus is tokenized once at
+    state-write time, every future raw batch pays only its own
+    tokenize.  Output is identical to dsir_weights_documents by
+    construction (the model round-trips parquet as exact longs), so
+    the oracle SQL is SHARED: equality to the in-session form IS the
+    claim being verified."""
+    import tempfile
+
+    from anndb_spark.operators.curation import dsir_weights, write_dsir_state
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = tempfile.mkdtemp(prefix="anndb_entry_dsir_state_")
+    write_dsir_state(
+        docs.filter(F.col("lang") == "en"), base, buckets=_DSIR_BUCKETS
+    )
+    out = dsir_weights(
+        docs, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA, state_dir=base
+    )
+    return _collect_and_cleanup(spark, out, base)
 
 
 def _boilerplate_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1883,14 +1907,94 @@ def _top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_TERMS = ["batch", "merge", "vector", "window"]
-# the DuckDB twin's IN-list and per-term CASE arms are generated from
-# the SAME term list the Spark query uses (sorted, like bm25_search
-# sorts), so editing _BM25_TERMS can never desynchronize the engines
-_BM25_IN_LIST = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
-_BM25_CASE_SUM = "\n                       + ".join(
-    f"coalesce(max(CASE WHEN term='{t}' THEN c END), 0.0)"
-    for t in sorted(set(_BM25_TERMS))
-)
+# the decontamination-service batch (bm25_search_indexed_batch): probe
+# p0 reuses _BM25_TERMS so the single-probe rows are directly
+# cross-checkable against bm25_search_documents' green rows
+_BM25_PROBES = [
+    ("p0", _BM25_TERMS),
+    ("p1", ["stream", "join"]),
+    ("p2", ["scan", "hash", "row"]),
+]
+
+
+def _bm25_oracle_sql(terms: list[str], k: int = 20) -> str:
+    """DuckDB BM25 twin generated from the SAME term list the Spark
+    query uses (sorted, like bm25_search sorts), so editing a term
+    list can never desynchronize the engines.  The per-term CASE arms
+    sum in sorted-term order — the pivot's fixed left-associative
+    float fold (and IEEE-identical to the batch form's sorted fold)."""
+    ts = sorted(set(terms))
+    in_list = ", ".join(f"'{t}'" for t in ts)
+    case_sum = "\n                       + ".join(
+        f"coalesce(max(CASE WHEN term='{t}' THEN c END), 0.0)" for t in ts
+    )
+    return f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                FROM documents
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sdl
+                FROM base
+            ),
+            toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks
+                WHERE term IN ({in_list})
+                GROUP BY 1, 2
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS tdf
+                FROM tf GROUP BY 1
+            ),
+            contrib AS (
+                SELECT tf.doc_id, tf.term,
+                       round(
+                           round(ln(1.0 + (stats.n_docs - dfreq.tdf + 0.5)
+                                          / (dfreq.tdf + 0.5)), 10)
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25
+                               + 0.75 * CAST(base.dl AS DOUBLE)
+                                 / (CAST(stats.sdl AS DOUBLE)
+                                    / CAST(stats.n_docs AS DOUBLE)))),
+                           10) AS c
+                FROM tf
+                JOIN dfreq USING (term)
+                JOIN base USING (doc_id)
+                CROSS JOIN stats
+            ),
+            scored AS (
+                SELECT doc_id,
+                       {case_sum}
+                           AS score,
+                       CAST(count(*) AS BIGINT) AS n_terms
+                FROM contrib GROUP BY doc_id
+            ),
+            topk AS (
+                SELECT doc_id, score, n_terms,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                           AS rnk
+                FROM scored
+            )
+            SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score, n_terms
+            FROM topk WHERE rnk <= {k}
+    """
+
+
+def _bm25_batch_oracle_sql(probes, k: int = 20) -> str:
+    """The batch twin: each probe's single-probe oracle with its
+    probe_id stamped on — per-probe equality to the single-probe form
+    is exactly the batch operator's contract."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{pid}' AS probe_id, * FROM ({_bm25_oracle_sql(terms, k)})"
+        for pid, terms in probes
+    )
 
 
 def _bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1936,6 +2040,28 @@ def _bm25_indexed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet"), base, buckets=16
     )
     out = bm25_search_indexed(spark, base, _BM25_TERMS, k=20)
+    return _collect_and_cleanup(spark, out, base)
+
+
+def _bm25_batch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 over the inverted index — N probe term-sets scored
+    in ONE distributed job (two driver round-trips total instead of
+    2·N; VERDICT r11 wrong #3, the decontamination-service shape).
+    Per-probe rows are bit-identical to the single-probe indexed form,
+    so the oracle is the per-probe BM25 SQL union-stamped with
+    probe_id."""
+    import tempfile
+
+    from anndb_spark.operators.text import (
+        bm25_search_indexed_batch,
+        write_bm25_index,
+    )
+
+    base = tempfile.mkdtemp(prefix="anndb_entry_bm25batch_")
+    write_bm25_index(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), base, buckets=16
+    )
+    out = bm25_search_indexed_batch(spark, base, _BM25_PROBES, k=20)
     return _collect_and_cleanup(spark, out, base)
 
 
@@ -2046,6 +2172,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_documents": _top_terms_documents,
         "bm25_search_documents": _bm25_search_documents,
         "bm25_indexed_documents": _bm25_indexed_documents,
+        "bm25_batch_documents": _bm25_batch_documents,
+        "dsir_state_documents": _dsir_state_documents,
         "bigram_logprob_documents": _bigram_logprob_documents,
         "winnow_pairs_documents": _winnow_pairs_documents,
         "dedup_span_removal_documents": _dedup_span_removal_documents,
@@ -2109,64 +2237,62 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver's evaluation OF this window) — see tools/window_gate.py.
 _DRIVER_WINDOW = [
     # -- (1) never driver-checked / never-green first (gate order) --
-    "dsir_weights_documents",  # r11 DSIR importance selection (new)
-    "knn_lineitem_multispace",  # r11 merge of the 3 single-space rows
-    "bm25_indexed_documents",  # r11 parquet inverted index (new)
+    "bm25_batch_documents",  # r12 batched indexed probes (new)
+    "dsir_state_documents",  # r12 persisted target model (new)
     # -- (2) code changed this round: re-prove under the new plans --
-    "bm25_search_documents",  # df reshaped off the term window (r10 #1)
-    "stream_neardup_documents",  # unpersist listener + state_dir form
-    # -- (3) freshness-forced: last green r8, at the long-green
-    #        max_age=4 boundary (VERDICT r10 task 4) --
-    "ann_embeddings_top10",
-    "ann_tombstone_delete",
-    "crud_compaction_state",
-    "crud_rejects",
-    "dedup_clusters_minhash",
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "dedup_ngram_pairs",
-    "events_hourly",
-    "fingerprint_documents",
-    "ivf_embeddings_top10",
-    "knn_embeddings_cosine",
-    "knn_join_embeddings",
-    "knn_lineitem_prefilter",
-    "language_id_documents",
-    "quality_score_documents",
-    "route_partition_counts",
-    "simhash64_pairs_documents",
-    "size_info_embeddings",
-    "tpch_q1ish",
-    # -- (4) short-green r9 entries (max_age 2, stale at r12) --
-    "sq8_codes_embeddings",
-    "top_terms_by_lang",
-    "top_terms_documents",
-    "value_stats_events",
-    # -- (5) r9 long-green rotation (ahead of their r13 deadline) --
-    "embedding_neardup",
-    "knn_embeddings_euclidean",
-    "metadata_limits_documents",
-    "minhash_signatures",
-    "random_vectors_orders",
-    "simhash_documents",
-    "simhash_pairs_documents",
-    "text_stats_documents",
-    "token_counts_documents",
-    "token_frequencies",
-    "top_orders_per_nation",
-    # -- (6) fill: fewest lifetime greens (r10 first-timers, then 2x) --
-    "bigram_logprob_documents",
-    "bq_search_wide_embeddings",
-    "corpus_cube_source_lang",
-    "corpus_rollup_source_lang",
-    "dedup_incremental_documents",
-    "dedup_span_removal_documents",
-    "winnow_pairs_documents",
+    "dsir_weights_documents",  # doc_buckets hoisted + state plumbing
+    "bm25_search_documents",  # oracle moved to _bm25_oracle_sql
+    "bm25_indexed_documents",  # shares the regenerated oracle
+    # -- (3) the r10-green cohort, stale at r13: serviced one round
+    #        early so r13's slot demand stays under the cap while the
+    #        r11 cohort (due r14) rotates there --
+    "ann_filtered_label_top10",
+    "asof_join_events",
+    "boilerplate_filter_documents",
+    "curate_pipeline_documents",
+    "decontaminate_documents",
+    "dedup_canonical_documents",
+    "dedup_clusters_embedding",
+    "dup_span_coverage_documents",
+    "events_distinct_users",
+    "events_props_stats",
+    "events_sliding_3h1h",
+    "funnel_events",
+    "gopher_signals_documents",
+    "hash_sample_documents",
+    "hash_split_documents",
+    "integrity_documents_embeddings",
+    "ivfpq_full_probe_top10",
+    "length_quantiles_documents",
+    "market_share_by_nation",
+    "mixture_report_documents",
+    "mixture_sample_documents",
+    "multimodal_features",
+    "pack_sequences_documents",
+    "pii_redact_documents",
+    "pii_stats_documents",
+    "pq_exact_rerank_top10",
+    "repetition_signals_documents",
+    "sessionize_events",
+    "sq8_search_embeddings",
+    "stratified_take_documents",
+    "stream_attribution_events",
+    "stream_dedup_events",
+    "stream_hourly_events",
+    "stream_search_top10",
+    "stream_sessions_events",
+    "token_stream_offsets_documents",
+    "unigram_logprob_documents",
+    # -- (4) fill: convert 3-green entries to long-green (halves their
+    #        steady-state demand) + the fewest-green r11 entries --
+    "knn_lineitem_multispace",
     "asof_forward_events",
     "attribution_pairs_events",
     "bq_search_embeddings",
-    # dedup_canonical_documents dropped for the dsir slot: 2 lifetime
-    # greens (r9, r10), not freshness-forced until r13
+    "top_terms_by_lang",
+    "top_terms_documents",
+    "value_stats_events",
+    "bigram_logprob_documents",
 ]
 
 
@@ -2519,6 +2645,13 @@ def oracle_sql() -> dict[str, str]:
     # scan by construction (shared scoring tail) — one oracle, two
     # execution paths, and equality to it IS the indexed claim
     d["bm25_indexed_documents"] = d["bm25_search_documents"]
+    # the batched probe form: each probe's rows bit-identical to the
+    # single-probe indexed form -> per-probe BM25 SQL union-stamped
+    d["bm25_batch_documents"] = _bm25_batch_oracle_sql(_BM25_PROBES, 20)
+    # the persisted-target-model DSIR form is bit-identical to the
+    # in-session form (exact longs round-trip parquet) — one oracle,
+    # two model sources, and equality IS the state-form claim
+    d["dsir_state_documents"] = d["dsir_weights_documents"]
     return d
 
 
@@ -3475,63 +3608,7 @@ def _oracle_sql_entries() -> dict[str, str]:
                    sum_logprob / CAST(n_tokens AS DOUBLE) AS mean_logprob
             FROM per_doc
         """,
-        "bm25_search_documents": f"""
-            WITH base AS (
-                SELECT doc_id,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                FROM documents
-            ),
-            stats AS (
-                SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS sdl
-                FROM base
-            ),
-            toks AS (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                FROM documents
-            ),
-            tf AS (
-                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                FROM toks
-                WHERE term IN ({_BM25_IN_LIST})
-                GROUP BY 1, 2
-            ),
-            dfreq AS (
-                SELECT term, CAST(count(*) AS BIGINT) AS tdf
-                FROM tf GROUP BY 1
-            ),
-            contrib AS (
-                SELECT tf.doc_id, tf.term,
-                       round(
-                           round(ln(1.0 + (stats.n_docs - dfreq.tdf + 0.5)
-                                          / (dfreq.tdf + 0.5)), 10)
-                           * (tf.tf * 2.2)
-                           / (tf.tf + 1.2 * (0.25
-                               + 0.75 * CAST(base.dl AS DOUBLE)
-                                 / (CAST(stats.sdl AS DOUBLE)
-                                    / CAST(stats.n_docs AS DOUBLE)))),
-                           10) AS c
-                FROM tf
-                JOIN dfreq USING (term)
-                JOIN base USING (doc_id)
-                CROSS JOIN stats
-            ),
-            scored AS (
-                SELECT doc_id,
-                       {_BM25_CASE_SUM}
-                           AS score,
-                       CAST(count(*) AS BIGINT) AS n_terms
-                FROM contrib GROUP BY doc_id
-            ),
-            topk AS (
-                SELECT doc_id, score, n_terms,
-                       row_number() OVER (ORDER BY score DESC, doc_id ASC)
-                           AS rnk
-                FROM scored
-            )
-            SELECT doc_id, CAST(rnk AS INTEGER) AS rank, score, n_terms
-            FROM topk WHERE rnk <= 20
-        """,
+        "bm25_search_documents": _bm25_oracle_sql(_BM25_TERMS, 20),
         "dedup_span_removal_documents": """
             WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks

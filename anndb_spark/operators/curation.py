@@ -193,14 +193,27 @@ def _dsir_grams(w: Column) -> Column:
     return F.concat(w, _word_ngrams(w, 2))
 
 
+def _dsir_doc_buckets(
+    df: DataFrame, text_col: str, id_col: str, hex_len: int
+) -> DataFrame:
+    """(id, bucket-hex) — one row per gram OCCURRENCE (not distinct):
+    the hashed n-gram bag both DSIR models count over."""
+    w = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.explode(_dsir_grams(w)).alias("g"),
+    ).select(id_col, F.substring(F.md5(F.col("g")), 1, hex_len).alias("b"))
+
+
 def dsir_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     buckets: int = 4096,
     alpha: float = 0.01,
     round_digits: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance weight (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -225,7 +238,25 @@ def dsir_weights(
     convention); n_b * delta_b is a single IEEE multiply of identical
     operands in both engines; the per-doc sum folds left-associatively
     from 0.0 in sorted-bucket order (bucket keys are unique per doc, so
-    the order is total).
+    the order is total).  Residual (ADVICE r11): the rounding step
+    itself is three implementations — Spark (BigDecimal HALF_UP),
+    DuckDB (double multiply-and-round), CPython (HALF_EVEN in the
+    plain-Python pytest twin) — which can disagree at exact decimal
+    ties or by 1 ULP of the pre-round value; a log-ratio of two
+    count-derived likelihoods landing within 1 ULP of a 10-digit
+    decimal tie is measure-zero in practice but not impossible.
+    Validated hash-exact vs DuckDB at sf0.01 (driver r11) and at sf0.1
+    (60k docs, tools/oracle sweep r12); the risk is accepted, not
+    eliminated.
+
+    Target-model forms (mirrors ``streaming.dedup.stream_neardup``):
+    pass exactly one of ``target`` (the model is aggregated in-session)
+    or ``state_dir`` (the model was persisted once by
+    `write_dsir_state` — the continuous-pipeline shape: score any
+    future raw batch without re-tokenizing the target corpus).
+    ``buckets`` must equal the persisted state's value (the stored
+    hex-prefix length is baked into the model keys; a silent adoption
+    would mis-score raw buckets hashed at a different width).
 
     100 TB shape: each corpus is tokenized and exploded exactly ONCE —
     the per-(doc, bucket) count table ``dbc`` is localCheckpoint-ed
@@ -243,36 +274,36 @@ def dsir_weights(
     target corpus is typically tiny (an eval/quality set), the raw
     corpus is the 100 TB side; nothing here is quadratic and no text
     column ever reaches an exchange."""
+    if (target is None) == (state_dir is None):
+        raise ValueError("pass exactly one of target or state_dir")
     hl = _hex_len(buckets)
     ab = alpha * float(buckets)
 
-    def doc_buckets(df: DataFrame) -> DataFrame:
-        w = F.split(F.col(text_col), " ")
-        return df.select(
-            F.col(id_col),
-            F.explode(_dsir_grams(w)).alias("g"),
-        ).select(
-            id_col, F.substring(F.md5(F.col("g")), 1, hl).alias("b")
-        )
-
     dbc = (
-        doc_buckets(raw)
+        _dsir_doc_buckets(raw, text_col, id_col, hl)
         .groupBy(id_col, "b")
         .agg(F.count("*").cast("long").alias("n"))
         .localCheckpoint()
     )
     raw_model = dbc.groupBy("b").agg(F.sum("n").cast("long").alias("cr"))
     raw_total = raw_model.agg(F.sum("cr").alias("tr"))
-    # <= B rows, checkpointed because it feeds BOTH the delta join and
-    # tgt_total: un-checkpointed, Catalyst duplicates the subtree and
-    # the target corpus would tokenize twice (target can be a large
-    # corpus slice, not just a tiny eval set)
-    tgt_model = (
-        doc_buckets(target)
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("ct"))
-        .localCheckpoint()
-    )
+    if state_dir is not None:
+        # persisted model: <= B rows of exact longs (parquet round-trips
+        # them bit-exactly, so state-form output is identical to the
+        # in-session form — pytest-enforced); each consumer re-reads the
+        # tiny parquet, no checkpoint needed and no Generate behind it
+        tgt_model = _read_dsir_state(raw.sparkSession, state_dir, buckets)
+    else:
+        # <= B rows, checkpointed because it feeds BOTH the delta join
+        # and tgt_total: un-checkpointed, Catalyst duplicates the
+        # subtree and the target corpus would tokenize twice (target
+        # can be a large corpus slice, not just a tiny eval set)
+        tgt_model = (
+            _dsir_doc_buckets(target, text_col, id_col, hl)
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("ct"))
+            .localCheckpoint()
+        )
     tgt_total = tgt_model.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     delta = (
         raw_model.join(tgt_model, "b", "left")
@@ -332,6 +363,51 @@ def dsir_select(
     w = dsir_weights(raw, target, buckets=buckets, alpha=alpha,
                      id_col=id_col, **kw)
     return w.orderBy(F.col("logw").desc(), F.col("id").asc()).limit(k)
+
+
+def write_dsir_state(
+    target: DataFrame,
+    state_dir: str,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the DSIR TARGET bucket model to parquet — the
+    continuous-pipeline shape (the `write_neardup_state` analogue):
+    the target corpus (an eval/quality set, or a large domain slice)
+    is tokenized and aggregated exactly ONCE at state-write time;
+    every future raw batch is then scored with
+    ``dsir_weights(raw, state_dir=...)`` paying only its own tokenize.
+
+    Layout under ``state_dir``:
+
+    * ``target_model/`` — (b hex-prefix STRING, ct BIGINT), <= buckets
+      rows of exact gram-occurrence counts;
+    * ``meta/`` — one row (buckets INT), validated at scoring time so
+      a model written at one hash width can never silently score raw
+      buckets hashed at another.
+    """
+    hl = _hex_len(buckets)
+    model = (
+        _dsir_doc_buckets(target, text_col, id_col, hl)
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    model.write.mode("overwrite").parquet(f"{state_dir}/target_model")
+    target.sparkSession.createDataFrame(
+        [(int(buckets),)], "buckets INT"
+    ).write.mode("overwrite").parquet(f"{state_dir}/meta")
+
+
+def _read_dsir_state(spark, state_dir: str, buckets: int) -> DataFrame:
+    """The persisted target model, after validating the hash width."""
+    stored = spark.read.parquet(f"{state_dir}/meta").collect()[0]["buckets"]
+    if int(stored) != int(buckets):
+        raise ValueError(
+            f"dsir state at {state_dir!r} was written with "
+            f"buckets={stored}; caller asked for buckets={buckets}"
+        )
+    return spark.read.parquet(f"{state_dir}/target_model")
 
 
 def mixture_sample(

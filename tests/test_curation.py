@@ -238,6 +238,62 @@ def test_dsir_select_topk(spark):
     assert [r["id"] for r in top] == [1, 3, 5, 7, 9]
 
 
+def test_dsir_state_form_identical_output(spark, tmp_path):
+    """`dsir_weights(raw, state_dir=...)` over a `write_dsir_state`
+    model must equal the in-session form row-for-row, logw bit-exact
+    (the model is exact longs; parquet round-trips them losslessly) —
+    the continuous-pipeline shape: persist the target model once,
+    score every future raw batch without re-tokenizing the target."""
+    from anndb_spark.operators.curation import write_dsir_state
+
+    raw_rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "alpha beta zz yy"),
+        (3, "zz yy xx ww zz yy"),
+        (4, "alpha"),
+    ]
+    target_rows = [
+        (100, "alpha beta gamma beta alpha"),
+        (101, "gamma alpha beta"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id LONG, text STRING")
+    target = spark.createDataFrame(target_rows, "doc_id LONG, text STRING")
+    state = str(tmp_path / "dsir_state")
+    write_dsir_state(target, state, buckets=16)
+
+    insession = sorted(
+        map(tuple, dsir_weights(raw, target, buckets=16).collect())
+    )
+    from_state = sorted(
+        map(tuple, dsir_weights(raw, buckets=16, state_dir=state).collect())
+    )
+    assert insession == from_state
+    # the state-form query side must not re-tokenize the target: no
+    # Generate at all in the executed plan (raw's explode is behind the
+    # dbc checkpoint, target's behind the parquet write)
+    phys = (
+        dsir_weights(raw, buckets=16, state_dir=state)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate explode" not in phys
+
+
+def test_dsir_state_validates_buckets_and_exclusivity(spark, tmp_path):
+    from anndb_spark.operators.curation import write_dsir_state
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    state = str(tmp_path / "dsir_state16")
+    write_dsir_state(df, state, buckets=16)
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets=16"):
+        dsir_weights(df, buckets=256, state_dir=state).collect()
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(df, df, buckets=16, state_dir=state)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(df, buckets=16)
+
+
 def test_dsir_plan_has_no_window_and_one_explode(spark):
     """The scorer is groupBys + tiny equi-joins — a Window here would
     mean a per-bucket single-task shuffle (the bm25 r10 defect shape).

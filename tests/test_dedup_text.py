@@ -694,3 +694,47 @@ def test_bm25_indexed_matches_direct(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         bm25_search_indexed(spark, d, [])
+
+
+def test_bm25_indexed_batch_matches_per_probe(spark, tmp_path):
+    """Each probe's slice of bm25_search_indexed_batch must be
+    bit-identical to the single-probe bm25_search_indexed — same
+    scores (the batch's sorted fold vs the single-probe pivot), same
+    n_terms, same tie-broken ranks — while the batch pays its two
+    driver round-trips ONCE for all probes."""
+    from anndb_spark.operators.text import (
+        bm25_search_indexed,
+        bm25_search_indexed_batch,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    write_bm25_index(docs, d, buckets=8)
+    probes = [
+        ("p0", ["batch", "merge", "vector"]),
+        ("p1", ["vector", "window"]),          # overlaps p0 on 'vector'
+        ("p2", ["stream"]),
+        ("p3", ["zzz-no-such-term"]),          # empty result, not an error
+    ]
+    batch = bm25_search_indexed_batch(spark, d, probes, k=15).collect()
+    by_probe: dict[str, list] = {}
+    for r in batch:
+        by_probe.setdefault(r["probe_id"], []).append(
+            (r["doc_id"], r["rank"], r["score"], r["n_terms"])
+        )
+    for pid, terms in probes:
+        single = [
+            (r["doc_id"], r["rank"], r["score"], r["n_terms"])
+            for r in bm25_search_indexed(spark, d, terms, k=15).collect()
+        ]
+        got = sorted(by_probe.get(pid, []), key=lambda t: t[1])
+        assert got == single, pid
+    assert by_probe.get("p3") is None
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search_indexed_batch(spark, d, [])
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_search_indexed_batch(spark, d, [("p", [])])
+    with pytest.raises(ValueError, match="duplicate probe id"):
+        bm25_search_indexed_batch(spark, d, [("p", ["a"]), ("p", ["b"])])

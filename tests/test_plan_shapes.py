@@ -449,3 +449,42 @@ def test_bm25_indexed_prunes_buckets_and_pushes_terms(spark, tmp_path):
     pruned = [f for f in pf if "bucket" in f and " IN " in f]
     assert pruned, f"no bucket IN partition filter: {pf}"
     assert "In(term, [batch,merge])" in plan, "term IN-list not pushed"
+
+
+def test_bm25_indexed_batch_plan_shape(spark, tmp_path):
+    """The batched probe form: (1) a small batch's bucket IN-list and
+    term IN-list reach the postings scan (same pruning as the
+    single-probe form); (2) a batch covering most buckets SKIPS the
+    bucket IN-list (pruning buys nothing, the plan must not bloat);
+    (3) the per-probe rank-filter plans as WindowGroupLimit — partial
+    per-partition top-k per probe, never all of a probe's postings on
+    one reducer."""
+    import re
+
+    from anndb_spark.operators.text import (
+        bm25_search_indexed_batch,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    write_bm25_index(docs, d, buckets=16)
+    small = bm25_search_indexed_batch(
+        spark, d, [("p0", ["batch", "merge"])], k=5
+    )
+    plan = _plan(small)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in f and " IN " in f for f in pf), pf
+    assert "In(term, [batch,merge])" in plan
+    assert "WindowGroupLimit" in plan
+
+    # a batch whose terms land in > prune_buckets_frac of the buckets:
+    # the literal bucket IN-list must be absent from the scan
+    wide_terms = [f"t{i}" for i in range(200)]
+    wide = bm25_search_indexed_batch(
+        spark, d, [("p0", wide_terms)], k=5, prune_buckets_frac=0.25,
+        term_inlist_max=8,
+    )
+    plan_w = _plan(wide)
+    pf_w = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan_w)
+    assert not any("bucket" in f and " IN " in f for f in pf_w), pf_w
