@@ -1467,32 +1467,77 @@ class HnswGraph:
     def search_brute(self, queries: np.ndarray, k: int):
         """Exact per-partition scoring: one blocked GEMM for all queries
         (the right physical plan when n·q·d is small — coarse partition
-        pruning plus fine brute scan, IVF-style)."""
+        pruning plus fine brute scan, IVF-style).
+
+        Allocation discipline (the r12 scatter-leg finding, PLANS r12):
+        this path runs in 32 concurrent workers, and on a fault-slow
+        host a fresh multi-MB allocation's first touch stalls for
+        SECONDS at the tail (measured p90 5.6 s for a concurrent 25 MB
+        empty+touch, vs 0 for a reused buffer) — fresh (q, n)
+        intermediates and the whole-matrix argpartition's internal
+        index array were the BENCH_r11 hnsw_search_1kq 6x regression
+        on byte-identical code.  So: every (q, n)-sized intermediate
+        lands in a process-level capacity buffer (`_scratch_mat` —
+        reused across graphs AND shapes), and top-k selection runs
+        per row (each row's introselect scratch is KBs, served from
+        the malloc arena).  Row-wise argpartition is the same
+        introselect numpy applies per row under axis=1, and the
+        in-place expression order is IEEE-identical to the
+        fresh-allocation forms (a-b == a+(-b), (-2)·x == -(2·x),
+        addition commutes) — results are bitwise-unchanged
+        (pytest-pinned)."""
         v = self.vectors
         n = v.shape[0]
         if n == 0:
             return [[] for _ in range(queries.shape[0])]
         k = min(k, n)
         space = self.cfg.space
+        nq = queries.shape[0]
+        d = _scratch_mat("brute_d", nq, n)
         if space == "manhattan":
-            d = np.abs(v[None, :, :] - queries[:, None, :]).sum(axis=2, dtype=np.float32)
+            # blocked |x-y| sum through a reused cube buffer: the old
+            # broadcast form materialized a fresh (q, n, dim) cube
+            # (hundreds of MB of transient pages at the auto
+            # threshold).  Per-element sums are independent of the
+            # blocking, so values are identical to the one-cube form.
+            dim = v.shape[1]
+            step = max(1, int(2_000_000 // max(n * dim, 1)))
+            for s in range(0, nq, step):
+                e = min(s + step, nq)
+                cube = _scratch_mat(
+                    "brute_cube", (e - s) * n, dim
+                ).reshape(e - s, n, dim)
+                np.subtract(queries[s:e, None, :], v[None, :, :], out=cube)
+                np.abs(cube, out=cube)
+                cube.sum(axis=2, dtype=np.float32, out=d[s:e])
         else:
             if not hasattr(self, "norms2"):
                 self.finalize()
-            dot = queries @ v.T  # (q, n)
+            np.dot(queries, v.T, out=d)  # (q, n)
             if space == "euclidean":
                 qn2 = np.einsum("ij,ij->i", queries, queries, dtype=np.float32)
-                d = np.sqrt(np.maximum(self.norms2[None, :] - 2.0 * dot + qn2[:, None], 0.0))
+                np.multiply(d, np.float32(-2.0), out=d)
+                d += self.norms2[None, :]
+                d += qn2[:, None]
+                np.maximum(d, 0.0, out=d)
+                np.sqrt(d, out=d)
             else:
                 qn = np.sqrt(np.einsum("ij,ij->i", queries, queries, dtype=np.float32))
-                d = np.abs(np.float32(1.0) - dot / (self.norms[None, :] * qn[:, None]))
+                # the norm product must stay ONE multiply (splitting
+                # into two in-place divisions would change rounding);
+                # it gets its own reused buffer
+                prod = _scratch_mat("brute_prod", nq, n)
+                np.multiply(self.norms[None, :], qn[:, None], out=prod)
+                d /= prod
+                np.subtract(np.float32(1.0), d, out=d)
+                np.abs(d, out=d)
         if self.deleted is not None:
             d[:, self.deleted] = np.inf  # tombstones never score
-        part = np.argpartition(d, k - 1, axis=1)[:, :k]
         out = []
-        for qi in range(queries.shape[0]):
-            ids = part[qi]
-            ds = d[qi, ids]
+        for qi in range(nq):
+            row = d[qi]
+            ids = np.argpartition(row, k - 1)[:k]
+            ds = row[ids]
             order = np.argsort(ds, kind="stable")
             keep = np.isfinite(ds[order])
             out.append(
@@ -2590,6 +2635,26 @@ _GRAPH_CACHE_MAX_BYTES = int(
     _os_mod.environ.get("ANNDB_GRAPH_CACHE_BYTES", str(1 << 30))
 )
 
+# Process-level scratch for the brute-search kernels: ONE flat
+# capacity buffer per purpose, reused across every graph and batch
+# shape (grown monotonically, exact-shape views are contiguous because
+# they reshape a flat prefix).  Fresh multi-MB allocations in the hot
+# path are the r12 scatter-leg pathology: under 32 concurrent workers
+# a first touch of fresh pages stalled for seconds at the tail
+# (p90 5.6 s / 25 MB measured, PLANS r12) while reused pages cost
+# zero.  Single-threaded use only — Spark python workers run one task
+# at a time and the driver-local serve path calls the kernel once.
+_SCRATCH_BUFS: dict = {}
+
+
+def _scratch_mat(tag: str, rows: int, cols: int) -> np.ndarray:
+    need = rows * cols
+    flat = _SCRATCH_BUFS.get(tag)
+    if flat is None or flat.size < need:
+        flat = np.empty(need, dtype=np.float32)
+        _SCRATCH_BUFS[tag] = flat
+    return flat[:need].reshape(rows, cols)
+
 
 def _graph_bytes(g: "HnswGraph") -> int:
     b = g.vectors.nbytes + 16 * len(g.levels)
@@ -3342,6 +3407,30 @@ def _acquire_partition_graph(
             and len(ids) * n_sub * g.dim <= brute_flops_threshold
         )
         return ids, g, use_brute
+    bkey = (
+        (cache_token, index_ver, pid, "brute")
+        if cache_token is not None
+        else None
+    )
+    # brute-only (adjacency-free) entry: checked BEFORE the parquet
+    # read.  The r12 scatter-leg finding (PLANS r12): this check used
+    # to sit after `read_parquet_dir(...).to_pandas()`, so every
+    # brute-strategy serving call re-read and re-converted the whole
+    # partition — per-call index bytes the serving contract promises
+    # to pay once, and a per-call allocation storm that a fault-slow
+    # host stretched into the BENCH_r11 hnsw_search_1kq 6x tail (the
+    # beam path, whose full-graph entry short-circuits above, stayed
+    # at 1.3 s on the same boots).  A cached brute graph carries the
+    # same (n, dim) the auto-threshold test needs; if auto resolves to
+    # beam for this batch size, fall through to the full read.
+    bhit = _cache_get(bkey)
+    if bhit is not None:
+        ids, g = bhit
+        if use_brute or (
+            strategy == "auto"
+            and len(ids) * n_sub * g.dim <= brute_flops_threshold
+        ):
+            return ids, g, True
     idx_pdf = _fsu.read_parquet_dir(
         _fsu.join(path, f"partition_id={pid}")
     ).to_pandas()
@@ -3356,17 +3445,8 @@ def _acquire_partition_graph(
         and n_vert * n_sub * dim <= brute_flops_threshold
     )
     if use_brute:
-        bkey = (
-            (cache_token, index_ver, pid, "brute")
-            if cache_token is not None
-            else None
-        )
-        hit = _cache_get(bkey)
-        if hit is not None:
-            ids, g = hit
-        else:
-            ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
-            _cache_put(bkey, ids, g)
+        ids, g = _graph_from_index(idx_pdf, cfg, need_adj=False)
+        _cache_put(bkey, ids, g)
     else:
         ids, g = _graph_from_index(idx_pdf, cfg)
         if full_key is not None:

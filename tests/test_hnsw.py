@@ -1102,3 +1102,129 @@ def test_ckernel_load_preserves_subnormals():
     lo = 1e-300
     big = 1e20
     assert lo / big != 0.0, "FTZ bit set by kernel load"  # normal ops, subnormal result
+
+
+def test_search_brute_scratch_reuse_bitwise_and_unpickled():
+    """search_brute's (q, n) intermediates live in process-level
+    reused capacity buffers and top-k selection runs per row (r12:
+    fresh multi-MB allocations — including whole-matrix
+    argpartition's internal index array — stall for seconds at the
+    tail under 32 concurrent workers on a fault-slow host; the
+    BENCH_r11 hnsw_search_1kq 6x regression on byte-identical code).
+    Contract: (1) values are bitwise-identical to the
+    fresh-allocation formulas in every space; (2) a second call over
+    a dirty buffer reproduces the first; (3) graphs stay free of
+    _ck_-prefixed per-process state when pickled; (4) tombstoned rows
+    still never score."""
+    import pickle
+
+    rng = np.random.default_rng(99)
+    for space in ("euclidean", "cosine", "manhattan"):
+        n, q, dim = 400, 23, 8
+        v = rng.normal(0, 3, (n, dim)).astype(np.float32)
+        queries = rng.normal(0, 3, (q, dim)).astype(np.float32)
+        g = HnswGraph(dim, HnswConfig(space=space))
+        g.vectors = v
+        if space == "manhattan":
+            d_ref = np.abs(v[None, :, :] - queries[:, None, :]).sum(
+                axis=2, dtype=np.float32
+            )
+        else:
+            norms2 = np.einsum("ij,ij->i", v, v, dtype=np.float32)
+            dot = queries @ v.T
+            if space == "euclidean":
+                qn2 = np.einsum("ij,ij->i", queries, queries, dtype=np.float32)
+                d_ref = np.sqrt(
+                    np.maximum(norms2[None, :] - 2.0 * dot + qn2[:, None], 0.0)
+                )
+            else:
+                qn = np.sqrt(
+                    np.einsum("ij,ij->i", queries, queries, dtype=np.float32)
+                )
+                d_ref = np.abs(
+                    np.float32(1.0)
+                    - dot / (np.sqrt(norms2)[None, :] * qn[:, None])
+                )
+        k = 7
+        first = g.search_brute(queries, k)
+        part = np.argpartition(d_ref, k - 1, axis=1)[:, :k]
+        for qi in range(q):
+            ids = part[qi]
+            ds = d_ref[qi, ids]
+            order = np.argsort(ds, kind="stable")
+            keep = np.isfinite(ds[order])
+            want = list(zip(ds[order][keep].tolist(), ids[order][keep].tolist()))
+            assert first[qi] == want, (space, qi)
+        assert g.search_brute(queries, k) == first, space  # dirty-buffer rerun
+        from anndb_spark.operators.hnsw import _SCRATCH_BUFS
+
+        assert _SCRATCH_BUFS["brute_d"].size >= q * n  # process scratch live
+        state = g.__getstate__()
+        assert not any(key.startswith("_ck_") for key in state)
+        pickle.dumps(state)  # the shipped state stays picklable
+        # tombstones: deleted ids never appear even via the reused buffer
+        g.deleted = np.array([0, 1], dtype=np.int64)
+        hits = g.search_brute(queries, k)
+        assert all(i not in (0, 1) for h in hits for _, i in h)
+
+
+def test_acquire_brute_graph_warm_reads_no_parquet(spark, tmp_path, monkeypatch):
+    """A warm brute-strategy acquisition must serve from the
+    worker-resident cache without touching the index parquet (r12: the
+    brute-only cache check sat AFTER read_parquet_dir().to_pandas(),
+    so every brute serving call re-read + re-converted its whole
+    partition — the BENCH_r11 hnsw_search_1kq 6x regression; the beam
+    path never had the defect).  Auto-resolution to beam on a cached
+    brute-only entry must still fall through to the full read (it
+    needs adjacency)."""
+    from anndb_spark.operators.hnsw import (
+        _acquire_partition_graph,
+        build_index,
+        save_index,
+    )
+    from anndb_spark.sources import fsutil
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (str(i), int(i % 2), rng.normal(0, 1, 8).tolist()) for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "id STRING, partition_id INT, vector ARRAY<FLOAT>"
+    )
+    cfg = HnswConfig(m=4, ef_construction=16)
+    path = str(tmp_path / "idx")
+    save_index(build_index(df, cfg), path)
+    ver = fsutil.index_fingerprint(path)
+
+    calls = {"n": 0}
+    real = fsutil.read_parquet_dir
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fsutil, "read_parquet_dir", counting)
+    token = f"warm-brute-{ver}"
+    # cold: one parquet read, brute-only graph cached
+    ids, g, ub = _acquire_partition_graph(
+        path, 0, cfg, "brute", 1e8, token, ver, 5
+    )
+    assert ub and calls["n"] == 1 and len(ids) > 0
+    # warm brute: zero further reads
+    ids2, g2, ub2 = _acquire_partition_graph(
+        path, 0, cfg, "brute", 1e8, token, ver, 5
+    )
+    assert ub2 and calls["n"] == 1
+    assert ids2 == ids and g2 is g
+    # warm auto resolving to brute: still zero reads
+    _, _, ub3 = _acquire_partition_graph(
+        path, 0, cfg, "auto", 1e8, token, ver, 5
+    )
+    assert ub3 and calls["n"] == 1
+    # auto resolving to BEAM (threshold 0): the brute-only entry lacks
+    # adjacency -> must fall through to a full read and return beam
+    _, g4, ub4 = _acquire_partition_graph(
+        path, 0, cfg, "auto", 0.0, token, ver, 5
+    )
+    assert not ub4 and calls["n"] >= 2
+    assert g4.adj_pad  # full graph carries adjacency
