@@ -199,39 +199,21 @@ def _host_calibration() -> dict:
     in every record: same-boot wall times were observed 1.5-2x apart
     and cross-round up to 3.5x on byte-identical plans (PLANS r11), so
     a record without host calibration cannot be compared across rounds.
-    The probe decays its workload sizes internally (worst-case budget
-    ~110 s on a host running at 1 GFLOP/s — BENCH_r11 shipped keyless
-    because the old fixed-size probe blew a 60 s child budget exactly
-    when calibration mattered most); the outer timeout is a backstop
-    above that, and even a killed probe's partial stdout is parsed.
-    Best-effort: a failing probe yields {}."""
-    import subprocess
 
-    stdout = ""
+    Called IN-PROCESS (r12): the old shape ran tools/host_probe.py as
+    an outer subprocess and json-parsed its single stdout line, so an
+    over-budget probe — the exact contended-host case calibration
+    exists for — had printed NOTHING yet when the outer timeout fired
+    and the record silently shipped keyless (BENCH_r11, and again on
+    the first r12 local run).  probe() manages its own decaying
+    per-stage budgets, runs the BLAS-pool-sensitive GEMMs in child
+    processes already, and returns whatever keys completed — there is
+    no outer cliff to fall off.  A probe() bug yields {} (guarded),
+    never a crashed bench."""
+    from tools.host_probe import probe
+
     try:
-        out = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "tools",
-                    "host_probe.py",
-                ),
-            ],
-            capture_output=True,
-            text=True,
-            timeout=180,
-        )
-        stdout = out.stdout
-    except subprocess.TimeoutExpired as e:
-        if isinstance(e.stdout, bytes):
-            stdout = e.stdout.decode("utf-8", "replace")
-        else:
-            stdout = e.stdout or ""
-    except Exception:
-        return {}
-    try:
-        return json.loads(stdout.strip().splitlines()[-1])
+        return dict(probe())
     except Exception:
         return {}
 

@@ -79,3 +79,22 @@ def test_extras_shed_least_important_first():
     d2 = json.loads(line2)
     assert list(d2["extra"])[0] == "fm_search_q_per_s_matched_protocol"
     assert d2["extra"]["sift1m_recall_at_10"] == 0.7088
+
+
+def test_host_calibration_in_process_wiring(monkeypatch):
+    """_host_calibration must call tools.host_probe.probe IN-PROCESS
+    and pass its keys through verbatim (r12: the old outer-subprocess
+    shape shipped keyless records exactly when the host was contended
+    — the probe had printed nothing when the outer timeout fired)."""
+    from bench import _host_calibration
+    from tools import host_probe
+
+    sentinel = {"host_gflops_1t": 42.0, "host_membw_gbps": 7.0}
+    monkeypatch.setattr(host_probe, "probe", lambda: sentinel)
+    assert _host_calibration() == sentinel
+
+    def boom():
+        raise RuntimeError("probe bug")
+
+    monkeypatch.setattr(host_probe, "probe", boom)
+    assert _host_calibration() == {}  # guarded, never a crashed bench
