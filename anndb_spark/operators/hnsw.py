@@ -2619,6 +2619,7 @@ def _check_config(idx_pdf: pd.DataFrame, cfg: HnswConfig) -> None:
 # accumulates the graphs it has served — the cap bounds worker memory,
 # sized via ANNDB_GRAPH_CACHE_BYTES (default 1 GiB).
 import os as _os_mod
+import threading as _threading_mod
 
 # matrices with at least this many elements walk on uint8 codes with an
 # exact float32 rerank (ANNDB_QUANT_MIN_ELEMS=0 forces quantization, a
@@ -2642,17 +2643,37 @@ _GRAPH_CACHE_MAX_BYTES = int(
 # path are the r12 scatter-leg pathology: under 32 concurrent workers
 # a first touch of fresh pages stalled for seconds at the tail
 # (p90 5.6 s / 25 MB measured, PLANS r12) while reused pages cost
-# zero.  Single-threaded use only — Spark python workers run one task
-# at a time and the driver-local serve path calls the kernel once.
-_SCRATCH_BUFS: dict = {}
+# zero.  Buffers are THREAD-local (ADVICE r12): Spark python workers
+# run one task at a time, but a driver-local serve (or an embedder
+# calling the graph from a thread pool) may enter concurrently — a
+# shared dict would hand two threads the same distance matrix.
+#
+# Memory bound (ADVICE r12): per thread, one buffer per tag (3 tags),
+# each <= max observed (nq x n x 4B) for that tag — outside the
+# ANNDB_GRAPH_CACHE_BYTES accounting.  A buffer above
+# ANNDB_SCRATCH_CAP_BYTES is released when the next request needs
+# under a quarter of it, so one outlier batch cannot pin hundreds of
+# MB for process lifetime; steady-state homogeneous batches still
+# never reallocate.
+_SCRATCH_BUFS = _threading_mod.local()
+_SCRATCH_CAP_BYTES = int(
+    _os_mod.environ.get("ANNDB_SCRATCH_CAP_BYTES", str(256 << 20))
+)
 
 
 def _scratch_mat(tag: str, rows: int, cols: int) -> np.ndarray:
+    bufs = getattr(_SCRATCH_BUFS, "bufs", None)
+    if bufs is None:
+        bufs = _SCRATCH_BUFS.bufs = {}
     need = rows * cols
-    flat = _SCRATCH_BUFS.get(tag)
-    if flat is None or flat.size < need:
+    flat = bufs.get(tag)
+    if (
+        flat is None
+        or flat.size < need
+        or (flat.nbytes > _SCRATCH_CAP_BYTES and need * 4 < flat.size)
+    ):
         flat = np.empty(need, dtype=np.float32)
-        _SCRATCH_BUFS[tag] = flat
+        bufs[tag] = flat
     return flat[:need].reshape(rows, cols)
 
 

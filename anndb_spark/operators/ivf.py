@@ -82,23 +82,98 @@ def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.array(series.tolist(), dtype=np.float64)
 
 
+# Thread-local scratch for the scoring kernels — the same allocation
+# discipline as hnsw._scratch_mat (PLANS r12): a fresh multi-MB
+# allocation per call in a 32-way-concurrent Arrow worker path is a
+# latent 100x first-touch tail on fault-slow hosts (measured p90 5.6 s
+# per 25 MB there), while reused pages cost zero.  One flat float64
+# capacity buffer per tag per thread, grown monotonically, released
+# when it exceeds ANNDB_SCRATCH_CAP_BYTES and the next request needs
+# under a quarter of it.
+_SCRATCH = __import__("threading").local()
+_SCRATCH_CAP_BYTES = int(
+    os.environ.get("ANNDB_SCRATCH_CAP_BYTES", str(256 << 20))
+)
+
+
+def _scratch_mat64(tag: str, rows: int, cols: int) -> np.ndarray:
+    bufs = getattr(_SCRATCH, "bufs", None)
+    if bufs is None:
+        bufs = _SCRATCH.bufs = {}
+    need = rows * cols
+    flat = bufs.get(tag)
+    if (
+        flat is None
+        or flat.size < need
+        or (flat.nbytes > _SCRATCH_CAP_BYTES and need * 4 < flat.size)
+    ):
+        flat = np.empty(need, dtype=np.float64)
+        bufs[tag] = flat
+    return flat[:need].reshape(rows, cols)
+
+
+def _argpart_rows(d: np.ndarray, kk: int) -> np.ndarray:
+    """Row-wise top-kk argpartition: (|Q|, kk) int64 indices.
+
+    Identical selection + tie behavior to
+    ``np.argpartition(d, kk-1, axis=1)[:, :kk]`` (axis=1 runs the same
+    introselect per row), but the per-row form's internal scratch is a
+    KB-scale arena allocation instead of the HIDDEN fresh (|Q|, n)
+    int64 index matrix the whole-matrix call builds — the single
+    largest fault demand of the r12 scatter-leg pathology
+    (hnsw.search_brute carries the same fix)."""
+    part = np.empty((d.shape[0], kk), dtype=np.int64)
+    for qi in range(d.shape[0]):
+        part[qi] = np.argpartition(d[qi], kk - 1)[:kk]
+    return part
+
+
 def _pairwise(queries: np.ndarray, vectors: np.ndarray, space: str) -> np.ndarray:
-    """(|Q|, n) float64 distance matrix; one GEMM for euclidean/cosine."""
+    """(|Q|, n) float64 distance matrix; one GEMM for euclidean/cosine.
+
+    The returned matrix is a view into thread-local scratch: valid
+    until the CALLER's next `_pairwise` call on the same thread (every
+    call site consumes it immediately).  Values are bitwise-identical
+    to the fresh-allocation formulas (pytest-pinned): IEEE a-b is
+    a+(-b), multiply by -2.0 is an exact sign flip of 2.0*x, addition
+    commutes, and the in-place chain applies the same elementwise ops
+    in the same order."""
+    queries = np.ascontiguousarray(queries, dtype=np.float64)
+    vectors = np.ascontiguousarray(vectors, dtype=np.float64)
+    nq, n = queries.shape[0], vectors.shape[0]
+    out = _scratch_mat64("ivf_pw_out", nq, n)
     if space == "manhattan":
-        # blocked to bound memory: |Q| blocks of (n, d)
-        out = np.empty((queries.shape[0], vectors.shape[0]), dtype=np.float64)
+        # blocked |x-y| sum through a reused (n, d) diff buffer: per-row
+        # blocking leaves per-element sums unchanged
+        dim = vectors.shape[1]
+        diff = _scratch_mat64("ivf_pw_diff", n, dim)
         for i, q in enumerate(queries):
-            out[i] = np.abs(vectors - q).sum(axis=1)
+            np.subtract(vectors, q, out=diff)
+            np.abs(diff, out=diff)
+            diff.sum(axis=1, out=out[i])
         return out
-    dot = queries @ vectors.T
+    np.matmul(queries, vectors.T, out=out)  # (q, n) dot
     if space == "euclidean":
         qn2 = np.einsum("ij,ij->i", queries, queries)
         vn2 = np.einsum("ij,ij->i", vectors, vectors)
-        return np.sqrt(np.maximum(vn2[None, :] - 2.0 * dot + qn2[:, None], 0.0))
+        # vn2 - 2.0*dot + qn2  ==  (dot * -2.0) + vn2 + qn2  bitwise
+        np.multiply(out, -2.0, out=out)
+        out += vn2[None, :]
+        out += qn2[:, None]
+        np.maximum(out, 0.0, out=out)
+        np.sqrt(out, out=out)
+        return out
     if space == "cosine":
         qn = np.sqrt(np.einsum("ij,ij->i", queries, queries))
         vn = np.sqrt(np.einsum("ij,ij->i", vectors, vectors))
-        return np.abs(1.0 - dot / (qn[:, None] * vn[None, :]))
+        # the norm product stays ONE multiply (two in-place divisions
+        # would change rounding); it gets its own reused buffer
+        prod = _scratch_mat64("ivf_pw_prod", nq, n)
+        np.multiply(qn[:, None], vn[None, :], out=prod)
+        out /= prod
+        np.subtract(1.0, out, out=out)
+        np.abs(out, out=out)
+        return out
     raise ValueError(f"unknown space {space!r}")
 
 
@@ -205,7 +280,7 @@ def route_queries(
             if not len(pdf):
                 continue
             d = _pairwise(_as_matrix(pdf[query_vec_col]), cent, space)
-            probes = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+            probes = _argpart_rows(d, nprobe)
             rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
             rep["cluster_id"] = probes.reshape(-1).astype(np.int32)
             yield rep
@@ -267,7 +342,7 @@ def search_ivf(
         qmat = _as_matrix(q_pdf["query_vector"])
         d = _pairwise(qmat, vmat, space)
         kk = min(k, vmat.shape[0])
-        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        part = _argpart_rows(d, kk)
         sel = part.reshape(-1)
         ids = vec_pdf["id"].to_numpy()
         qids = q_pdf["query_id"].to_numpy()
@@ -339,7 +414,7 @@ def search_ivf_path(
     qid_arr = np.array([str(qid) for qid, _ in queries], dtype=object)
     qmat = np.array([v for _, v in queries], dtype=np.float64)
     d = _pairwise(qmat, cent, space)
-    probes = np.argpartition(d, min(npb - 1, d.shape[1] - 1), axis=1)[:, :npb]
+    probes = _argpart_rows(d, min(npb, d.shape[1]))
     by_cid: dict[int, list[int]] = {}
     for qi, ps in enumerate(probes):
         for p in ps:
@@ -435,7 +510,7 @@ def search_ivf_path(
                 continue
             dm = _pairwise(qmat[qsel], vmat, space)
             kk = min(k, vmat.shape[0])
-            part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
+            part = _argpart_rows(dm, kk)
             sel = part.reshape(-1)
             yield pd.DataFrame(
                 {

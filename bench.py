@@ -134,6 +134,15 @@ HEADLINE_EXTRA_KEYS = (
     "host_gflops_1t",
     "host_gflops_all",
     "host_membw_gbps",
+    # host-INDEPENDENT work counters (VERDICT r12 wrong #1): exact
+    # deterministic work each leg performed, so rounds compare without
+    # a calibration caveat; these outrank the 1M-corpus passthroughs
+    "counter_knn_exact_dist_evals",
+    "counter_hnsw_scatter_graph_walks",
+    "counter_dedup_minhash_pairs",
+    "counter_winnow_pairs",
+    "counter_dsir_corpus_grams",
+    "counter_bm25_batch_postings_rows",
 )
 
 
@@ -210,9 +219,12 @@ def _host_calibration() -> dict:
     processes already, and returns whatever keys completed — there is
     no outer cliff to fall off.  A probe() bug yields {} (guarded),
     never a crashed bench."""
-    from tools.host_probe import probe
-
     try:
+        # import inside the guard (ADVICE r12): bench invoked from a
+        # cwd where tools/ isn't importable must degrade to {}, not
+        # crash the whole record
+        from tools.host_probe import probe
+
         return dict(probe())
     except Exception:
         return {}
@@ -589,6 +601,15 @@ def main():
     extra["bm25_batch_probes_per_s"] = round(
         100 / timings["bm25_batch_100probes"], 1
     )
+    # host-independent work counter: postings rows the batch join
+    # actually scores (distinct probed terms' posting lists); counted
+    # OUTSIDE the timer
+    _bm_terms = sorted({t for _, ts in _bm_probes for t in ts})
+    extra["counter_bm25_batch_postings_rows"] = int(
+        spark.read.parquet(f"{bm25_dir}/postings")
+        .where(F.col("term").isin(_bm_terms))
+        .count()
+    )
 
     # q12b: the composed curation pipeline (quality -> boilerplate ->
     # exact dedup -> split) as one lazy plan over documents
@@ -598,9 +619,14 @@ def main():
     )
     # q12c: DSIR importance weights (r11) — two bucket-model aggs +
     # broadcast delta join + per-doc fold, whole corpus scored
-    timed(
+    _dsir_rows = timed(
         "dsir_weights",
         lambda: entry._dsir_weights_documents(spark, sf_dir).collect(),
+    )
+    # host-independent work counter: hashed grams scored over the raw
+    # corpus (sum of per-doc n_grams in the leg's own result rows)
+    extra["counter_dsir_corpus_grams"] = int(
+        sum(r["n_grams"] for r in _dsir_rows)
     )
 
     # q13: the reference ann-benchmark protocol at fashion-mnist scale
@@ -724,20 +750,42 @@ def main():
         # BENCH_local_r10_verify note_run5).  Level draws stay inside:
         # the reference assigns levels within Insert.
         fm_ids, fm_mat = fm_corpus_np(cpus)
-        t0 = time.perf_counter()
-        lr = np.random.default_rng(FM_SEED + 7)
+        # median-of-3 fresh builds (VERDICT r12 wrong #2 / task 4): the
+        # single-build rate fed a headline baseline ratio from ONE
+        # measurement — N=1 on a contended host read 0.61x while the
+        # distributed build on the same kernel was flat.  Three full
+        # builds, level draws inside each timed unit (the reference
+        # assigns levels within Insert), deterministic so every repeat
+        # produces the identical graph; the persisted artifact is the
+        # last one.  Probe brackets land in build_meta.json.
+        _build_times = []
+        g_single = None
         lvl_mult = cfg_fm.level_multiplier
-        fm_levels = np.floor(
-            -np.log(np.clip(lr.random(FM_N), 1e-12, 1 - 1e-12)) * lvl_mult
-        ).astype(int).tolist()
-        g_single = HnswGraph.build(
-            fm_mat, fm_levels, cfg_fm_single, workers=cpus
-        )
-        single_build_s = time.perf_counter() - t0
+        for _rep in range(3):
+            del g_single
+            t0 = time.perf_counter()
+            lr = np.random.default_rng(FM_SEED + 7)
+            fm_levels = np.floor(
+                -np.log(np.clip(lr.random(FM_N), 1e-12, 1 - 1e-12)) * lvl_mult
+            ).astype(int).tolist()
+            g_single = HnswGraph.build(
+                fm_mat, fm_levels, cfg_fm_single, workers=cpus
+            )
+            _build_times.append(round(time.perf_counter() - t0, 2))
+        single_build_s = float(np.median(_build_times))
         _tmp = f"{_sdir}.tmp.{os.getpid()}"
         save_graph_partition(g_single, fm_ids, _tmp)
         with open(os.path.join(_tmp, "build_meta.json"), "w") as _f:
-            json.dump({"build_s": round(single_build_s, 1)}, _f)
+            json.dump(
+                {
+                    "build_s": round(single_build_s, 1),
+                    "build_times_s": _build_times,
+                    "n_builds": len(_build_times),
+                    "probe_pre": host,
+                    "probe_post": _host_calibration(),
+                },
+                _f,
+            )
         os.makedirs(os.path.dirname(_sdir), exist_ok=True)
         for _old in os.listdir(os.path.dirname(_sdir)):
             if _old.startswith("fm_single_") and not _old.startswith(

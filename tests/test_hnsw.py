@@ -1158,7 +1158,7 @@ def test_search_brute_scratch_reuse_bitwise_and_unpickled():
         assert g.search_brute(queries, k) == first, space  # dirty-buffer rerun
         from anndb_spark.operators.hnsw import _SCRATCH_BUFS
 
-        assert _SCRATCH_BUFS["brute_d"].size >= q * n  # process scratch live
+        assert _SCRATCH_BUFS.bufs["brute_d"].size >= q * n  # thread scratch live
         state = g.__getstate__()
         assert not any(key.startswith("_ck_") for key in state)
         pickle.dumps(state)  # the shipped state stays picklable
@@ -1228,3 +1228,37 @@ def test_acquire_brute_graph_warm_reads_no_parquet(spark, tmp_path, monkeypatch)
     )
     assert not ub4 and calls["n"] >= 2
     assert g4.adj_pad  # full graph carries adjacency
+
+
+def test_scratch_mat_thread_local_and_capped(monkeypatch):
+    """ADVICE r12: _SCRATCH_BUFS must be thread-local (a driver-local
+    serve or an embedder thread pool entering search_brute concurrently
+    must never share a distance matrix), and a buffer above
+    ANNDB_SCRATCH_CAP_BYTES is released when the next request needs
+    under a quarter of it (the documented memory bound)."""
+    import threading
+
+    from anndb_spark.operators import hnsw as hnsw_mod
+
+    backing = {}
+
+    def work(tag):
+        m = hnsw_mod._scratch_mat("tl_test", 8, 8)
+        m[:] = float(ord(tag))
+        # hold the FLAT buffer object itself (id() of a freed buffer
+        # can be reused by the next thread's allocation)
+        backing[tag] = (hnsw_mod._SCRATCH_BUFS.bufs["tl_test"], m.copy())
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert backing["a"][0] is not backing["b"][0]  # distinct buffers
+    assert backing["a"][1][0, 0] != backing["b"][1][0, 0]
+
+    monkeypatch.setattr(hnsw_mod, "_SCRATCH_CAP_BYTES", 4 * 100)  # 100 elems
+    big = hnsw_mod._scratch_mat("cap_test", 20, 20)  # 400 > cap
+    small = hnsw_mod._scratch_mat("cap_test", 3, 3)  # 9*4 < 400 -> freed
+    assert hnsw_mod._SCRATCH_BUFS.bufs["cap_test"].size == 9
+    assert big.shape == (20, 20) and small.shape == (3, 3)
