@@ -55,6 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anndb_spark.operators._scratch import argpart_rows, scratch_mat
 from anndb_spark.operators.pq import (
     save_pq,
     load_pq,
@@ -355,7 +356,7 @@ def search_ivfpq(
         - 2.0 * Q @ cent.T
         + np.einsum("ij,ij->i", cent, cent)[None, :]
     )
-    probes = np.argpartition(d2, min(npb - 1, d2.shape[1] - 1), axis=1)[:, :npb]
+    probes = argpart_rows(d2, min(npb, d2.shape[1]))
     by_cid: dict[int, list[int]] = {}
     for qi, ps in enumerate(probes):
         for p in ps:
@@ -443,13 +444,19 @@ def search_ivfpq(
             for s0 in range(0, C.shape[0], row_chunk):
                 Cc = C[s0 : s0 + row_chunk]
                 n = Cc.shape[0]
-                S = np.zeros((nq, n), dtype=np.float32)
+                # scratch discipline (r13, operators/_scratch.py):
+                # elementwise-identical to the fresh-allocation form
+                S = scratch_mat("ivfpq_S", nq, n)
+                S.fill(np.float32(0.0))
+                g = scratch_mat("ivfpq_g", nq, n)
                 for j in range(m):
-                    S += lut[:, j, :][:, Cc[:, j]]
-                S = np.sqrt(np.maximum(S, 0.0))
+                    np.take(lut[:, j, :], Cc[:, j], axis=1, out=g)
+                    S += g
+                np.maximum(S, np.float32(0.0), out=S)
+                np.sqrt(S, out=S)
                 t = min(top_n, n)
                 part = (
-                    np.argpartition(S, t - 1, axis=1)[:, :t]
+                    argpart_rows(S, t)
                     if n > t
                     else np.tile(np.arange(n), (nq, 1))
                 )

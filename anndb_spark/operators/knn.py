@@ -112,7 +112,7 @@ def _gemm_partial_topk(
     """
     import numpy as np
 
-    from anndb_spark.operators.ivf import _pairwise
+    from anndb_spark.operators.ivf import _argpart_rows, _pairwise
 
     from anndb_spark.utils import ensure_parallelism
 
@@ -136,11 +136,14 @@ def _gemm_partial_topk(
             d = _pairwise(qm, vm, space)  # |Q| × n
             ids_b = pdf["id"].to_numpy()
             if exclude_self:
-                # self-join: mask pairs with equal ids (vectorized)
+                # self-join: mask pairs with equal ids (vectorized).
+                # In-place masked assign on the scratch-backed matrix
+                # (r13): np.where here copied the full (|Q|, n) matrix
+                # per batch; the masked scores are identical
                 eq = ids_b[None, :] == np.array(qid_arr)[:, None]
-                d = np.where(eq, np.inf, d)
+                d[eq] = np.inf
             nb = min(k, d.shape[1])
-            part = np.argpartition(d, nb - 1, axis=1)[:, :nb]
+            part = _argpart_rows(d, nb)
             cand_scores.append(np.take_along_axis(d, part, axis=1))
             cand_ids.append(ids_b[part])
         if not cand_scores:

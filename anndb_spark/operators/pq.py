@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anndb_spark.operators._scratch import argpart_rows, scratch_mat
+
 
 def _kmeans(mat: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
     """Seeded k-means++ over a (n, d) float32 sample (driver-side).
@@ -328,24 +330,38 @@ def _adc_partition_topn(
             C = call[s0 : s0 + row_chunk]
             bids = bids_all[s0 : s0 + row_chunk]
             n = C.shape[0]
-            S = np.zeros((nq, n), dtype=np.float32)
+            # scratch discipline (r13, see operators/_scratch.py): the
+            # (nq, n) score/gather matrices and the hidden argpartition
+            # index matrix were the package's largest per-call fresh
+            # allocations; every op below is elementwise-identical to
+            # the fresh-allocation form (pytest-pinned)
+            S = scratch_mat("pq_adc_S", nq, n)
+            S.fill(np.float32(0.0))
+            g = scratch_mat("pq_adc_g", nq, n)
             for j in range(m):
-                S += lut[:, j, :][:, C[:, j]]
+                np.take(lut[:, j, :], C[:, j], axis=1, out=g)
+                S += g
             if space == "euclidean":
-                S = np.sqrt(np.maximum(S, 0.0))
+                np.maximum(S, np.float32(0.0), out=S)
+                np.sqrt(S, out=S)
             elif space == "ip":
-                S = -S
+                np.negative(S, out=S)
             else:  # cosine: |1 - ip / (||q|| * ||x̂||)|, x̂ from codes
                 xn2 = np.zeros(n, dtype=np.float32)
                 for j in range(m):
                     xn2 += n2lut[j][C[:, j]]
-                den = np.sqrt(np.maximum(xn2, 1e-30))[None, :] * np.maximum(
-                    qn[:, None], 1e-30
+                den = scratch_mat("pq_adc_den", nq, n)
+                np.multiply(
+                    np.sqrt(np.maximum(xn2, 1e-30))[None, :],
+                    np.maximum(qn[:, None], 1e-30),
+                    out=den,
                 )
-                S = np.abs(np.float32(1.0) - S / den)
+                S /= den
+                np.subtract(np.float32(1.0), S, out=S)
+                np.abs(S, out=S)
             t = min(top_n, n)
             part = (
-                np.argpartition(S, t - 1, axis=1)[:, :t]
+                argpart_rows(S, t)
                 if n > t
                 else np.tile(np.arange(n), (nq, 1))
             )

@@ -210,3 +210,97 @@ def test_adc_partition_scan_memory_bounded():
         want = set(np.sort(S[qi])[:top_n].round(4))
         got = set(np.sort(best_s[qi]).round(4))
         assert got == want
+
+
+def test_adc_partition_scan_scratch_bitwise():
+    """r13 scratch discipline in the ADC scanner (operators/_scratch):
+    the reused-buffer in-place kernel must produce BITWISE-identical
+    (ids, scores) to the pre-r13 fresh-allocation formulas in every
+    space, across chunk-shape changes (grow, shrink, regrow) that
+    exercise dirty-buffer reuse."""
+    import pandas as pd
+
+    from anndb_spark.operators.pq import (
+        _adc_partition_topn,
+        _build_luts,
+        topn_fold,
+    )
+
+    rng = np.random.default_rng(99)
+    m, kc, sub = 8, 32, 4
+
+    def fresh_scan(batches, lut, n2lut, qn, space, top_n, row_chunk):
+        # the pre-r13 chunk body, verbatim
+        nq = lut.shape[0]
+        best = (None, None)
+        for b in batches:
+            bids_all = b["id"].astype(str).to_numpy()
+            call = np.frombuffer(b"".join(b["codes"]), dtype=np.uint8).reshape(
+                -1, m
+            )
+            for s0 in range(0, call.shape[0], row_chunk):
+                C = call[s0 : s0 + row_chunk]
+                bids = bids_all[s0 : s0 + row_chunk]
+                n = C.shape[0]
+                S = np.zeros((nq, n), dtype=np.float32)
+                for j in range(m):
+                    S += lut[:, j, :][:, C[:, j]]
+                if space == "euclidean":
+                    S = np.sqrt(np.maximum(S, 0.0))
+                elif space == "ip":
+                    S = -S
+                else:
+                    xn2 = np.zeros(n, dtype=np.float32)
+                    for j in range(m):
+                        xn2 += n2lut[j][C[:, j]]
+                    den = np.sqrt(np.maximum(xn2, 1e-30))[None, :] * np.maximum(
+                        qn[:, None], 1e-30
+                    )
+                    S = np.abs(np.float32(1.0) - S / den)
+                t = min(top_n, n)
+                part = (
+                    np.argpartition(S, t - 1, axis=1)[:, :t]
+                    if n > t
+                    else np.tile(np.arange(n), (nq, 1))
+                )
+                best = topn_fold(
+                    best, bids[part], np.take_along_axis(S, part, axis=1),
+                    top_n,
+                )
+        return best
+
+    for nq, n_rows, space in (
+        (16, 3000, "euclidean"),
+        (4, 500, "cosine"),       # shrink: dirty-buffer reuse
+        (24, 2000, "ip"),         # regrow
+        (16, 3000, "cosine"),
+    ):
+        books = rng.normal(0, 1, (m, kc, sub)).astype(np.float32)
+        Q = rng.normal(0, 1, (nq, m * sub)).astype(np.float32)
+        lut, n2lut = _build_luts(Q, books, space)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q, dtype=np.float32))
+        codes_all = rng.integers(0, kc, (n_rows, m), dtype=np.uint8)
+
+        def batches():
+            bs = 1100  # uneven: exercises the tail chunk
+            for s in range(0, n_rows, bs):
+                c = codes_all[s : s + bs]
+                yield pd.DataFrame(
+                    {
+                        "id": [f"r{i}" for i in range(s, s + len(c))],
+                        "codes": [r.tobytes() for r in c],
+                    }
+                )
+
+        got_ids, got_s = _adc_partition_topn(
+            batches(), lut, n2lut, qn, m, space, 15, "id", "codes",
+            row_chunk=512,
+        )
+        want_ids, want_s = fresh_scan(
+            batches(), lut, n2lut, qn, space, 15, 512
+        )
+        assert np.array_equal(got_ids, want_ids), space
+        assert got_s.dtype == want_s.dtype
+        assert np.array_equal(
+            got_s.view(np.int32), want_s.view(np.int32)
+        ), space  # bitwise, not just value-equal

@@ -257,15 +257,22 @@ def phase_search(n: int) -> dict:
         spark, INDEX, (qids, q), K, ef=20, config=cfg, strategy="beam",
         cache_token="ann10m",
     ).collect()
-    t0 = time.perf_counter()
-    rows = search_index_path(
-        spark, INDEX, (qids, q), K, ef=20, config=cfg, strategy="beam",
-        cache_token="ann10m",
-    ).collect()
-    dt = time.perf_counter() - t0
-    out["scatter_search_10kq_s"] = round(dt, 2)
-    out["scatter_q_per_s"] = round(N_QUERIES / dt, 1)
-    out["scatter_recall_at_10"] = round(recall(rows), 4)
+    # the accuracy/throughput knob: ann-benchmark-style ef sweep (the
+    # corpus is deliberately recall-stressed — 1024 overlapping
+    # gaussians at noise 1.0, the bench_sift1m geometry)
+    for ef in (20, 40, 80, 160):
+        t0 = time.perf_counter()
+        rows = search_index_path(
+            spark, INDEX, (qids, q), K, ef=ef, config=cfg, strategy="beam",
+            cache_token="ann10m",
+        ).collect()
+        dt = time.perf_counter() - t0
+        rec = recall(rows)
+        out[f"scatter_ef{ef}"] = f"recall={rec:.4f} q_per_s={N_QUERIES / dt:.0f}"
+        if ef == 20:
+            out["scatter_search_10kq_s"] = round(dt, 2)
+            out["scatter_q_per_s"] = round(N_QUERIES / dt, 1)
+            out["scatter_recall_at_10"] = round(rec, 4)
     # ---- routed sweep: per-query work = nprobe graph walks ----------
     routed_nprobe = None
     for np_probe in (2, 4, 8, 16):
