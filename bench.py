@@ -126,23 +126,38 @@ HEADLINE_EXTRA_KEYS = (
     "hnsw_search_q_per_s_beam",
     "fm_search_q_per_s_routed",
     "fm_recall_at_10_routed",
-    "baseline_fm_search_q_per_s_m16",
-    "baseline_fm_build_inserts_per_s_m16",
-    "baseline_fm_recall_at_10_m16",
     # host calibration (tools/host_probe.py): wall times are
     # uninterpretable across rounds without these
     "host_gflops_1t",
     "host_gflops_all",
     "host_membw_gbps",
-    # host-INDEPENDENT work counters (VERDICT r12 wrong #1): exact
-    # deterministic work each leg performed, so rounds compare without
-    # a calibration caveat; these outrank the 1M-corpus passthroughs
-    "counter_knn_exact_dist_evals",
-    "counter_hnsw_scatter_graph_walks",
-    "counter_dedup_minhash_pairs",
-    "counter_winnow_pairs",
-    "counter_dsir_corpus_grams",
-    "counter_bm25_batch_postings_rows",
+)
+
+# the three baseline-compare constants ride as ONE packed key: they
+# are static protocol constants (BASELINE.md), and at ~125 bytes as
+# individual keys they crowded the counters out of the 1.5 KB budget.
+# Packing keeps them in-record (the r10 lesson: never drop the
+# baseline-compare numbers from the driver tail) at half the bytes.
+BASELINE_FM_KEYS = (
+    ("baseline_fm_build_inserts_per_s_m16", "build"),
+    ("baseline_fm_search_q_per_s_m16", "search"),
+    ("baseline_fm_recall_at_10_m16", "recall"),
+)
+
+# host-INDEPENDENT work counters (VERDICT r12 wrong #1): exact
+# deterministic work each leg performed, so rounds compare without a
+# calibration caveat.  Packed into ONE compact "counters" key for the
+# driver line — six individual ~35-byte keys cannot all fit the 1.5 KB
+# budget next to the fm/baseline/host set (measured: only one
+# survived), and a partial counter set defeats the cross-round
+# comparison.  Individual keys stay in the full-detail line.
+COUNTER_ABBREV = (
+    ("counter_knn_exact_dist_evals", "kex"),
+    ("counter_hnsw_scatter_graph_walks", "walks"),
+    ("counter_dedup_minhash_pairs", "mh"),
+    ("counter_winnow_pairs", "win"),
+    ("counter_dsir_corpus_grams", "dsir"),
+    ("counter_bm25_batch_postings_rows", "bm25"),
 )
 
 
@@ -152,6 +167,16 @@ def compact_summary_line(total, timings, sf, extra) -> str:
     a fixed set of headline extras (incl. the 1M-corpus passthrough
     numbers, whose meta dicts self-prefix their keys)."""
     hl = {k: extra[k] for k in HEADLINE_EXTRA_KEYS if k in extra}
+    base = [
+        f"{ab}={extra[k]:g}" for k, ab in BASELINE_FM_KEYS if k in extra
+    ]
+    if base:
+        hl["baseline_fm_m16"] = " ".join(base)
+    parts = [
+        f"{ab}={int(extra[k])}" for k, ab in COUNTER_ABBREV if k in extra
+    ]
+    if parts:
+        hl["counters"] = ",".join(parts)
     for nest in ("sift1m", "glove1m", "pq1m", "dedup1m"):
         sub = extra.get(nest)
         if isinstance(sub, dict):

