@@ -470,9 +470,15 @@ def bm25_search(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sdl"),
     )
-    toks = df.select(
-        F.col(id_col), F.explode(_tokens(t)).alias("term")
-    ).filter(F.col("term").isin(*terms))
+    toks = (
+        df.select(F.col(id_col), _tokens(t).alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*terms))
+    )
     # localCheckpoint materializes tf ONCE (ids + counts for the
     # matching doc-term pairs only — never document text), so the df
     # branch below and the scoring branch read the checkpoint instead
@@ -485,19 +491,23 @@ def bm25_search(
     # family as the winnow_pairs derived-subplan lesson, PLANS r10).
     # Lineage truncation caveat as in dedup CC: executor loss during
     # the query re-runs it rather than recomputing partitions.
+    # dl rides the tf aggregate (min of a per-group constant): scoring
+    # then needs NO corpus-sized (id, dl) equi-join — at 100 TB that
+    # join shuffled every matching posting and every doc length by id
+    # (removed r13, guide §2.4); base survives only as the stats input
     tf = toks.groupBy(id_col, "term").agg(
-        F.count("*").cast("long").alias("tf")
+        F.count("*").cast("long").alias("tf"),
+        F.min("dl").alias("dl"),
     ).localCheckpoint()
     return _bm25_score(
-        tf, base, stats, terms, k, k1, b, round_digits, id_col,
+        tf, stats, terms, k, k1, b, round_digits, id_col,
         pivot_max_terms,
     )
 
 
 def _bm25_score(
     tf: DataFrame,
-    base: DataFrame,
-    stats: DataFrame,
+    stats,
     terms: list[str],
     k: int,
     k1: float,
@@ -505,14 +515,22 @@ def _bm25_score(
     round_digits: int,
     id_col: str,
     pivot_max_terms: int,
+    base: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared BM25 scoring tail: ``tf`` = (id, term, tf) for the query
-    terms only (a checkpointed in-session aggregate for `bm25_search`,
-    a pruned postings scan for `bm25_search_indexed`), ``base`` =
-    (id, dl), ``stats`` = 1 row (n_docs, sdl).  Arithmetic is
-    bit-identical across both callers, so they share one oracle."""
+    """Shared BM25 scoring tail: ``tf`` = (id, term, tf, dl) for the
+    query terms only (a checkpointed in-session aggregate for
+    `bm25_search`, a pruned postings scan for `bm25_search_indexed`),
+    ``stats`` = a 1-row (n_docs, sdl) DataFrame OR an (n_docs, sdl)
+    tuple of already-collected exact longs (inlined as literals — same
+    IEEE arithmetic, one less broadcast job).  ``base`` = (id, dl),
+    only for legacy tf inputs without the denormalized dl column.
+    Arithmetic is bit-identical across callers, so they share one
+    oracle."""
     # per-term document frequency: a <=|terms|-row aggregate joined
-    # back UN-hinted — AQE broadcast-joins it at runtime.  Never
+    # back with an EXPLICIT broadcast (its size is bounded by the query
+    # term count, never the corpus, so the hint is scale-safe; before
+    # r13 this relied on AQE's runtime SMJ→BHJ rewrite, which left the
+    # statically-planned exchanges behind as extra stage waves).  Never
     # Window.partitionBy("term"): that serializes ALL occurrences of a
     # frequent query term onto one task (billions of rows on one
     # reducer at web scale) and AQE cannot skew-split a window
@@ -520,29 +538,34 @@ def _bm25_score(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("tdf")
     )
-    tf = tf.join(dfreq, "term")
+    tf = tf.join(F.broadcast(dfreq), "term")
+    if isinstance(stats, tuple):
+        n_docs_c = F.lit(int(stats[0])).cast("long")
+        sdl_c = F.lit(int(stats[1])).cast("long")
+    else:
+        n_docs_c, sdl_c = F.col("n_docs"), F.col("sdl")
     idf = F.round(
         F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - F.col("tdf") + F.lit(0.5))
+            + (n_docs_c - F.col("tdf") + F.lit(0.5))
             / (F.col("tdf") + F.lit(0.5))
         ),
         round_digits,
     )
-    avgdl = F.col("sdl").cast("double") / F.col("n_docs").cast("double")
+    avgdl = sdl_c.cast("double") / n_docs_c.cast("double")
     tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
     )
-    contrib = (
-        tf.join(base, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            "term",
-            F.round(idf * tf_norm, round_digits).alias("c"),
-        )
+    if base is not None:
+        tf = tf.join(base, id_col)
+    if not isinstance(stats, tuple):
+        tf = tf.crossJoin(F.broadcast(stats))
+    contrib = tf.select(
+        F.col(id_col),
+        "term",
+        F.round(idf * tf_norm, round_digits).alias("c"),
     )
     if len(terms) <= pivot_max_terms:
         # per-term pivot: |terms| aggregate columns, summed in sorted
@@ -609,11 +632,17 @@ def write_bm25_index(
     Layout under ``index_dir``:
 
     * ``postings/bucket=<pmod(xxhash64(term), buckets)>/`` —
-      (id, term, tf), ONE file per bucket (repartition by bucket
+      (id, term, tf, dl), ONE file per bucket (repartition by bucket
       before the partitioned write), rows sorted by (term, id) within
       the file so parquet row-group min/max statistics on ``term``
-      skip non-matching row groups inside a bucket;
-    * ``doclens/`` — (id, dl);
+      skip non-matching row groups inside a bucket.  ``dl`` (the
+      document length) is DENORMALIZED onto every posting row — the
+      Lucene norms-with-postings layout — so scoring never joins the
+      corpus-sized doclens table: at 100 TB that join shuffles every
+      probed posting AND every doc length by id; +8 bytes/posting at
+      write time deletes it (r13 optimization, guide §2.4);
+    * ``doclens/`` — (id, dl) (kept: feeds stats, and docs with zero
+      tokens appear here but never in postings);
     * ``stats/`` — one row (n_docs, sdl, buckets).
 
     A query for |Q| terms then reads at most |Q| bucket directories
@@ -635,9 +664,19 @@ def write_bm25_index(
         F.lit(buckets).cast("int").alias("buckets"),
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
     tf = (
-        df.select(F.col(id_col).alias("id"), F.explode(_tokens(t)).alias("term"))
+        df.select(F.col(id_col).alias("id"), _tokens(t).alias("_toks"))
+        .select(
+            "id",
+            F.size("_toks").cast("long").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
         .groupBy("id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            # dl is constant within the group; min() is the
+            # deterministic pick
+            F.min("dl").alias("dl"),
+        )
     )
     (
         tf.withColumn(
@@ -676,33 +715,34 @@ def bm25_search_indexed(
     st = spark.read.parquet(f"{index_dir}/stats")
     srow = st.collect()[0]
     buckets = srow["buckets"]
-    bucket_ids = sorted(
-        {
-            r["bucket"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term STRING"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(buckets))
-                .cast("int")
-                .alias("bucket")
-            )
-            .collect()
-        }
-    )
+    # writer-identical bucket hash computed driver-side (pure-Python
+    # XXH64, pinned bit-exact against Spark's xxhash64 in
+    # tests/test_xxhash.py): before r13 this was a one-task Spark job
+    # per query — a pure driver round-trip (guide §1.2/§2.4)
+    from anndb_spark.functions.xxhash import term_bucket
+
+    bucket_ids = sorted({term_bucket(t, buckets) for t in terms})
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    tf_cols = [F.col("id").alias(id_col), "term", "tf"]
+    legacy = "dl" not in postings.columns
+    if not legacy:
+        tf_cols.append("dl")
     tf = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .filter(F.col("bucket").isin(*bucket_ids))
+        postings.filter(F.col("bucket").isin(*bucket_ids))
         .filter(F.col("term").isin(*terms))
-        .select(F.col("id").alias(id_col), "term", "tf")
+        .select(*tf_cols)
     )
-    base = spark.read.parquet(f"{index_dir}/doclens").select(
-        F.col("id").alias(id_col), "dl"
-    )
-    stats = st.select("n_docs", "sdl")
+    base = None
+    if legacy:  # pre-r13 index without denormalized dl
+        base = spark.read.parquet(f"{index_dir}/doclens").select(
+            F.col("id").alias(id_col), "dl"
+        )
+    # stats were already collected for the bucket count: inline them as
+    # literals instead of a broadcast cross-join of a 1-row parquet
+    # (saves the broadcast-build job per query; exact longs either way)
     return _bm25_score(
-        tf, base, stats, terms, k, k1, b, round_digits, id_col,
-        pivot_max_terms,
+        tf, (srow["n_docs"], srow["sdl"]), terms, k, k1, b, round_digits,
+        id_col, pivot_max_terms, base=base,
     )
 
 
@@ -770,61 +810,82 @@ def bm25_search_indexed_batch(
     buckets = srow["buckets"]
     probe_terms = spark.createDataFrame(
         rows, "probe_id STRING, term STRING"
+    )
+    all_terms = sorted({t for _, t in rows})
+    # the distinct-term side is built driver-side (the probe list is a
+    # driver literal already) with the writer-identical bucket hash as
+    # a Spark expression — before r13 this was probe_terms.distinct(),
+    # an exchange + two stage waves over a <=|batch terms|-row local
+    # relation (guide §2.4)
+    term_side = spark.createDataFrame(
+        [(t,) for t in all_terms], "term STRING"
     ).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
     )
-    all_terms = sorted({t for _, t in rows})
     postings = spark.read.parquet(f"{index_dir}/postings")
-    bucket_ids = sorted(
-        r["bucket"] for r in probe_terms.select("bucket").distinct().collect()
-    )
+    # bucket IN-list computed driver-side (pure-Python XXH64, pinned
+    # bit-exact against Spark's xxhash64 in tests/test_xxhash.py) —
+    # before r13 this was a distinct().collect() Spark job
+    from anndb_spark.functions.xxhash import term_bucket
+
+    bucket_ids = sorted({term_bucket(t, buckets) for t in all_terms})
     if len(bucket_ids) <= prune_buckets_frac * buckets:
         postings = postings.filter(F.col("bucket").isin(*bucket_ids))
     if len(all_terms) <= term_inlist_max:
         postings = postings.filter(F.col("term").isin(*all_terms))
     # per-(doc, term) tf for every distinct batch term, ONCE: join on
     # (bucket, term) against the distinct-term side so a term shared by
-    # many probes is neither re-scanned nor double-counted in df
-    term_side = probe_terms.select("bucket", "term").distinct()
-    tf = postings.join(term_side, ["bucket", "term"]).select(
-        F.col("id").alias(id_col), "term", "tf"
+    # many probes is neither re-scanned nor double-counted in df.
+    # dl is denormalized on the posting rows (write_bm25_index r13), so
+    # scoring never joins the corpus-sized doclens table.
+    legacy = "dl" not in postings.columns
+    tf_cols = [F.col("id").alias(id_col), "term", "tf"]
+    if not legacy:
+        tf_cols.append("dl")
+    tf = postings.join(F.broadcast(term_side), ["bucket", "term"]).select(
+        *tf_cols
     )
+    if legacy:  # pre-r13 index without denormalized dl
+        base = spark.read.parquet(f"{index_dir}/doclens").select(
+            F.col("id").alias(id_col), "dl"
+        )
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("tdf")
     )
-    base = spark.read.parquet(f"{index_dir}/doclens").select(
-        F.col("id").alias(id_col), "dl"
-    )
-    stats = st.select("n_docs", "sdl")
+    # stats as literals: already collected for the bucket count; the
+    # broadcast cross-join of the 1-row stats parquet bought nothing
+    n_docs_c = F.lit(int(srow["n_docs"])).cast("long")
+    sdl_c = F.lit(int(srow["sdl"])).cast("long")
     idf = F.round(
         F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - F.col("tdf") + F.lit(0.5))
+            + (n_docs_c - F.col("tdf") + F.lit(0.5))
             / (F.col("tdf") + F.lit(0.5))
         ),
         round_digits,
     )
-    avgdl = F.col("sdl").cast("double") / F.col("n_docs").cast("double")
+    avgdl = sdl_c.cast("double") / n_docs_c.cast("double")
     tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
     )
-    contrib = (
-        tf.join(dfreq, "term")
-        .join(base, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            id_col,
-            "term",
-            F.round(idf * tf_norm, round_digits).alias("c"),
-        )
+    # dfreq is bounded by the batch's distinct-term count — explicitly
+    # broadcast (before r13 the un-hinted join planned as SMJ and AQE's
+    # runtime rewrite left the dead exchanges as extra stage waves)
+    contrib = tf.join(F.broadcast(dfreq), "term")
+    if legacy:
+        contrib = contrib.join(base, id_col)
+    contrib = contrib.select(
+        id_col,
+        "term",
+        F.round(idf * tf_norm, round_digits).alias("c"),
     )
-    # fan out to probes (tiny side, AQE broadcasts it), then the sorted
-    # deterministic fold per (probe, doc) — same addition order as the
-    # single-probe pivot
+    # fan out to probes (bounded by the probe batch — explicit
+    # broadcast), then the sorted deterministic fold per (probe, doc) —
+    # same addition order as the single-probe pivot
     scored = (
-        contrib.join(probe_terms.select("probe_id", "term"), "term")
+        contrib.join(F.broadcast(probe_terms), "term")
         .groupBy("probe_id", id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("term", "c"))).alias("_tc"),
