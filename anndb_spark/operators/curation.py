@@ -194,15 +194,24 @@ def _dsir_grams(w: Column) -> Column:
 
 
 def _dsir_doc_buckets(
-    df: DataFrame, text_col: str, id_col: str, hex_len: int
+    df: DataFrame, text_col: str, id_col: str, hex_len: int,
+    flag_col: str | None = None,
 ) -> DataFrame:
-    """(id, bucket-hex) — one row per gram OCCURRENCE (not distinct):
-    the hashed n-gram bag both DSIR models count over."""
+    """(id, bucket-hex[, flag]) — one row per gram OCCURRENCE (not
+    distinct): the hashed n-gram bag both DSIR models count over.
+    ``flag_col`` (optional) is carried through the explode — the
+    target_filter form's per-doc in-target marker."""
     w = F.split(F.col(text_col), " ")
+    carry = [F.col(flag_col)] if flag_col else []
     return df.select(
         F.col(id_col),
+        *carry,
         F.explode(_dsir_grams(w)).alias("g"),
-    ).select(id_col, F.substring(F.md5(F.col("g")), 1, hex_len).alias("b"))
+    ).select(
+        id_col,
+        *carry,
+        F.substring(F.md5(F.col("g")), 1, hex_len).alias("b"),
+    )
 
 
 def dsir_weights(
@@ -214,6 +223,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     state_dir: str | None = None,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance weight (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -250,10 +260,18 @@ def dsir_weights(
     eliminated.
 
     Target-model forms (mirrors ``streaming.dedup.stream_neardup``):
-    pass exactly one of ``target`` (the model is aggregated in-session)
-    or ``state_dir`` (the model was persisted once by
+    pass exactly one of ``target`` (the model is aggregated in-session),
+    ``state_dir`` (the model was persisted once by
     `write_dsir_state` — the continuous-pipeline shape: score any
-    future raw batch without re-tokenizing the target corpus).
+    future raw batch without re-tokenizing the target corpus), or
+    ``target_filter`` (a predicate over ``raw``'s columns selecting the
+    target slice — identical output to
+    ``target=raw.filter(target_filter)``, but the target model is
+    derived from the SAME per-(doc, bucket) checkpoint the corpus model
+    reads: the common in-domain-slice-of-the-corpus case then tokenizes
+    the corpus ONCE instead of once for raw plus once for the slice —
+    at 100 TB the slice re-tokenize is a second multi-TB text scan
+    (r13 optimization, guide §1.2)).
     ``buckets`` must equal the persisted state's value (the stored
     hex-prefix length is baked into the model keys; a silent adoption
     would mis-score raw buckets hashed at a different width).
@@ -274,15 +292,27 @@ def dsir_weights(
     target corpus is typically tiny (an eval/quality set), the raw
     corpus is the 100 TB side; nothing here is quadratic and no text
     column ever reaches an exchange."""
-    if (target is None) == (state_dir is None):
-        raise ValueError("pass exactly one of target or state_dir")
+    if (target is None) + (state_dir is None) + (target_filter is None) != 2:
+        raise ValueError(
+            "pass exactly one of target, state_dir or target_filter"
+        )
     hl = _hex_len(buckets)
     ab = alpha * float(buckets)
 
+    dbc_agg = [F.count("*").cast("long").alias("n")]
+    if target_filter is not None:
+        # the in-target flag rides the explode (constant per doc, min()
+        # is the deterministic pick) so the target model below is a
+        # re-aggregation of THIS checkpoint — the corpus tokenizes once
+        # for both models
+        raw = raw.withColumn(
+            "_t", F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+        )
+        dbc_agg.append(F.min("_t").alias("_t"))
     dbc = (
-        _dsir_doc_buckets(raw, text_col, id_col, hl)
+        _dsir_doc_buckets(raw, text_col, id_col, hl, flag_col="_t" if target_filter is not None else None)
         .groupBy(id_col, "b")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(*dbc_agg)
         .localCheckpoint()
     )
     raw_model = dbc.groupBy("b").agg(F.sum("n").cast("long").alias("cr"))
@@ -293,6 +323,16 @@ def dsir_weights(
         # in-session form — pytest-enforced); each consumer re-reads the
         # tiny parquet, no checkpoint needed and no Generate behind it
         tgt_model = _read_dsir_state(raw.sparkSession, state_dir, buckets)
+    elif target_filter is not None:
+        # sum of the target docs' per-(doc, bucket) counts == counting
+        # the target slice's exploded gram rows (identical longs); both
+        # consumers (delta join, tgt_total) re-aggregate the dbc
+        # checkpoint — an in-memory pass, never a corpus re-tokenize
+        tgt_model = (
+            dbc.filter(F.col("_t") == 1)
+            .groupBy("b")
+            .agg(F.sum("n").cast("long").alias("ct"))
+        )
     else:
         # <= B rows, checkpointed because it feeds BOTH the delta join
         # and tgt_total: un-checkpointed, Catalyst duplicates the
@@ -324,8 +364,12 @@ def dsir_weights(
             ).alias("delta"),
         )
     )
+    # delta is bounded by the bucket count (<= B rows), never the
+    # corpus — explicit broadcast instead of relying on AQE's runtime
+    # SMJ rewrite, which leaves the statically-planned exchanges behind
+    # as extra stage waves (r13, guide §3.1)
     per_doc = (
-        dbc.join(delta, "b")
+        dbc.join(F.broadcast(delta), "b")
         .select(
             id_col, "b", (F.col("n") * F.col("delta")).alias("term"), "n"
         )

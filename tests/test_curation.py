@@ -278,6 +278,59 @@ def test_dsir_state_form_identical_output(spark, tmp_path):
     assert "Generate explode" not in phys
 
 
+def test_dsir_target_filter_form_identical_output(spark):
+    """`dsir_weights(raw, target_filter=pred)` must equal
+    `dsir_weights(raw, raw.filter(pred))` row-for-row, logw bit-exact —
+    the r13 single-tokenize form for the target-is-a-corpus-slice case
+    (the target model becomes a re-aggregation of the same
+    per-(doc, bucket) checkpoint the corpus model reads)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha beta zz yy", "de"),
+        (3, "zz yy xx ww zz yy", "en"),
+        (4, "alpha", "fr"),
+        (5, "beta gamma gamma beta", "en"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    two_pass = sorted(
+        map(
+            tuple,
+            dsir_weights(
+                raw, raw.filter(F.col("lang") == "en"), buckets=16
+            ).collect(),
+        )
+    )
+    one_pass = sorted(
+        map(
+            tuple,
+            dsir_weights(
+                raw, target_filter=F.col("lang") == "en", buckets=16
+            ).collect(),
+        )
+    )
+    assert two_pass == one_pass
+    # an empty target slice must behave like an empty target corpus
+    empty_two = sorted(
+        map(
+            tuple,
+            dsir_weights(
+                raw, raw.filter(F.col("lang") == "xx"), buckets=16
+            ).collect(),
+        )
+    )
+    empty_one = sorted(
+        map(
+            tuple,
+            dsir_weights(
+                raw, target_filter=F.col("lang") == "xx", buckets=16
+            ).collect(),
+        )
+    )
+    assert empty_two == empty_one
+
+
 def test_dsir_state_validates_buckets_and_exclusivity(spark, tmp_path):
     from anndb_spark.operators.curation import write_dsir_state
 
