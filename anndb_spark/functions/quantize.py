@@ -220,6 +220,27 @@ def hamming_words_col(a: Column, b: Column) -> Column:
     )
 
 
+def hamming_words_unrolled_col(a: Column, b: Column, n_words: int) -> Column:
+    """`hamming_words_col` with the word loop UNROLLED at plan-build
+    time (the word count is known from ``dim``): a fixed
+    bit_count(xor) + ... + bit_count(xor) chain.  Identical integers —
+    the fold form is ((0 + t1) + t2) + ...; integer addition is exact,
+    so dropping the leading 0 changes nothing — but the chain is plain
+    codegen arithmetic while aggregate/zip_with higher-order functions
+    are CodegenFallback, evaluated interpreted per candidate row
+    (r13 optimization, guide §4.1: prefer built-ins that codegen)."""
+    terms = [
+        F.bit_count(
+            F.element_at(a, i + 1).bitwiseXOR(F.element_at(b, i + 1))
+        )
+        for i in range(n_words)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def hamming_words_sql(sig: str, qwords: list[int]) -> str:
     """DuckDB twin of `hamming_words_col` against a literal query
     signature (1-indexed list access)."""

@@ -38,6 +38,7 @@ here per the pipeline mandate:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -193,6 +194,68 @@ def _dsir_grams(w: Column) -> Column:
     return F.concat(w, _word_ngrams(w, 2))
 
 
+def _dsir_doc_bucket_counts_fast(
+    df: DataFrame, text_col: str, id_col: str, hex_len: int,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """(id, b, n[, flag]) — the per-(doc, bucket) gram-occurrence
+    counts, computed in an Arrow-batched Python kernel: hashlib's C md5
+    + an in-task Counter replace the exploded 20x-row stream through an
+    interpreted bigram HOF, a JVM md5 projection and a corpus-sized
+    groupBy exchange (the `minhash_signatures_fast` device; r13
+    optimization, guide §4.2).  Bit-identical to the expression path:
+    same split-on-space tokens (Java split keeps interior+trailing
+    empties exactly like str.split(" ")), same space-joined bigrams,
+    same lowercase md5-hex prefix, same exact counts — pinned by
+    tests/test_curation.py kernel-parity test."""
+    import hashlib
+    from collections import Counter
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cols = [id_col, text_col] + ([flag_col] if flag_col else [])
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_b, out_n = [], [], []
+            out_f: list = []
+            flags = pdf[flag_col] if flag_col else None
+            for row_i, (did, text) in enumerate(
+                zip(pdf[id_col], pdf[text_col])
+            ):
+                words = text.split(" ")
+                grams = list(words)
+                if len(words) >= 2:
+                    grams += [
+                        words[i] + " " + words[i + 1]
+                        for i in range(len(words) - 1)
+                    ]
+                counts = Counter(
+                    hashlib.md5(g.encode()).hexdigest()[:hex_len]
+                    for g in grams
+                )
+                out_id.extend([did] * len(counts))
+                out_b.extend(counts.keys())
+                out_n.extend(counts.values())
+                if flag_col:
+                    out_f.extend([int(flags.iloc[row_i])] * len(counts))
+            out = {"id": out_id, "b": out_b, "n": out_n}
+            if flag_col:
+                out[flag_col] = out_f
+            yield pd.DataFrame(out)
+
+    schema = f"id {id_type}, b STRING, n LONG" + (
+        f", {flag_col} INT" if flag_col else ""
+    )
+    from anndb_spark.utils import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .select(*cols)
+        .mapInPandas(run, schema=schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def _dsir_doc_buckets(
     df: DataFrame, text_col: str, id_col: str, hex_len: int,
     flag_col: str | None = None,
@@ -224,6 +287,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     state_dir: str | None = None,
     target_filter: Column | None = None,
+    kernel: str = "fast",
 ) -> DataFrame:
     """Per-document DSIR importance weight (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -299,22 +363,31 @@ def dsir_weights(
     hl = _hex_len(buckets)
     ab = alpha * float(buckets)
 
-    dbc_agg = [F.count("*").cast("long").alias("n")]
+    flag = "_t" if target_filter is not None else None
     if target_filter is not None:
-        # the in-target flag rides the explode (constant per doc, min()
-        # is the deterministic pick) so the target model below is a
-        # re-aggregation of THIS checkpoint — the corpus tokenizes once
-        # for both models
+        # the in-target flag rides the gram pass (constant per doc) so
+        # the target model below is a re-aggregation of THIS checkpoint
+        # — the corpus tokenizes once for both models
         raw = raw.withColumn(
             "_t", F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
         )
-        dbc_agg.append(F.min("_t").alias("_t"))
-    dbc = (
-        _dsir_doc_buckets(raw, text_col, id_col, hl, flag_col="_t" if target_filter is not None else None)
-        .groupBy(id_col, "b")
-        .agg(*dbc_agg)
-        .localCheckpoint()
-    )
+    if kernel == "fast":
+        # Arrow md5 kernel: per-doc counts computed in-task — no gram
+        # explode, no JVM md5, no corpus-sized groupBy exchange
+        # (bit-identical; `minhash_signatures_fast` device, r13)
+        dbc = _dsir_doc_bucket_counts_fast(
+            raw, text_col, id_col, hl, flag_col=flag
+        ).localCheckpoint()
+    else:
+        dbc_agg = [F.count("*").cast("long").alias("n")]
+        if flag:
+            dbc_agg.append(F.min("_t").alias("_t"))
+        dbc = (
+            _dsir_doc_buckets(raw, text_col, id_col, hl, flag_col=flag)
+            .groupBy(id_col, "b")
+            .agg(*dbc_agg)
+            .localCheckpoint()
+        )
     raw_model = dbc.groupBy("b").agg(F.sum("n").cast("long").alias("cr"))
     raw_total = raw_model.agg(F.sum("cr").alias("tr"))
     if state_dir is not None:
@@ -338,11 +411,16 @@ def dsir_weights(
         # and tgt_total: un-checkpointed, Catalyst duplicates the
         # subtree and the target corpus would tokenize twice (target
         # can be a large corpus slice, not just a tiny eval set)
+        if kernel == "fast":
+            tgt_base = _dsir_doc_bucket_counts_fast(
+                target, text_col, id_col, hl
+            )
+            tgt_ct = F.sum("n").cast("long").alias("ct")
+        else:
+            tgt_base = _dsir_doc_buckets(target, text_col, id_col, hl)
+            tgt_ct = F.count("*").cast("long").alias("ct")
         tgt_model = (
-            _dsir_doc_buckets(target, text_col, id_col, hl)
-            .groupBy("b")
-            .agg(F.count("*").cast("long").alias("ct"))
-            .localCheckpoint()
+            tgt_base.groupBy("b").agg(tgt_ct).localCheckpoint()
         )
     tgt_total = tgt_model.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     delta = (
@@ -432,10 +510,12 @@ def write_dsir_state(
       buckets hashed at another.
     """
     hl = _hex_len(buckets)
+    # fast kernel (r13): summing per-doc bucket counts == counting the
+    # exploded gram rows (identical longs)
     model = (
-        _dsir_doc_buckets(target, text_col, id_col, hl)
+        _dsir_doc_bucket_counts_fast(target, text_col, id_col, hl)
         .groupBy("b")
-        .agg(F.count("*").cast("long").alias("ct"))
+        .agg(F.sum("n").cast("long").alias("ct"))
     )
     model.write.mode("overwrite").parquet(f"{state_dir}/target_model")
     target.sparkSession.createDataFrame(

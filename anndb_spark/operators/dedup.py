@@ -136,6 +136,7 @@ def minhash_signatures_fast(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    include_shingles: bool = True,
 ) -> DataFrame:
     """`minhash_signatures` computed in an Arrow-batched Python kernel.
 
@@ -145,6 +146,12 @@ def minhash_signatures_fast(
     whole-stage-codegen, which made the expression path the single
     largest bench leg (VERDICT r2 wrong #5).  Keep the expression path
     for dual-dialect SQL surface parity; this is the perf default.
+
+    ``include_shingles=False`` emits (id, sig) only: the shingle
+    arrays are ~10-15x the corpus text bytes, so a consumer that only
+    needs band values (`minhash_lsh_pairs` since r13 recomputes
+    shingles for the O(collisions) candidates) should not Arrow-ship
+    them out of the kernel at all.
     """
     import hashlib
 
@@ -171,16 +178,24 @@ def minhash_signatures_fast(
                     for p in prefixes
                 ]
                 out_ids.append(did)
-                out_sh.append(shingles)
+                if include_shingles:
+                    out_sh.append(shingles)
                 out_sig.append(sig)
-            yield pd.DataFrame({"id": out_ids, "shingles": out_sh, "sig": out_sig})
+            cols = {"id": out_ids}
+            if include_shingles:
+                cols["shingles"] = out_sh
+            cols["sig"] = out_sig
+            yield pd.DataFrame(cols)
 
+    schema = (
+        f"id {id_type}, shingles ARRAY<STRING>, sig ARRAY<STRING>"
+        if include_shingles
+        else f"id {id_type}, sig ARRAY<STRING>"
+    )
     return (
         ensure_parallelism(df)
         .select(F.col(id_col), F.col(text_col))
-        .mapInPandas(
-            run, schema=f"id {id_type}, shingles ARRAY<STRING>, sig ARRAY<STRING>"
-        )
+        .mapInPandas(run, schema=schema)
     )
 
 
@@ -206,16 +221,36 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     if kernel == "fast":
-        sigs = minhash_signatures_fast(df, text_col, id_col, num_hashes, shingle_n)
+        sigs = minhash_signatures_fast(
+            df, text_col, id_col, num_hashes, shingle_n,
+            include_shingles=False,
+        )
     else:
-        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_n
+        ).select("id", "sig")
+    # localCheckpoint: the band self-join consumes sigs twice, and when
+    # the planner picks a broadcast join there is no exchange above the
+    # kernel for ReuseExchange to unify — the signature kernel executed
+    # once PER SIDE (verified in the executed plan).  The checkpoint is
+    # (id, 8x12-hex) — ~100 bytes/doc, proportional to doc count and
+    # never to text bytes — so materializing it is the guide §8
+    # "lightweight proxy" shape (r13 optimization).
+    sigs = sigs.localCheckpoint()
     # band join carries ONLY (id, band, val): the shingle arrays must not
     # ride the bands× explode through the exchange (VERDICT r3 wrong #2 —
     # that was bands× the corpus text volume of shuffle).  Shingles are
-    # fetched afterwards for the *deduped candidates only* — O(collisions)
-    # rows, a vanishing fraction at corpus scale.  Locally this costs no
-    # extra kernel work either: the two band sides and the two shingle
-    # sides are identical subplans, so ReuseExchange computes each once.
+    # recomputed afterwards for the *deduped candidates only* —
+    # O(collisions) rows, a vanishing fraction at corpus scale.  Since
+    # r13 the signature kernel emits (id, sig) only and the candidate
+    # shingles come from the expression kernel over the candidates'
+    # TEXT (pinned identical to the fast kernel's shingling): before,
+    # the whole corpus's shingle arrays (~10-15x the text bytes) were
+    # Arrow-shipped out of the Python kernel and crossed the
+    # candidate-join exchange, and the kernel itself executed three
+    # times per query (once per non-canonical-matching consumer
+    # subtree) — guide §2.3 "shuffle keys and metadata instead of
+    # payloads" / §4.1 column minimization.
     band_exprs = []
     for b in range(bands):
         parts = [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
@@ -236,15 +271,35 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = sigs.select("id", "shingles")
+    # attach the candidates' TEXT by id (1x text bytes through the
+    # exchange, vs ~10-15x for shingle arrays), THEN shingle the
+    # O(collisions) joined rows with the expression kernel — tokens
+    # staged through a bound column per side (the O(T·n) discipline);
+    # the un-hinted joins let AQE broadcast the candidate side when
+    # small
+    texts = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+    )
     return (
         cand.join(
-            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            texts.select(F.col("id").alias("id_a"), F.col("_txt").alias("_txt_a")),
             "id_a",
         )
         .join(
-            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            texts.select(F.col("id").alias("id_b"), F.col("_txt").alias("_txt_b")),
             "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            words_col(F.col("_txt_a")).alias("_ta"),
+            words_col(F.col("_txt_b")).alias("_tb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            shingles_from_tokens_col(F.col("_ta"), shingle_n).alias("sh_a"),
+            shingles_from_tokens_col(F.col("_tb"), shingle_n).alias("sh_b"),
         )
         .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)

@@ -407,7 +407,7 @@ def knn_binary(
     of silently losing recall."""
     from anndb_spark.functions.quantize import (
         hamming_col,
-        hamming_words_col,
+        hamming_words_unrolled_col,
         sign_bits_cols,
         sign_words_col,
     )
@@ -464,7 +464,13 @@ def knn_binary(
                 F.col(id_col),
                 sign_words_col(F.col(vec_col), dim).alias("_sig"),
             )
-        ham = hamming_words_col(F.col("_sig"), F.col("_qsig"))
+        from anndb_spark.functions.quantize import _n_words
+
+        # unrolled fixed-width chain: codegen arithmetic instead of an
+        # interpreted aggregate/zip_with HOF per candidate row (r13)
+        ham = hamming_words_unrolled_col(
+            F.col("_sig"), F.col("_qsig"), _n_words(dim)
+        )
     else:
         qlo, qhi = sign_bits_cols(F.col("query_vector"), dim)
         qsig = qdf.select(

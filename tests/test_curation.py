@@ -278,6 +278,35 @@ def test_dsir_state_form_identical_output(spark, tmp_path):
     assert "Generate explode" not in phys
 
 
+def test_dsir_fast_kernel_matches_expr_kernel(spark):
+    """The r13 Arrow md5 kernel (`_dsir_doc_bucket_counts_fast`) must
+    be bit-identical to the explode+JVM-md5 expression path on every
+    form — including texts with doubled/trailing spaces (Java split
+    and str.split(' ') both keep the empty tokens) and sub-bigram
+    docs."""
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha  beta  zz yy ", "de"),   # doubled + trailing spaces
+        (3, "solo", "en"),                   # no bigrams
+        (4, "", "fr"),                       # empty text
+        (5, "beta gamma gamma beta", "en"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    from pyspark.sql import functions as F
+
+    for kwargs in (
+        dict(target_filter=F.col("lang") == "en"),
+        dict(target=raw.filter(F.col("lang") == "en")),
+    ):
+        fast = sorted(
+            map(tuple, dsir_weights(raw, buckets=16, kernel="fast", **kwargs).collect())
+        )
+        expr = sorted(
+            map(tuple, dsir_weights(raw, buckets=16, kernel="expr", **kwargs).collect())
+        )
+        assert fast == expr, kwargs.keys()
+
+
 def test_dsir_target_filter_form_identical_output(spark):
     """`dsir_weights(raw, target_filter=pred)` must equal
     `dsir_weights(raw, raw.filter(pred))` row-for-row, logw bit-exact —
