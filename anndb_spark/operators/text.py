@@ -761,11 +761,10 @@ def bm25_search_indexed_batch(
     """BM25 top-k for a BATCH of probe term-sets over one
     `write_bm25_index` parquet index, in ONE distributed job — the
     decontamination-service shape (VERDICT r11 wrong #3):
-    `bm25_search_indexed` pays two driver round-trips PER query (a
-    stats collect + a |Q|-row bucket-id job), so scoring thousands of
-    probe sets costs 2·N scheduler round-trips; this form pays two
-    TOTAL (the stats collect + one distinct-bucket collect for scan
-    pruning) regardless of |probes|.
+    `bm25_search_indexed` pays one driver round-trip PER query (the
+    stats collect; bucket ids are driver-side XXH64 since r13), so
+    scoring thousands of probe sets costs N scheduler round-trips;
+    this form pays ONE total regardless of |probes|.
 
     Returns (probe_id, <id_col>, rank, score, n_terms) — each probe's
     rows are bit-identical to ``bm25_search_indexed(spark, index_dir,

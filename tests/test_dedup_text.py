@@ -696,6 +696,58 @@ def test_bm25_indexed_matches_direct(spark, tmp_path):
         bm25_search_indexed(spark, d, [])
 
 
+def test_bm25_indexed_legacy_index_without_dl(spark, tmp_path):
+    """Readers must fall back to the doclens join for pre-r13 indexes
+    whose postings lack the denormalized dl column — results identical
+    to a fresh index (and to the scan form)."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.text import (
+        bm25_search_indexed,
+        bm25_search_indexed_batch,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    write_bm25_index(docs, d, buckets=8)
+    fresh = bm25_search_indexed(
+        spark, d, ["batch", "merge", "vector"], k=15
+    ).collect()
+    fresh_batch = bm25_search_indexed_batch(
+        spark, d, [("p0", ["batch", "merge", "vector"])], k=15
+    ).collect()
+    # strip dl from the postings to simulate the pre-r13 layout
+    legacy_posts = (
+        spark.read.parquet(f"{d}/postings")
+        .select("id", "term", "tf", "bucket")
+        .collect()
+    )
+    d2 = str(tmp_path / "idx_legacy")
+    write_bm25_index(docs, d2, buckets=8)  # doclens + stats
+    import shutil
+
+    shutil.rmtree(f"{d2}/postings")
+    (
+        spark.createDataFrame(
+            legacy_posts, "id LONG, term STRING, tf LONG, bucket INT"
+        )
+        .repartition(8, "bucket")
+        .sortWithinPartitions("term", "id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{d2}/postings")
+    )
+    legacy = bm25_search_indexed(
+        spark, d2, ["batch", "merge", "vector"], k=15
+    ).collect()
+    legacy_batch = bm25_search_indexed_batch(
+        spark, d2, [("p0", ["batch", "merge", "vector"])], k=15
+    ).collect()
+    assert legacy == fresh
+    assert legacy_batch == fresh_batch
+
+
 def test_bm25_indexed_batch_matches_per_probe(spark, tmp_path):
     """Each probe's slice of bm25_search_indexed_batch must be
     bit-identical to the single-probe bm25_search_indexed — same

@@ -70,9 +70,9 @@ def main() -> None:
     from anndb_spark.operators.curation import dsir_weights
 
     try:
-        df_dsir = dsir_weights(docs, target_filter=F.col("lang") == "en", buckets=512)
+        df_dsir = dsir_weights(docs, target_filter=F.col("lang") == "en", buckets=4096)
     except TypeError:  # pre-r13 tree has no target_filter
-        df_dsir = dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=512)
+        df_dsir = dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=4096)
     dump("dsir_weights", df_dsir)
 
     # --- MinHash LSH pairs
