@@ -63,16 +63,68 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    kernel: str = "fast",
 ) -> DataFrame:
     """(id, n_hits, contaminated) for every corpus document, where
     n_hits counts the distinct word n-grams it shares with ANY
     benchmark document.  Callers drop ``contaminated`` rows (or the
-    whole document set a hit belongs to) before training."""
+    whole document set a hit belongs to) before training.
+
+    Both forms assume the benchmark gram set fits in executor memory
+    (it is an eval set, not a corpus — the pre-r13 plan already
+    broadcast it).  ``kernel="fast"`` (default, r13): the benchmark
+    grams — still produced by the Spark `_word_ngrams` expression, so
+    the gram definition has a single source of truth — are collected
+    once and shipped as a plain broadcast set; each corpus document's
+    distinct grams are then built and intersected in an Arrow-batched
+    Python kernel.  This deletes the corpus-side interpreted n-gram
+    HOF + explode (~(T-n) string builds per doc through a
+    CodegenFallback transform), the gram join and the per-doc groupBy
+    exchange, plus the corpus.select(id) left-join — the corpus is
+    read ONCE with zero shuffles (guide §4.2).  ``kernel="expr"``
+    keeps the relational plan; outputs are bit-identical
+    (parity-pinned: same split-on-space tokens, same space-joined
+    grams, distinct-set intersection counts are exact integers)."""
     toks = F.split(F.col(text_col), " ")
     bench_grams = (
         benchmark.select(F.explode(_word_ngrams(toks, n)).alias("g"))
         .distinct()
     )
+    if kernel == "fast":
+        bench_set = frozenset(
+            r["g"] for r in bench_grams.collect()
+        )
+        bset_b = corpus.sparkSession.sparkContext.broadcast(bench_set)
+        id_type = corpus.schema[id_col].dataType.simpleString()
+
+        def run(batches):
+            bs = bset_b.value
+            for pdf in batches:
+                out_n = []
+                for text in pdf[text_col]:
+                    words = text.split(" ")
+                    if len(words) >= n:
+                        grams = {
+                            " ".join(words[i : i + n])
+                            for i in range(len(words) - n + 1)
+                        }
+                        out_n.append(len(grams & bs))
+                    else:
+                        out_n.append(0)
+                yield pd.DataFrame({"id": pdf[id_col], "n_hits": out_n})
+
+        from anndb_spark.utils import ensure_parallelism
+
+        return (
+            ensure_parallelism(corpus)
+            .select(F.col(id_col), F.col(text_col))
+            .mapInPandas(run, schema=f"id {id_type}, n_hits LONG")
+            .select(
+                F.col("id").alias(id_col),
+                "n_hits",
+                (F.col("n_hits") > 0).alias("contaminated"),
+            )
+        )
     corpus_grams = corpus.select(
         F.col(id_col),
         F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("g"),

@@ -278,6 +278,37 @@ def test_dsir_state_form_identical_output(spark, tmp_path):
     assert "Generate explode" not in phys
 
 
+def test_decontaminate_fast_kernel_matches_expr_kernel(spark):
+    """The r13 decontaminate kernel (benchmark grams via the Spark
+    expression, corpus grams + intersection in an Arrow kernel) must
+    equal the relational plan row-for-row — including sub-n docs,
+    empty text, doubled/trailing spaces and zero-hit docs."""
+    from anndb_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b  c d e f g h"),   # doubled space -> empty token
+            (3, "short doc"),
+            (4, ""),
+            (5, "x y z w v u t s r q p"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h plus tail")],
+        "doc_id LONG, text STRING",
+    )
+    for n in (3, 8):
+        fast = sorted(
+            map(tuple, decontaminate(corpus, bench, n=n).collect())
+        )
+        expr = sorted(
+            map(tuple, decontaminate(corpus, bench, n=n, kernel="expr").collect())
+        )
+        assert fast == expr, n
+
+
 def test_dsir_fast_kernel_matches_expr_kernel(spark):
     """The r13 Arrow md5 kernel (`_dsir_doc_bucket_counts_fast`) must
     be bit-identical to the explode+JVM-md5 expression path on every
