@@ -77,15 +77,27 @@ def test_token_stream_offsets_one_window_shuffle(spark):
     assert _exchanges(plan) == 1  # per-bucket cumulative window only
 
 
-def test_decontaminate_broadcasts_benchmark_grams(spark):
+def test_decontaminate_corpus_side_never_shuffles(spark):
     from anndb_spark.operators.curation import decontaminate
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    # default r13 "fast" form: benchmark grams collected once into a
+    # plain broadcast set, per-doc intersection in one Arrow kernel —
+    # the corpus is read once with ZERO shuffles and no gram join
+    # (the one allowed exchange is ensure_parallelism's round-robin
+    # repartition of the degenerate 1-partition sf0.001 scan — never a
+    # key shuffle, and a no-op at real scale)
     plan = _plan(decontaminate(corpus, bench, n=4))
-    assert "BroadcastHashJoin" in plan  # gram match never shuffles the corpus
-    # the only shuffles: per-doc hit count agg + the final id left join
+    assert "MapInPandas" in plan
+    assert _exchanges(plan) <= 1
+    assert "hashpartitioning" not in plan
+    # relational "expr" form keeps the pre-r13 shape: gram match via
+    # broadcast join (never shuffles the corpus); the only shuffles are
+    # the per-doc hit-count agg + the final id left join
+    plan = _plan(decontaminate(corpus, bench, n=4, kernel="expr"))
+    assert "BroadcastHashJoin" in plan
     assert _exchanges(plan) <= 3
 
 
