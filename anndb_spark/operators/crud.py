@@ -276,26 +276,50 @@ def apply_changes_sql(
             & (F.col("valid"))
         )
     )
-    state_core = seg.groupBy("id").agg(
-        F.max_by(
-            F.struct("seq", "vector"), F.when(F.col("vector").isNotNull(), F.col("seq"))
-        ).vector.alias("vector"),
-        F.min_by("level", "seq").alias("level"),
-    )
-    # metadata merge: per-key last value across the live segment
-    md = (
-        seg.select("id", "seq", F.explode_outer("metadata").alias("key", "value"))
-        .filter(F.col("key").isNotNull())
-        .groupBy("id", "key")
-        .agg(F.max_by("value", "seq").alias("value"))
-        .groupBy("id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("metadata"))
+    # single aggregation for the whole state row (r13): the old shape
+    # computed vector/level in one groupBy and the metadata merge in a
+    # second chain (explode → groupBy(id, key) → groupBy(id) → left
+    # join), so the window automaton above executed TWICE with two
+    # extra exchanges.  The per-key-last merge is equivalently a
+    # seq-ordered left fold over each row's entries where later rows
+    # overwrite earlier keys — exactly dict.update per op.  Key ORDER
+    # in the merged map can differ from the old collect_list order;
+    # nothing observes it (map lookups and dict-equality only).
+    merged_md = F.map_from_entries(
+        F.aggregate(
+            F.col("_md_seq"),
+            F.lit(None).cast("array<struct<key:string,value:string>>"),
+            lambda acc, x: F.concat(
+                F.filter(
+                    F.coalesce(acc, F.array()),
+                    lambda p: ~F.array_contains(
+                        F.transform(x["e"], lambda q: q["key"]), p["key"]
+                    ),
+                ),
+                x["e"],
+            ),
+        )
     )
     state = (
-        state_core.join(md, "id", "left")
+        seg.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("seq", "vector"),
+                F.when(F.col("vector").isNotNull(), F.col("seq")),
+            ).vector.alias("vector"),
+            F.min_by("level", "seq").alias("level"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("metadata").isNotNull(),
+                        F.struct(F.col("seq"), F.map_entries("metadata").alias("e")),
+                    )
+                )
+            ).alias("_md_seq"),
+        )
         .select(
             F.lit("state").alias("kind"), "id", "vector",
-            F.coalesce(F.col("metadata"), F.from_json(F.lit("{}"), "MAP<STRING,STRING>")).alias("metadata"),
+            F.coalesce(merged_md, F.from_json(F.lit("{}"), "MAP<STRING,STRING>")).alias("metadata"),
             "level",
         )
     )
