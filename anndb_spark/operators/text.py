@@ -233,19 +233,94 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: str = "fast",
 ) -> DataFrame:
     """Gopher-style repetition filters for LLM corpora (Rae et al. 2021,
     arXiv:2112.11446 §A1.1): per document the duplicate-word fraction
     and the fraction of all word 2-grams / 3-grams taken by the single
     most frequent one.  High values flag boilerplate / degenerate text.
 
-    Scale shape: explode → two keyed aggregations — each n-gram row is
-    seen once (linear work, partial aggregation map-side), unlike the
-    per-row ``array_max(transform(...))`` formulation whose quadratic
-    per-document cost blows up on long documents.  All three
-    aggregates share the id key, so AQE plans broadcast-free
-    co-partitioned joins."""
+    The statistic is per-document — no cross-document state — so
+    ``kernel="fast"`` (default, r13) computes all three gram levels in
+    one Arrow-batched pass: tokenize once, count 1/2/3-grams with an
+    in-task Counter, emit the finished row.  The corpus is read ONCE
+    with ZERO shuffles, versus the relational form's 3 Generates +
+    3 two-level aggregations + 2 id joins (6 exchanges), whose shuffled
+    gram rows are ~6x the corpus token count (guide §2.4, §4.2).
+    Outputs are bit-identical (parity-pinned: same split-on-space
+    tokens — words carry no spaces, so tuple n-gram counts equal the
+    expression form's space-joined string counts; fractions are the
+    same two-long IEEE divisions).  ``kernel="expr"`` keeps the
+    relational plan for the SQL surface.
+
+    Scale shape (expr form): explode → two keyed aggregations — each
+    n-gram row is seen once (linear work, partial aggregation
+    map-side), unlike the per-row ``array_max(transform(...))``
+    formulation whose quadratic per-document cost blows up on long
+    documents.  All three aggregates share the id key, so AQE plans
+    broadcast-free co-partitioned joins."""
+    if kernel == "fast":
+        from collections import Counter
+
+        import pandas as pd
+
+        from anndb_spark.utils import ensure_parallelism
+
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def run(batches):
+            for pdf in batches:
+                ids, ntok, dupf, bif, trif = [], [], [], [], []
+                for did, text in zip(pdf["id"], pdf["t"]):
+                    if text is None:
+                        continue  # split(NULL) explodes to no rows
+                    words = text.split(" ")
+                    tot1 = len(words)  # never 0: ''.split(' ') == ['']
+                    ids.append(did)
+                    ntok.append(tot1)
+                    dupf.append(1.0 - len(set(words)) / tot1)
+                    if tot1 >= 2:
+                        c2 = Counter(zip(words, words[1:]))
+                        bif.append(max(c2.values()) / (tot1 - 1))
+                    else:
+                        bif.append(0.0)
+                    if tot1 >= 3:
+                        c3 = Counter(zip(words, words[1:], words[2:]))
+                        trif.append(max(c3.values()) / (tot1 - 2))
+                    else:
+                        trif.append(0.0)
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                        "n_tokens": pd.Series(ntok, dtype="int64"),
+                        "dup_word_fraction": pd.Series(
+                            dupf, dtype="float64"
+                        ),
+                        "top_bigram_fraction": pd.Series(
+                            bif, dtype="float64"
+                        ),
+                        "top_trigram_fraction": pd.Series(
+                            trif, dtype="float64"
+                        ),
+                    }
+                )
+
+        return (
+            ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            .mapInPandas(
+                run,
+                schema=(
+                    f"id {id_type}, n_tokens LONG,"
+                    " dup_word_fraction DOUBLE,"
+                    " top_bigram_fraction DOUBLE,"
+                    " top_trigram_fraction DOUBLE"
+                ),
+            )
+        )
     t = F.col(text_col)
     w = _tokens(t)
     words = df.select(F.col(id_col).alias("id"), w.alias("w"))

@@ -330,6 +330,47 @@ def test_repetition_signals_known_values(spark):
     assert r3["top_trigram_fraction"] == 0.0
 
 
+def test_repetition_signals_kernel_expr_parity(spark):
+    """The r13 Arrow kernel form must be BIT-identical to the
+    relational form: same rows, exact long counts, exact IEEE doubles
+    (same two-long divisions).  Edges: empty text (split('') == ['']),
+    doubled/leading/trailing spaces (empty tokens count), 1- and
+    2-token docs (no bi/trigrams -> coalesced 0.0), heavy repetition,
+    null text (dropped by explode), unicode."""
+    import random
+
+    from anndb_spark.operators.text import repetition_signals
+
+    rng = random.Random(1307)
+    vocab = ["a", "b", "cc", "d d".replace(" ", ""), "é", "x1", ""]
+    rows = [
+        ("e0", ""),
+        ("e1", " "),
+        ("e2", "  a  b "),
+        ("e3", "solo"),
+        ("e4", "two tok"),
+        ("e5", None),
+        ("e6", "r r r r r r r r"),
+    ]
+    for i in range(60):
+        k = rng.randint(1, 40)
+        rows.append((f"r{i}", " ".join(rng.choice(vocab) for _ in range(k))))
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    fast = {r["id"]: r for r in repetition_signals(df, kernel="fast").collect()}
+    expr = {r["id"]: r for r in repetition_signals(df, kernel="expr").collect()}
+    assert set(fast) == set(expr)
+    assert "e5" not in fast  # null text dropped in both forms
+    for key, er in expr.items():
+        fr = fast[key]
+        for c in (
+            "n_tokens",
+            "dup_word_fraction",
+            "top_bigram_fraction",
+            "top_trigram_fraction",
+        ):
+            assert fr[c] == er[c], (key, c, fr[c], er[c])
+
+
 def test_props_stats_json_extraction(spark):
     """JSON payload rollup: unparseable / missing fields count as null
     (excluded from n_with_field and the exact integer sum)."""

@@ -179,6 +179,40 @@ def test_funnel_counts_never_increase(spark):
     assert counts[0] > 0
 
 
+def test_funnel_fold_join_parity(spark):
+    """The r13 single-pass fold form must match the relational
+    join-per-stage form row-for-row: random event streams with ties,
+    out-of-order stages, repeated stage names, absent keys, null ts
+    and non-stage event types."""
+    import random
+
+    from anndb_spark.operators.temporal import funnel
+
+    rng = random.Random(131)
+    types = ["view", "click", "purchase", "noise"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 12)):
+            rows.append((u, _t(rng.randint(0, 9)), rng.choice(types)))
+    rows.append((90, None, "view"))  # null ts ignored by both forms
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+    for stages in (
+        ["view", "click", "purchase"],
+        ["click", "click"],  # repeated stage
+        ["purchase"],
+        ["view", "absent_type", "purchase"],
+    ):
+        fold = sorted(
+            tuple(r) for r in funnel(df, stages, form="fold").collect()
+        )
+        join = sorted(
+            tuple(r) for r in funnel(df, stages, form="join").collect()
+        )
+        assert fold == join, (stages, fold, join)
+
+
 def test_range_join_window_bounds(spark):
     from anndb_spark.operators.temporal import range_join
 
