@@ -991,6 +991,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_digits: int = 10,
+    form: str = "zip",
 ) -> DataFrame:
     """Per-document fluency under the corpus's OWN bigram LM — the
     order-2 upgrade of `unigram_logprob` (CCNet-style filtering: word
@@ -1007,17 +1008,48 @@ def bigram_logprob(
     to ``round_digits`` (absorbs the 1-ULP JVM/libm ln disagreement),
     per-doc sum as a POSITION-ORDERED left fold.
 
-    Scale shape: one id-keyed window (lag) to form bigrams, token /
+    Scale shape: ``form="zip"`` (default, r13) builds each token's
+    predecessor SCAN-SIDE — a transform-with-index over the staged
+    token array (``prev = get(toks, i-1)``, null at position 0 exactly
+    like ``lag``) — so the (pos, tok, prev) stream needs NO window:
+    the pre-r13 ``form="lag"`` ran an id-keyed lag window, i.e. a full
+    shuffle + sort of the TOKEN STREAM (the largest relation in the
+    plan) before any aggregation.  Remaining exchanges are the token /
     bigram / context count aggregations (vocab-sized — AQE broadcasts
-    them back), one final per-doc fold groupBy.  Nothing quadratic;
+    them back) and the final per-doc fold groupBy.  Nothing quadratic;
     exchanges carry tokens and counts, never documents.
     """
     t = F.col(text_col)
-    toks = df.select(
-        F.col(id_col), F.posexplode(_tokens(t)).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    seq = toks.withColumn("prev", F.lag("tok").over(w))
+    if form == "zip":
+        arr = df.select(F.col(id_col), _tokens(t).alias("_a"))
+        # posexplode_OUTER + null-drop: a plain posexplode makes
+        # InferFiltersFromGenerate add `size(transform(...)) > 0`,
+        # re-evaluating the whole transform once more per row (the
+        # dup_span_coverage lesson); split() never yields an empty
+        # array, so only null-text rows drop — same as lag's explode
+        seq = (
+            arr.select(
+                F.col(id_col),
+                F.posexplode_outer(
+                    F.transform(
+                        F.col("_a"),
+                        lambda x, i: F.struct(
+                            x.alias("tok"),
+                            F.get(F.col("_a"), i - 1).alias("prev"),
+                        ),
+                    )
+                ).alias("pos", "_s"),
+            )
+            .filter(F.col("pos").isNotNull())
+            .select(F.col(id_col), "pos", "_s.tok", "_s.prev")
+        )
+        toks = seq.select(F.col(id_col), "pos", "tok")
+    else:
+        toks = df.select(
+            F.col(id_col), F.posexplode(_tokens(t)).alias("pos", "tok")
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        seq = toks.withColumn("prev", F.lag("tok").over(w))
     uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = uni.agg(F.sum("c").alias("t"))
     uni_lp = uni.crossJoin(F.broadcast(total)).select(

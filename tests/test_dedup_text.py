@@ -712,6 +712,40 @@ def test_bigram_logprob_detects_word_salad(spark):
     )
 
 
+def test_bigram_logprob_zip_lag_parity(spark):
+    """The r13 window-free form (prev built scan-side by
+    transform-with-index) must match the lag-window form BIT-exactly:
+    same docs, same exact longs, same rounded-log doubles — including
+    single-token docs (no bigram rows), repeated tokens, empty text
+    (one empty-string token) and null text (dropped)."""
+    import random
+
+    from anndb_spark.operators.text import bigram_logprob
+
+    rng = random.Random(1313)
+    vocab = ["the", "a", "of", "fox", "dog", "x", ""]
+    rows = [
+        (100, ""),
+        (101, "solo"),
+        (102, "a a a a"),
+        (103, None),
+        (104, " leading and  doubled "),
+    ]
+    for i in range(50):
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    zf = {r["id"]: r for r in bigram_logprob(df, form="zip").collect()}
+    lf = {r["id"]: r for r in bigram_logprob(df, form="lag").collect()}
+    assert set(zf) == set(lf)
+    assert 103 not in zf
+    for key, lr in lf.items():
+        zr = zf[key]
+        for c in ("n_tokens", "sum_logprob", "mean_logprob"):
+            assert zr[c] == lr[c], (key, c, zr[c], lr[c])
+
+
 def test_bm25_indexed_matches_direct(spark, tmp_path):
     """bm25_search_indexed over a write_bm25_index parquet index must
     be BIT-identical to bm25_search on the source corpus (shared
