@@ -59,8 +59,13 @@ WIDE_DIM = 192
 # --- Spark side ------------------------------------------------------------
 
 def _queries_df(spark: SparkSession, queries) -> DataFrame:
-    return spark.createDataFrame(
-        [(qid, vec) for qid, vec in queries],
+    # literal_df: verification-free literal frame (rows are exact
+    # int/float literals by construction; see utils.literal_df)
+    from anndb_spark.utils import literal_df
+
+    return literal_df(
+        spark,
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
         "query_id INT, query_vector ARRAY<DOUBLE>",
     )
 
@@ -1581,8 +1586,12 @@ def _stream_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = HnswConfig(m=16, ef_construction=100)
     path = tempfile.mkdtemp(prefix="anndb_entry_stream_idx_")
     save_index(build_index(emb, cfg), path)
-    qdf = spark.createDataFrame(
-        [(str(qid), vec) for qid, vec in EMBEDDING_QUERIES], STREAM_QUERIES_DDL
+    from anndb_spark.utils import literal_df
+
+    qdf = literal_df(
+        spark,
+        [(str(qid), [float(x) for x in vec]) for qid, vec in EMBEDDING_QUERIES],
+        STREAM_QUERIES_DDL,
     )
     res = stream_search_transform(qdf, path, K, ef=100, config=cfg)
     id_type = (

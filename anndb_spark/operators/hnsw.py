@@ -3885,7 +3885,10 @@ def search_index_broadcast(
     bc = spark.sparkContext.broadcast((ids, g))
 
     n_tasks = num_tasks or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    qdf = spark.createDataFrame(
+    from anndb_spark.utils import literal_df
+
+    qdf = literal_df(
+        spark,
         [(str(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id STRING, query_vector ARRAY<FLOAT>",
     ).repartition(n_tasks)

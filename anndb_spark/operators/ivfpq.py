@@ -494,7 +494,10 @@ def search_ivfpq(
         )
     from anndb_spark.functions.spaces import distance_col
 
-    qdf = spark.createDataFrame(
+    from anndb_spark.utils import literal_df
+
+    qdf = literal_df(
+        spark,
         [(str(q), [float(x) for x in v]) for q, v in zip(qid_arr, Q)],
         "query_id STRING, qvec ARRAY<FLOAT>",
     )

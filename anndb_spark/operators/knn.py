@@ -426,7 +426,10 @@ def knn_binary(
             )
     spark = vectors.sparkSession
     qid_type = _infer_qid_type(queries)
-    qdf = spark.createDataFrame(
+    from anndb_spark.utils import literal_df
+
+    qdf = literal_df(
+        spark,
         [(qid, [float(x) for x in qv]) for qid, qv in queries],
         f"query_id {qid_type}, query_vector ARRAY<DOUBLE>",
     )
@@ -453,7 +456,7 @@ def knn_binary(
     if wide:
         qsig = qdf.select(
             "query_id",
-            sign_words_col(F.col("query_vector"), dim).alias("_qsig"),
+            sign_words_col("query_vector", dim).alias("_qsig"),
         )
         if sig_table is not None:
             sig = sig_table.select(
@@ -462,7 +465,7 @@ def knn_binary(
         else:
             sig = vectors.select(
                 F.col(id_col),
-                sign_words_col(F.col(vec_col), dim).alias("_sig"),
+                sign_words_col(vec_col, dim).alias("_sig"),
             )
         from anndb_spark.functions.quantize import _n_words
 
@@ -472,7 +475,7 @@ def knn_binary(
             F.col("_sig"), F.col("_qsig"), _n_words(dim)
         )
     else:
-        qlo, qhi = sign_bits_cols(F.col("query_vector"), dim)
+        qlo, qhi = sign_bits_cols("query_vector", dim)
         qsig = qdf.select(
             "query_id", qlo.alias("_qlo"), qhi.alias("_qhi")
         )
@@ -483,7 +486,7 @@ def knn_binary(
                 F.col(f"{vec_col}_sig_hi").alias("_hi"),
             )
         else:
-            lo, hi = sign_bits_cols(F.col(vec_col), dim)
+            lo, hi = sign_bits_cols(vec_col, dim)
             sig = vectors.select(
                 F.col(id_col), lo.alias("_lo"), hi.alias("_hi")
             )

@@ -882,8 +882,10 @@ def bm25_search_indexed_batch(
     st = spark.read.parquet(f"{index_dir}/stats")
     srow = st.collect()[0]
     buckets = srow["buckets"]
-    probe_terms = spark.createDataFrame(
-        rows, "probe_id STRING, term STRING"
+    from anndb_spark.utils import literal_df
+
+    probe_terms = literal_df(
+        spark, rows, "probe_id STRING, term STRING"
     )
     all_terms = sorted({t for _, t in rows})
     # the distinct-term side is built driver-side (the probe list is a
@@ -891,8 +893,8 @@ def bm25_search_indexed_batch(
     # a Spark expression — before r13 this was probe_terms.distinct(),
     # an exchange + two stage waves over a <=|batch terms|-row local
     # relation (guide §2.4)
-    term_side = spark.createDataFrame(
-        [(t,) for t in all_terms], "term STRING"
+    term_side = literal_df(
+        spark, [(t,) for t in all_terms], "term STRING"
     ).withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
     )

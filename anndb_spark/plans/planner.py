@@ -122,8 +122,10 @@ def knn(
         return "ann", search_index(
             index, vectors, qitems, k, ef=ef, config=HnswConfig(space=space)
         )
-    qdf = spark.createDataFrame(
-        qitems, "query_id STRING, query_vector ARRAY<DOUBLE>"
+    from anndb_spark.utils import literal_df
+
+    qdf = literal_df(
+        spark, qitems, "query_id STRING, query_vector ARRAY<DOUBLE>"
     )
     if mode == "exact":
         return "exact", knn_exact(vectors, qdf, k, space=space)

@@ -17,6 +17,28 @@ def num_partitions(df: DataFrame) -> int:
     return df._jdf.queryExecution().toRdd().getNumPartitions()
 
 
+def literal_df(spark, data, ddl: str) -> DataFrame:
+    """``createDataFrame`` for internally-constructed literal rows with
+    schema verification OFF.
+
+    The default path runs a pure-Python per-element type verifier over
+    every cell — ~0.14 s per 1000×64-double query batch (cProfile: 335k
+    ``verify()`` calls), charged to every serving call's driver latency
+    (guide §5: the driver should do almost no data work).  The rows this
+    library builds are already exactly typed (explicit ``float()`` /
+    ``int()`` / ``str()`` conversions at each call site), so the check
+    re-proves what construction guarantees.  JVM-side schema converters
+    still apply either way, and rows are bit-identical with the verifier
+    on or off (pinned by tests/test_quantize.py::test_literal_df_parity).
+
+    Callers MUST pass exactly-typed rows; a mistyped cell surfaces as a
+    pickle/conversion error at execution instead of a friendly driver
+    error — acceptable for internal literals, which is why the cold
+    user-facing paths (catalog, dataset CRUD) keep the verified form.
+    """
+    return spark.createDataFrame(data, ddl, verifySchema=False)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition degenerate low-parallelism inputs before compute-heavy
     projections.

@@ -288,3 +288,69 @@ def test_sign_bits_py_matches_cols(spark):
     row = df.select(lo.alias("lo"), hi.alias("hi")).collect()[0]
     plo, phi = sign_bits_py(vec)
     assert (row["lo"], row["hi"]) == (plo, phi)
+
+
+def test_sign_pack_expr_parity(spark):
+    """The single-parse F.expr fast path (column NAME input, r13
+    optimization) must pack bit-identically to the lambda form (Column
+    input) and the Python twin — narrow halves and wide words, at
+    aligned and non-aligned dims, zeros/negatives included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anndb_spark.functions.quantize import (
+        sign_bits_cols,
+        sign_bits_py,
+        sign_words_col,
+        sign_words_py,
+    )
+
+    rng = np.random.default_rng(97)
+    rows = [
+        ([float(x) for x in rng.normal(0, 1, 192)],) for _ in range(40)
+    ]
+    rows.append(([0.0] * 192,))          # all-zero: no bit set
+    rows.append(([-1.0] * 192,))         # all-negative: no bit set
+    rows.append(([1e-300] * 192,))       # tiny positive: every bit set
+    df = spark.createDataFrame(rows, "v ARRAY<DOUBLE>")
+
+    for dim in (8, 33, 64):
+        lo_s, hi_s = sign_bits_cols("v", dim)          # expr fast path
+        lo_c, hi_c = sign_bits_cols(F.col("v"), dim)   # lambda path
+        got = df.select(
+            lo_s.alias("ls"), hi_s.alias("hs"),
+            lo_c.alias("lc"), hi_c.alias("hc"),
+        ).collect()
+        for r, (vec,) in zip(got, rows):
+            plo, phi = sign_bits_py(vec[:dim])
+            assert (r["ls"], r["hs"]) == (r["lc"], r["hc"]) == (plo, phi)
+
+    for dim in (100, 124, 192):
+        got = df.select(
+            sign_words_col("v", dim).alias("ws"),       # expr fast path
+            sign_words_col(F.col("v"), dim).alias("wc"),  # lambda path
+        ).collect()
+        for r, (vec,) in zip(got, rows):
+            py = sign_words_py(vec[:dim], dim)
+            assert list(r["ws"]) == list(r["wc"]) == py
+
+
+def test_literal_df_parity(spark):
+    """literal_df (verifySchema=False, r13 driver-latency optimization)
+    must produce bit-identical rows to the verified createDataFrame for
+    the exactly-typed literal shapes the library builds."""
+    import numpy as np
+
+    from anndb_spark.utils import literal_df
+
+    rng = np.random.default_rng(5)
+    data = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(50)]
+    ddl = "query_id INT, query_vector ARRAY<DOUBLE>"
+    a = spark.createDataFrame(data, ddl).collect()
+    b = literal_df(spark, data, ddl).collect()
+    assert a == b
+    sdata = [(str(i), [float(x) for x in rng.normal(0, 1, 7)]) for i in range(20)]
+    sddl = "query_id STRING, qvec ARRAY<FLOAT>"
+    a = spark.createDataFrame(sdata, sddl).collect()
+    b = literal_df(spark, sdata, sddl).collect()
+    assert a == b
