@@ -130,7 +130,9 @@ def sign_bits_cols(vec: Column | str, dim: int) -> tuple[Column, Column]:
         raise ValueError("sign_bits_cols packs at most 64 dims")
 
     if isinstance(vec, str):
-        vec_sql = f"`{vec}`"
+        # escape embedded backticks: callers forward user-supplied
+        # column names into this SQL string (ADVICE r13)
+        vec_sql = f"`{vec.replace('`', '``')}`"
 
         def half(start: int, end: int) -> Column:
             return _pack_word_expr(vec_sql, start, end)
@@ -193,7 +195,8 @@ def sign_words_col(vec: Column | str, dim: int) -> Column:
     keeps the lambda form."""
 
     if isinstance(vec, str):
-        vec_sql = f"`{vec}`"
+        # escape embedded backticks (same hardening as sign_bits_cols)
+        vec_sql = f"`{vec.replace('`', '``')}`"
 
         def word(start: int, end: int) -> Column:
             return _pack_word_expr(vec_sql, start, end)

@@ -308,6 +308,15 @@ def apply_changes_sql(
                 F.when(F.col("vector").isNotNull(), F.col("seq")),
             ).vector.alias("vector"),
             F.min_by("level", "seq").alias("level"),
+            # skew trade-off (ADVICE r13): this buffers every live op's
+            # map entries per id before the fold — O(ops × entries)
+            # aggregation state on a hot id, where the pre-r13
+            # two-aggregation path (groupBy(id, key) max_by) streamed
+            # with constant state.  Changelogs are delta-batch-sized
+            # and per-id op counts small by construction; a high-churn
+            # deployment (thousands of metadata updates to one id per
+            # batch) should resurrect the two-aggregation form (git
+            # a422bca^) — output parity is pinned by the crud pytests.
             F.array_sort(
                 F.collect_list(
                     F.when(

@@ -102,6 +102,11 @@ def decontaminate(
             for pdf in batches:
                 out_n = []
                 for text in pdf[text_col]:
+                    if text is None:
+                        # expr path: split(NULL) explodes to nothing, so
+                        # the corpus-ids left join emits n_hits = 0
+                        out_n.append(0)
+                        continue
                     words = text.split(" ")
                     if len(words) >= n:
                         grams = {
@@ -274,6 +279,10 @@ def _dsir_doc_bucket_counts_fast(
             for row_i, (did, text) in enumerate(
                 zip(pdf[id_col], pdf[text_col])
             ):
+                if text is None:
+                    # expr path: explode(split(NULL)) emits no rows —
+                    # the doc drops from the model and the per-doc sum
+                    continue
                 words = text.split(" ")
                 grams = list(words)
                 if len(words) >= 2:

@@ -317,12 +317,28 @@ def search_ivf(
     """
     if cluster_col not in vectors.columns:
         vectors = assign_clusters(vectors, centroids, space, vec_col, cluster_col)
-    routed = route_queries(queries, centroids, nprobe, space, query_vec_col)
-    probed = routed.select(cluster_col).distinct()
-    # partition-pruning filter: with cluster-partitioned storage this is
-    # a metadata-only prune; in-memory it still skips unprobed groups.
+    # route ONCE: the routed frame feeds BOTH the probe prune and the
+    # cogroup query side, and un-checkpointed Catalyst re-derives the
+    # subtree under each consumer — the route kernel (a Python stage)
+    # and the queries scan executed twice per call (r14, guide §2.4).
+    # The checkpoint is |Q|·nprobe rows (query-batch-sized, never
+    # corpus-sized), the same device as dsir_weights' dbc.
+    routed = route_queries(
+        queries, centroids, nprobe, space, query_vec_col
+    ).localCheckpoint()
+    # probed cluster ids collapse to <= n_clusters ints — collect them
+    # and prune with a static IN-list instead of a broadcast semi-join:
+    # deletes the distinct aggregation exchange + BroadcastExchange and
+    # turns the probe prune into a scan-pushable predicate (directory
+    # pruning on cluster-partitioned storage) (r14, guide §2.4/§6).
+    probed_ids = [
+        r[0] for r in routed.select(cluster_col).distinct().collect()
+    ]
     payload_cols = list(payload_cols)
-    vsrc = vectors.join(F.broadcast(probed), on=cluster_col, how="left_semi").select(
+    probe_pred = (
+        F.col(cluster_col).isin(probed_ids) if probed_ids else F.lit(False)
+    )
+    vsrc = vectors.filter(probe_pred).select(
         F.col(cluster_col),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vector"),

@@ -595,10 +595,20 @@ def knn_join(
         from anndb_spark.operators.ivf import search_ivf
 
         inner_k = k + 1 if exclude_self else k
+        # carry a pre-assigned cluster_id through (r14): the old select
+        # dropped it, so search_ivf re-assigned the WHOLE right table
+        # (a full Python pass over every vector) on every call even
+        # when the caller had already assigned it against these same
+        # centroids.  A caller-supplied cluster_id is trusted exactly
+        # like search_ivf trusts it (same contract).
+        rcols = [
+            F.col(right_id_col).alias("id"),
+            F.col(right_vec_col).alias("vector"),
+        ]
+        if "cluster_id" in right.columns:
+            rcols.append(F.col("cluster_id"))
         res = search_ivf(
-            right.select(
-                F.col(right_id_col).alias("id"), F.col(right_vec_col).alias("vector")
-            ),
+            right.select(*rcols),
             left.select(
                 F.col(left_id_col).alias("query_id"),
                 F.col(left_vec_col).alias("query_vector"),

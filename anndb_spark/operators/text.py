@@ -878,7 +878,10 @@ def bm25_search_indexed_batch(
             raise ValueError(f"duplicate probe id {pid!r}")
         seen_probe.add(pid)
         for t in sorted(set(terms)):
-            rows.append((str(pid), t))
+            # coerce to str like pid: literal_df skips schema
+            # verification, so a non-string term would otherwise fail
+            # executor-side as an opaque pickle/cast error (ADVICE r13)
+            rows.append((str(pid), str(t)))
     st = spark.read.parquet(f"{index_dir}/stats")
     srow = st.collect()[0]
     buckets = srow["buckets"]

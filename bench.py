@@ -283,7 +283,28 @@ def main():
     mins: dict[str, float] = {}
     extra: dict[str, float] = dict(host)
 
+    # per-leg probe bracketing (VERDICT r13 wrong #2): the run-level
+    # host probe is one sample per record, so a mid-run throttle is
+    # invisible per leg.  A fixed single-threaded numpy workload (pure
+    # elementwise mul/add/sum — never touches the BLAS pool) runs
+    # immediately before and after each leg, OUTSIDE the stopwatch
+    # (total = sum of leg medians, unaffected); [pre_ms, post_ms] per
+    # leg land in the full-detail line only (the compact driver line
+    # packs just HEADLINE_EXTRA_KEYS, so its 1.5 KB budget is safe).
+    _probe_arr = np.arange(2_000_000, dtype=np.float64)
+    _probe_sink = [0.0]
+    leg_probe_ms: dict[str, list] = {}
+
+    def _mini_probe_ms() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _probe_sink[0] = float((_probe_arr * 1.000001 + 0.5).sum())
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1000, 2)
+
     def timed(name, fn, repeats: int = REPEATS):
+        pre = _mini_probe_ms()
         out, times = None, []
         for _ in range(max(repeats, 1)):
             t0 = time.perf_counter()
@@ -291,6 +312,7 @@ def main():
             times.append(time.perf_counter() - t0)
         timings[name] = round(float(np.median(times)), 3)
         mins[name] = round(min(times), 3)
+        leg_probe_ms[name] = [pre, _mini_probe_ms()]
         return out
 
     # warm the JVM, parquet footers, codegen, and the Arrow/pandas-UDF
@@ -996,6 +1018,7 @@ def main():
     except (OSError, ValueError):
         pass
 
+    extra["leg_probe_ms"] = leg_probe_ms
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -292,6 +292,8 @@ def test_decontaminate_fast_kernel_matches_expr_kernel(spark):
             (3, "short doc"),
             (4, ""),
             (5, "x y z w v u t s r q p"),
+            (6, None),  # NULL text: expr path emits n_hits=0 via the
+            # corpus-ids left join; the kernel must match, not crash
         ],
         "doc_id LONG, text STRING",
     )
@@ -321,6 +323,7 @@ def test_dsir_fast_kernel_matches_expr_kernel(spark):
         (3, "solo", "en"),                   # no bigrams
         (4, "", "fr"),                       # empty text
         (5, "beta gamma gamma beta", "en"),
+        (6, None, "en"),                     # NULL text: both paths drop it
     ]
     raw = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
     from pyspark.sql import functions as F

@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for declared queries into plans/r13/.
+"""Dump .explain("formatted") for declared queries into plans/<round>/
+($SPARK_GRAFT_PLANS_ROUND, default r14).
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each named query (default: all
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default: all
 queries() entries).  The optimization judge reads these files to check
 plan-shape claims (Exchange count, join strategy, PushedFilters,
 BatchEvalPython nodes) against the code, so the dump is the plan of the
@@ -17,7 +18,10 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+ROUND = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", ROUND
+)
 
 
 def main() -> None:
