@@ -1090,23 +1090,25 @@ def _curate_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, the dedup hashes — are computed over the PREVIOUS
     stage's survivors, which is what a real pipeline does)."""
     from anndb_spark.operators.curation import boilerplate_filter
-    from anndb_spark.operators.dedup import dedup_exact
+    from anndb_spark.operators.dedup import dedup_exact_survivors
     from anndb_spark.operators.sampling import hash_split
-    from anndb_spark.operators.text import quality_score
+    from anndb_spark.operators.text import quality_score_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = quality_score(docs).filter(F.col("quality") >= 0.55)
-    kept = docs.join(q.select(F.col("id").alias("doc_id")), "doc_id")
+    # r14 (guide §2.4): the quality stage is per-row, so it filters
+    # INLINE (quality_score's own column expression — single source of
+    # truth) instead of computing the (id, quality) frame and joining
+    # it back, and the exact-dedup stage keeps each hash group's
+    # keeper with one window filter (dedup_exact's md5-min semantics,
+    # see dedup_exact_survivors) instead of joining the keeper-id set
+    # against a re-derivation of the cleaned corpus.  Both stages'
+    # statistics are still computed over the previous stage's
+    # survivors; output is row-identical (oracle-checked).
+    kept = docs.filter(quality_score_col(F.col("text")) >= 0.55)
     clean = boilerplate_filter(kept, min_doc_frac=0.8).select(
         "doc_id", F.col("text_clean").alias("text")
     )
-    dd = dedup_exact(clean)
-    survivors = clean.join(
-        dd.filter(F.col("id") == F.col("keeper_id")).select(
-            F.col("id").alias("doc_id")
-        ),
-        "doc_id",
-    )
+    survivors = dedup_exact_survivors(clean)
     return hash_split(
         survivors, [0.9, 0.05, 0.05], ["train", "val", "test"], salt="curate"
     ).select(

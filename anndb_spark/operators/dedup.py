@@ -103,6 +103,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_exact_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``df`` reduced to each content-hash group's keeper row (min id)
+    — exactly the rows ``df.join(dedup_exact(df).filter(id ==
+    keeper_id), id)`` keeps, without re-deriving ``df`` under the join
+    (r14, guide §2.4): the keeper decision is a window over the same
+    md5 `dedup_exact` keys on, so ONE pass filters in place.  Columns
+    of ``df`` pass through unchanged; parity with the join form is
+    pytest-pinned."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        df.withColumn("_keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .drop("_keeper")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

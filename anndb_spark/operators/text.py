@@ -45,10 +45,13 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: length factor, lexical diversity,
-    stopword presence — the usual cheap pre-filters for LLM corpora."""
-    t = F.col(text_col)
+def quality_score_col(t: Column) -> Column:
+    """The composite quality score of one text column as a pure Column
+    expression — the single source of truth `quality_score` projects
+    and that per-row consumers (e.g. the curate pipeline's filter) can
+    apply INLINE instead of computing the (id, quality) frame and
+    joining it back (r14, guide §2.4: the join re-scanned the corpus
+    and shuffled ids for a decision derivable on the row)."""
     w = _tokens(t)
     n = F.size(w).cast("double")
     uniq = F.size(F.array_distinct(w)).cast("double")
@@ -56,8 +59,16 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     len_factor = F.least(F.length(t).cast("double") / F.lit(200.0), F.lit(1.0))
     diversity = uniq / n
     stop_factor = F.least(stop / n * F.lit(5.0), F.lit(1.0))
-    score = (len_factor + diversity + stop_factor) / F.lit(3.0)
-    return df.select(F.col(id_col).alias("id"), score.alias("quality"))
+    return (len_factor + diversity + stop_factor) / F.lit(3.0)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length factor, lexical diversity,
+    stopword presence — the usual cheap pre-filters for LLM corpora."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+    )
 
 
 def gopher_signals(

@@ -562,6 +562,38 @@ def test_minhash_incremental_pairs_cross_split_only(spark):
     )
 
 
+def test_dedup_exact_survivors_matches_join_form(spark):
+    """dedup_exact_survivors must keep exactly the rows the
+    dedup_exact keeper-join kept — incl. duplicate groups, unique
+    docs, empty text, and ties broken by min id."""
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.dedup import dedup_exact, dedup_exact_survivors
+
+    df = spark.createDataFrame(
+        [
+            (3, "same text"),
+            (1, "same text"),
+            (2, "unique one"),
+            (7, ""),
+            (9, ""),
+            (5, "same text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    dd = dedup_exact(df)
+    join_form = df.join(
+        dd.filter(F.col("id") == F.col("keeper_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    a = sorted(map(tuple, join_form.collect()))
+    b = sorted(map(tuple, dedup_exact_survivors(df).collect()))
+    assert a == b
+    assert [r[0] for r in b] == sorted({1, 2, 7})
+
+
 def test_winnow_guarantee_shared_run(spark):
     """Winnowing guarantee (Schleimer et al. 2003): two documents
     sharing a token run of length >= k+w-1 share >= 1 fingerprint."""
