@@ -164,8 +164,18 @@ def unigram_logprob(
             round_digits,
         ).alias("lp"),
     )
+    # shuffle_hash hint (r14, guide §3.1): locally the 64 MB estimate
+    # made this a BroadcastHashJoin, whose vocab-side BUILD is a
+    # serial driver-collect stage wave gating the big probe stage; at
+    # 100 TB the estimate flips past the threshold and the planner
+    # falls back to SortMergeJoin, which sorts the TOKEN STREAM (the
+    # largest relation in the plan).  SHJ avoids both — per-partition
+    # hash build, no sort of either side, and no 8 GB broadcast cap
+    # (a 100 TB corpus's vocabulary is unbounded, so a broadcast hint
+    # would be a scale hazard).  Same-boot A/B: 0.966 -> 0.645 s
+    # median, bit-identical output.
     per_doc = (
-        toks.join(lp, "tok")
+        toks.join(lp.hint("shuffle_hash"), "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -1081,7 +1091,17 @@ def bigram_logprob(
         .agg(F.count("*").alias("cb"))
     )
     ctx = big.groupBy("prev").agg(F.sum("cb").alias("cp"))
-    big_lp = big.join(ctx, "prev").select(
+    # shuffle_hash hints (r14, guide §3.1): locally the LM-count joins
+    # planned as BroadcastHashJoins (4 vocab-sized broadcast builds,
+    # each a serial driver-collect wave gating its probe stage); at
+    # 100 TB the size estimates flip them to SortMergeJoins that sort
+    # the TOKEN STREAM twice plus the bigram table.  SHJ avoids both
+    # (per-partition hash build, no sorts) and has no 8 GB broadcast
+    # cap — a uni/bigram-vocabulary broadcast is unbounded at corpus
+    # scale.  Plan: BroadcastExchange 4 -> 1 (the 1-row total), the
+    # new exchanges carry vocab-sized count tables, never documents.
+    # Same-boot A/B: 1.5-2.2 -> 1.196 s median, bit-identical output.
+    big_lp = big.join(ctx.hint("shuffle_hash"), "prev").select(
         "prev",
         "tok",
         F.round(
@@ -1090,8 +1110,8 @@ def bigram_logprob(
         ).alias("_blp"),
     )
     scored = (
-        seq.join(uni_lp, "tok")
-        .join(big_lp, ["prev", "tok"], "left")
+        seq.join(uni_lp.hint("shuffle_hash"), "tok")
+        .join(big_lp.hint("shuffle_hash"), ["prev", "tok"], "left")
         .select(
             F.col(id_col),
             "pos",
