@@ -310,8 +310,16 @@ def knn_sq8(
     )
     if original is None:
         return cand
+    # size-adaptive shortlist-fetch direction — see knn_binary's rerank
+    # (r14): hint the batch-bounded candidate side only when the float
+    # table is too big to auto-broadcast (the corpus-shuffle case)
+    from anndb_spark.utils import plan_size_over_broadcast_threshold
+
+    cand_keys = cand.select(query_id_col, id_col)
+    if plan_size_over_broadcast_threshold(original):
+        cand_keys = F.broadcast(cand_keys)
     joined = (
-        cand.select(query_id_col, id_col)
+        cand_keys
         .join(original.select(F.col(id_col), F.col(vec_col)), id_col)
         .join(
             F.broadcast(queries.select(query_id_col, query_vec_col)),
@@ -508,6 +516,20 @@ def knn_binary(
         .filter(F.col("_r") <= n_cand)
         .select("query_id", id_col)
     )
+    # size-adaptive rerank-fetch direction (r14, guide §2/§3.1): when
+    # the vector table's estimate exceeds the broadcast threshold, the
+    # un-hinted join would SMJ — shuffling the CORPUS by id to fetch
+    # |Q|·k·mult rows — so the batch-bounded candidate side carries an
+    # explicit broadcast hint (the IVFADC+R device, ivfpq.py).  When
+    # the table itself fits the threshold, stay un-hinted: the planner
+    # broadcasts the table and its build OVERLAPS the candidate
+    # pipeline, where a candidate-side hint serializes a driver
+    # round-trip between the stages (measured 1.78 -> 2.17 s on the
+    # 1kq leg).  Decided from plan statistics, not core count.
+    from anndb_spark.utils import plan_size_over_broadcast_threshold
+
+    if plan_size_over_broadcast_threshold(vectors):
+        cand_ids = F.broadcast(cand_ids)
     rerank = (
         cand_ids.join(vectors.select(id_col, vec_col), id_col)
         .join(F.broadcast(qdf), "query_id")

@@ -39,6 +39,42 @@ def literal_df(spark, data, ddl: str) -> DataFrame:
     return spark.createDataFrame(data, ddl, verifySchema=False)
 
 
+def plan_size_over_broadcast_threshold(df: DataFrame) -> bool:
+    """True when Catalyst's size estimate for ``df`` exceeds the
+    session's auto-broadcast threshold — i.e. when an un-hinted join
+    against ``df`` would NOT broadcast it.
+
+    Used to pick a join direction by DATA SIZE instead of a constant
+    (guide §2): a shortlist-fetch join against a table small enough to
+    broadcast should stay un-hinted (the planner broadcasts the table
+    and the broadcast build overlaps the shortlist pipeline), while
+    the same join against a corpus-sized table must broadcast the
+    batch-bounded shortlist side instead — otherwise the planner
+    falls back to a sort-merge join that shuffles the CORPUS by id to
+    fetch a few thousand rows.  Pure plan metadata: no job runs."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        thr = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        t = thr.strip().lower()
+        if t and t[-1] in mult:
+            thr_bytes = int(t[:-1]) * mult[t[-1]]
+        else:
+            thr_bytes = int(t)
+        if thr_bytes < 0:
+            # auto-broadcast disabled: the table will never broadcast
+            # un-hinted, so the bounded side must carry the hint
+            return True
+        return est > thr_bytes
+    except Exception:
+        # estimate unavailable: assume big (the scale-safe direction)
+        return True
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition degenerate low-parallelism inputs before compute-heavy
     projections.

@@ -302,3 +302,32 @@ def test_knn_join_pq_big_left_reroutes_to_ivf(spark):
     for r in res:
         per.setdefault(r["left_id"], []).append(r)
     assert len(per) == 120 and all(len(v) == 3 for v in per.values())
+
+def test_knn_binary_rerank_direction_is_size_adaptive(spark):
+    """r14: when the vector table is too big to auto-broadcast, the
+    rerank fetch must broadcast the batch-bounded candidate side
+    (never SMJ-shuffle the corpus by id); results are identical in
+    both directions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anndb_spark.operators.knn import knn_binary
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(300)]
+    vecs = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    qs = [(i, rng.normal(0, 1, 8).tolist()) for i in range(5)]
+    base = sorted(map(tuple, knn_binary(vecs, qs, 3, dim=8).collect()))
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        df = knn_binary(vecs, qs, 3, dim=8)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastExchange" in plan
+        hinted = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert hinted == base
