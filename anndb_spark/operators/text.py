@@ -612,6 +612,7 @@ def _bm25_score(
     id_col: str,
     pivot_max_terms: int,
     base: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Shared BM25 scoring tail: ``tf`` = (id, term, tf, dl) for the
     query terms only (a checkpointed in-session aggregate for
@@ -630,10 +631,14 @@ def _bm25_score(
     # Window.partitionBy("term"): that serializes ALL occurrences of a
     # frequent query term onto one task (billions of rows on one
     # reducer at web scale) and AQE cannot skew-split a window
-    # partition (VERDICT r10 wrong #1).
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("tdf")
-    )
+    # partition (VERDICT r10 wrong #1).  ``dfreq`` may be passed in
+    # pre-computed (the r14 termdf index table — a pruned scan instead
+    # of re-aggregating the postings per call); identical longs either
+    # way (the stored table is the same count over the same rows).
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("tdf")
+        )
     tf = tf.join(F.broadcast(dfreq), "term")
     if isinstance(stats, tuple):
         n_docs_c = F.lit(int(stats[0])).cast("long")
@@ -785,6 +790,25 @@ def write_bm25_index(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/postings")
     )
+    # per-term document frequency, derived from the WRITTEN postings
+    # (read-back guarantees exact consistency): tdf is corpus-derived
+    # and probe-independent, yet the query path re-aggregated it from
+    # the pruned postings on EVERY call — a second postings scan plus
+    # a term-keyed shuffle per query/batch (r14, guide §2.4/§6; the
+    # same write-once trade as the r13 dl denormalization).  One row
+    # per term, bucket-partitioned so queries prune it exactly like
+    # postings.  Readers fall back to the query-time aggregate when
+    # the directory is absent (pre-r14 indexes).
+    (
+        df.sparkSession.read.parquet(f"{index_dir}/postings")
+        .groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tdf"))
+        .repartition(buckets, "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/termdf")
+    )
 
 
 def bm25_search_indexed(
@@ -833,6 +857,12 @@ def bm25_search_indexed(
         base = spark.read.parquet(f"{index_dir}/doclens").select(
             F.col("id").alias(id_col), "dl"
         )
+    # NOTE: the single-probe path does NOT read the termdf table — the
+    # extra per-call parquet listing round-trip measured SLOWER than
+    # the in-plan <=|terms|-row dfreq aggregate here (0.636 -> 0.694 s
+    # interleaved, r14), and a single probe's second postings scan is
+    # |terms|-bounded and column-pruned.  The batch path amortizes the
+    # listing over the whole batch and does use it.
     # stats were already collected for the bucket count: inline them as
     # literals instead of a broadcast cross-join of a 1-row parquet
     # (saves the broadcast-build job per query; exact longs either way)
@@ -840,6 +870,23 @@ def bm25_search_indexed(
         tf, (srow["n_docs"], srow["sdl"]), terms, k, k1, b, round_digits,
         id_col, pivot_max_terms, base=base,
     )
+
+
+def _read_termdf(spark, index_dir, bucket_ids, terms):
+    """(term, tdf) for the query terms from the index's termdf table
+    (r14: written by `write_bm25_index`, pruned exactly like
+    postings), or None for a pre-r14 index — the caller then
+    re-aggregates document frequency from the pruned postings, which
+    is the same longs at a second postings scan + term shuffle per
+    call."""
+    try:
+        tdf = spark.read.parquet(f"{index_dir}/termdf")
+    except Exception:
+        return None
+    out = tdf.filter(F.col("bucket").isin(*sorted(bucket_ids))).filter(
+        F.col("term").isin(*sorted(terms))
+    )
+    return out.select("term", "tdf")
 
 
 def bm25_search_indexed_batch(
@@ -949,9 +996,25 @@ def bm25_search_indexed_batch(
         base = spark.read.parquet(f"{index_dir}/doclens").select(
             F.col("id").alias(id_col), "dl"
         )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("tdf")
-    )
+    # per-term document frequency from the index's termdf table (r14):
+    # tdf is corpus-derived and probe-independent, so re-aggregating it
+    # from the pruned postings on every call paid a SECOND postings
+    # scan + a term-keyed shuffle per batch; the stored table is the
+    # identical count over the identical rows (written from the
+    # postings read-back), pruned by the same (bucket, term) join.
+    # Pre-r14 indexes (no termdf directory) keep the aggregate.
+    dfreq = _read_termdf(spark, index_dir, bucket_ids, all_terms)
+    if dfreq is not None and len(all_terms) > term_inlist_max:
+        # the IN-list path is off for huge batches; prune via the same
+        # broadcast (bucket, term) join the postings use
+        tdf_raw = spark.read.parquet(f"{index_dir}/termdf")
+        dfreq = tdf_raw.join(
+            F.broadcast(term_side), ["bucket", "term"]
+        ).select("term", "tdf")
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("tdf")
+        )
     # stats as literals: already collected for the bucket count; the
     # broadcast cross-join of the 1-row stats parquet bought nothing
     n_docs_c = F.lit(int(srow["n_docs"])).cast("long")

@@ -855,6 +855,40 @@ def test_bm25_indexed_legacy_index_without_dl(spark, tmp_path):
     assert legacy_batch == fresh_batch
 
 
+def test_bm25_batch_termdf_matches_query_time_aggregate(spark, tmp_path):
+    """r14: the batch reader takes per-term document frequency from the
+    index's termdf table; results must be bit-identical to the legacy
+    query-time aggregate (simulated by deleting the termdf directory),
+    and a termdf-less index must still work."""
+    import shutil
+
+    from anndb_spark.operators.text import (
+        bm25_search_indexed,
+        bm25_search_indexed_batch,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "idx")
+    write_bm25_index(docs, d, buckets=8)
+    probes = [
+        ("p0", ["batch", "merge", "vector"]),
+        ("p1", ["stream", "the"]),
+        ("p2", ["nosuchterm_zzz"]),
+    ]
+    with_tdf = sorted(
+        map(tuple, bm25_search_indexed_batch(spark, d, probes, k=15).collect())
+    )
+    shutil.rmtree(f"{d}/termdf")
+    without_tdf = sorted(
+        map(tuple, bm25_search_indexed_batch(spark, d, probes, k=15).collect())
+    )
+    assert with_tdf == without_tdf
+    # the single-probe reader never depended on termdf
+    single = bm25_search_indexed(spark, d, ["batch", "merge"], k=15).collect()
+    assert len(single) == 15
+
+
 def test_bm25_indexed_batch_matches_per_probe(spark, tmp_path):
     """Each probe's slice of bm25_search_indexed_batch must be
     bit-identical to the single-probe bm25_search_indexed — same
