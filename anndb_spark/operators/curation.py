@@ -449,25 +449,40 @@ def dsir_weights(
             .agg(*dbc_agg)
             .localCheckpoint()
         )
-    raw_model = dbc.groupBy("b").agg(F.sum("n").cast("long").alias("cr"))
-    raw_total = raw_model.agg(F.sum("cr").alias("tr"))
+    if target_filter is not None:
+        # FUSED model pass (r14, guide §2.4): the raw and target bucket
+        # models were two separate aggregation passes (two exchanges)
+        # over the same dbc checkpoint; since every target row IS a
+        # flagged dbc row, one groupBy(b) computes both — cr = sum(n),
+        # ct = sum(n where in-target), with ct NULL for buckets no
+        # target doc touches, exactly the old left join's shape (the
+        # delta already coalesces).  Identical longs: conditional sum
+        # over the same rows the filtered aggregate summed.
+        model = dbc.groupBy("b").agg(
+            F.sum("n").cast("long").alias("cr"),
+            F.sum(F.when(F.col("_t") == 1, F.col("n")))
+            .cast("long")
+            .alias("ct"),
+        )
+        raw_total = model.agg(F.sum("cr").alias("tr"))
+        # every target bucket appears in the fused model (subset
+        # guarantee), so the target total is the same sum
+        tgt_total = model.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")
+        )
+        joined_model = model
+    else:
+        raw_model = dbc.groupBy("b").agg(
+            F.sum("n").cast("long").alias("cr")
+        )
+        raw_total = raw_model.agg(F.sum("cr").alias("tr"))
     if state_dir is not None:
         # persisted model: <= B rows of exact longs (parquet round-trips
         # them bit-exactly, so state-form output is identical to the
         # in-session form — pytest-enforced); each consumer re-reads the
         # tiny parquet, no checkpoint needed and no Generate behind it
         tgt_model = _read_dsir_state(raw.sparkSession, state_dir, buckets)
-    elif target_filter is not None:
-        # sum of the target docs' per-(doc, bucket) counts == counting
-        # the target slice's exploded gram rows (identical longs); both
-        # consumers (delta join, tgt_total) re-aggregate the dbc
-        # checkpoint — an in-memory pass, never a corpus re-tokenize
-        tgt_model = (
-            dbc.filter(F.col("_t") == 1)
-            .groupBy("b")
-            .agg(F.sum("n").cast("long").alias("ct"))
-        )
-    else:
+    elif target is not None:
         # <= B rows, checkpointed because it feeds BOTH the delta join
         # and tgt_total: un-checkpointed, Catalyst duplicates the
         # subtree and the target corpus would tokenize twice (target
@@ -483,9 +498,15 @@ def dsir_weights(
         tgt_model = (
             tgt_base.groupBy("b").agg(tgt_ct).localCheckpoint()
         )
-    tgt_total = tgt_model.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    if target_filter is None:
+        # the target model can hold buckets absent from raw (a separate
+        # target corpus), so its total must come from tgt_model itself
+        tgt_total = tgt_model.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")
+        )
+        joined_model = raw_model.join(tgt_model, "b", "left")
     delta = (
-        raw_model.join(tgt_model, "b", "left")
+        joined_model
         .crossJoin(F.broadcast(raw_total))
         .crossJoin(F.broadcast(tgt_total))
         .select(
