@@ -2251,31 +2251,50 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # CORRECTNESS files) or judge-time evidence (the newest file is the
 # driver's evaluation OF this window) — see tools/window_gate.py.
 _DRIVER_WINDOW = [
-    # -- (1) never driver-checked / never-green first (gate order) --
-    "bm25_batch_documents",  # r12 batched indexed probes (new)
-    "dsir_state_documents",  # r12 persisted target model (new)
-    # -- (2) code changed this round: re-prove under the new plans --
-    "dsir_weights_documents",  # doc_buckets hoisted + state plumbing
-    "bm25_search_documents",  # oracle moved to _bm25_oracle_sql
-    "bm25_indexed_documents",  # shares the regenerated oracle
-    # -- (3) the r10-green cohort, stale at r13: serviced one round
-    #        early so r13's slot demand stays under the cap while the
-    #        r11 cohort (due r14) rotates there --
-    "ann_filtered_label_top10",
-    "asof_join_events",
-    "boilerplate_filter_documents",
+    # -- (1) the r11 cohort, due this round (the rotation the r12
+    #        builder scheduled: "the r11 cohort (due r14) rotates
+    #        there") — last driver-green r10/r11, no slot since, so
+    #        they would go stale at r15 without service now
+    #        (tools/window_gate.py freshness horizon; enforced by
+    #        tests/test_window_gate.py).  They replace eight
+    #        LONG-GREEN entries (5 lifetime greens each, last green
+    #        r13, max_age 4 — fresh through r17): asof_join/forward,
+    #        attribution_pairs, boilerplate_filter, dedup_clusters,
+    #        events_props_stats, hash_sample, hash_split.  Rotation
+    #        changes WHICH registry entries the driver re-proves this
+    #        round, never what any entry computes; the full 95-entry
+    #        registry stays oracle-checked locally (check_driver). --
+    "dedup_incremental_documents",
+    "stream_neardup_documents",
+    "embedding_lsh_pairs",
+    "winnow_pairs_documents",
+    "dedup_span_removal_documents",
+    "corpus_cube_source_lang",
+    "corpus_rollup_source_lang",
+    "bq_search_wide_embeddings",
+    # -- (2) code changed this round (r14): re-prove under the new
+    #        plans — BM25 termdf, DSIR fused model + null guards,
+    #        curate fusion, logprob SHJ hints, BQ/SQ8 rerank
+    #        direction, IVF route-once --
+    "dsir_weights_documents",
+    "dsir_state_documents",
+    "bm25_search_documents",
+    "bm25_indexed_documents",
+    "bm25_batch_documents",
     "curate_pipeline_documents",
     "decontaminate_documents",
-    "dedup_canonical_documents",
-    "dedup_clusters_embedding",
+    "unigram_logprob_documents",
+    "bigram_logprob_documents",
+    "bq_search_embeddings",
+    "sq8_search_embeddings",
+    "ann_filtered_label_top10",
     "dup_span_coverage_documents",
+    # -- (3) the r12-green cohort continuing their cadence --
+    "dedup_canonical_documents",
     "events_distinct_users",
-    "events_props_stats",
     "events_sliding_3h1h",
     "funnel_events",
     "gopher_signals_documents",
-    "hash_sample_documents",
-    "hash_split_documents",
     "integrity_documents_embeddings",
     "ivfpq_full_probe_top10",
     "length_quantiles_documents",
@@ -2289,7 +2308,6 @@ _DRIVER_WINDOW = [
     "pq_exact_rerank_top10",
     "repetition_signals_documents",
     "sessionize_events",
-    "sq8_search_embeddings",
     "stratified_take_documents",
     "stream_attribution_events",
     "stream_dedup_events",
@@ -2297,17 +2315,11 @@ _DRIVER_WINDOW = [
     "stream_search_top10",
     "stream_sessions_events",
     "token_stream_offsets_documents",
-    "unigram_logprob_documents",
-    # -- (4) fill: convert 3-green entries to long-green (halves their
-    #        steady-state demand) + the fewest-green r11 entries --
+    # -- (4) fill: long-green conversions continuing --
     "knn_lineitem_multispace",
-    "asof_forward_events",
-    "attribution_pairs_events",
-    "bq_search_embeddings",
     "top_terms_by_lang",
     "top_terms_documents",
     "value_stats_events",
-    "bigram_logprob_documents",
 ]
 
 
