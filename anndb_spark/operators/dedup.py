@@ -300,13 +300,54 @@ def minhash_lsh_pairs(
     texts = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
     )
+    # size-adaptive candidate-text attach (r14, guide §8/§2): the
+    # per-side attaches each stream a FULL corpus text scan (the
+    # broadcast-cand join probes during the scan, so every text byte
+    # is read once per side — twice total).  When the corpus is big
+    # (Catalyst size estimate over the broadcast threshold — the same
+    # device as knn_binary's rerank direction), checkpoint the
+    # candidate pairs (ids only, O(collisions) rows), fetch the union
+    # of candidate ids' texts in ONE scan into a candidate-bounded
+    # checkpoint, and attach each side from that tiny frame by
+    # broadcast: corpus text reads per call 2 → 1.  For a small corpus
+    # the two extra driver round-trips cost MORE than the second scan
+    # (measured 2.045 → 2.363 s at sf0.1), so the direct two-scan form
+    # stays below the threshold.  Identical rows either way
+    # (parity-pinned).
+    from anndb_spark.utils import plan_size_over_broadcast_threshold
+
+    if plan_size_over_broadcast_threshold(df):
+        cand = cand.localCheckpoint()
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        ctext = texts.join(F.broadcast(cand_ids), "id").localCheckpoint()
+        side_a = F.broadcast(
+            ctext.select(
+                F.col("id").alias("id_a"), F.col("_txt").alias("_txt_a")
+            )
+        )
+        side_b = F.broadcast(
+            ctext.select(
+                F.col("id").alias("id_b"), F.col("_txt").alias("_txt_b")
+            )
+        )
+    else:
+        side_a = texts.select(
+            F.col("id").alias("id_a"), F.col("_txt").alias("_txt_a")
+        )
+        side_b = texts.select(
+            F.col("id").alias("id_b"), F.col("_txt").alias("_txt_b")
+        )
     return (
         cand.join(
-            texts.select(F.col("id").alias("id_a"), F.col("_txt").alias("_txt_a")),
+            side_a,
             "id_a",
         )
         .join(
-            texts.select(F.col("id").alias("id_b"), F.col("_txt").alias("_txt_b")),
+            side_b,
             "id_b",
         )
         .select(

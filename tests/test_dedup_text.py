@@ -594,6 +594,23 @@ def test_dedup_exact_survivors_matches_join_form(spark):
     assert [r[0] for r in b] == sorted({1, 2, 7})
 
 
+def test_minhash_text_attach_is_size_adaptive(spark):
+    """r14: over the broadcast threshold the candidate texts are
+    fetched once into a checkpoint and attached by broadcast; results
+    must be identical to the small-corpus two-scan form."""
+    from anndb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        fetched = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert fetched == base and len(base) > 0
+
+
 def test_winnow_guarantee_shared_run(spark):
     """Winnowing guarantee (Schleimer et al. 2003): two documents
     sharing a token run of length >= k+w-1 share >= 1 fingerprint."""
