@@ -64,6 +64,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     kernel: str = "fast",
+    max_bench_grams: int = 5_000_000,
 ) -> DataFrame:
     """(id, n_hits, contaminated) for every corpus document, where
     n_hits counts the distinct word n-grams it shares with ANY
@@ -91,9 +92,24 @@ def decontaminate(
         .distinct()
     )
     if kernel == "fast":
-        bench_set = frozenset(
-            r["g"] for r in bench_grams.collect()
-        )
+        # size guard (VERDICT r13 wrong #4): the benchmark gram set is
+        # eval-suite-bounded by contract, and the expr path broadcast
+        # it too — but a caller passing a corpus-sized "benchmark"
+        # should get a clear error, not a driver OOM.  The limit probe
+        # rides the SAME collect (one job, no second aggregation):
+        # under the cap, limit(cap+1) returns the full set.
+        rows = bench_grams.limit(max_bench_grams + 1).collect()
+        if len(rows) > max_bench_grams:
+            raise ValueError(
+                f"decontaminate: benchmark has over "
+                f"{max_bench_grams:,} distinct {n}-grams "
+                "(max_bench_grams); the gram set is collected to the "
+                "driver and broadcast — pass an eval-sized benchmark, "
+                "raise max_bench_grams if the driver has the memory, "
+                "or use kernel='expr' (broadcast join, no driver "
+                "collect)"
+            )
+        bench_set = frozenset(r["g"] for r in rows)
         bset_b = corpus.sparkSession.sparkContext.broadcast(bench_set)
         id_type = corpus.schema[id_col].dataType.simpleString()
 

@@ -311,6 +311,26 @@ def test_decontaminate_fast_kernel_matches_expr_kernel(spark):
         assert fast == expr, n
 
 
+def test_decontaminate_bench_gram_size_guard(spark):
+    """r14: a benchmark whose distinct gram set exceeds
+    max_bench_grams raises a clear error instead of a driver OOM; a
+    generous cap is a no-op."""
+    import pytest
+
+    from anndb_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id LONG, text STRING"
+    )
+    bench = spark.createDataFrame(
+        [(100, "w x y z q r s t u v")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="max_bench_grams"):
+        decontaminate(corpus, bench, n=3, max_bench_grams=2)
+    out = decontaminate(corpus, bench, n=3, max_bench_grams=100).collect()
+    assert len(out) == 1 and out[0]["n_hits"] == 0
+
+
 def test_dsir_fast_kernel_matches_expr_kernel(spark):
     """The r13 Arrow md5 kernel (`_dsir_doc_bucket_counts_fast`) must
     be bit-identical to the explode+JVM-md5 expression path on every
